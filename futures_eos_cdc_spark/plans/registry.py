@@ -1,0 +1,301 @@
+"""Query registry: every implemented operator as a (Spark query, DuckDB oracle) pair.
+
+Each Spark query is a callable ``(spark, sf_dir) -> DataFrame``; each oracle
+is ANSI SQL DuckDB runs over the same parquet tables (driver registers the
+views). The driver compares row count + schema + order-insensitive value hash
+(see __spark_entry__.py), so:
+
+- every computed column is aliased identically on both sides;
+- sums over doubles go through DECIMAL(38,10) (summation-order-proof);
+- timestamps are emitted as epoch seconds BIGINT (timezone-proof);
+- integer aggregates are CAST(... AS BIGINT) in DuckDB (it widens to HUGEINT);
+- decimal literals that mix with doubles are CAST(... AS DOUBLE) in DuckDB.
+
+Scale notes live on each query's docstring: the Catalyst plan each is
+designed to produce at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.signal_pipeline import DEC, decisions_from_events
+from .flagship import FLAGSHIP_ORACLE_SQL
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, alias: str):
+    """Order-independent double sum: exact decimal sum, cast back to double."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def _davg(col, alias: str):
+    """Order-independent mean: exact decimal sum / count."""
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias(alias)
+
+
+def _ntz_lit(iso: str):
+    """TIMESTAMP_NTZ literal — comparisons against NTZ columns are
+    timezone-proof AND push down to the parquet scan."""
+    return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+
+
+def _ntz_epoch_s(col_name: str):
+    """Epoch seconds (BIGINT) from a TIMESTAMP_NTZ column, timezone-proof.
+
+    (Plain cast-to-long is disallowed for NTZ; going through LTZ would
+    reintroduce the session timezone.)
+    """
+    return F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's entire streaming query as one batch SELECT
+# (SURVEY.md §2.3/§2.4/§7.5)
+# ---------------------------------------------------------------------------
+@query("signal_decisions", FLAGSHIP_ORACLE_SQL)
+def q_signal_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → signals → 5-min windowed aggregate → decisions.
+
+    Plan at scale: parquet scan (pruned to 5 cols) → hash exchange on
+    (symbol, window, timeframe) → ranked buffer + partial aggs → exchange on
+    (symbol, window) → rollup; post-agg cardinality is tiny so the final
+    joins broadcast under AQE.
+    """
+    return decisions_from_events(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# A-family general aggregation: TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+_SHIP_CUTOFF_S = 904694400  # 1998-09-02 UTC
+
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,10)))
+    AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE epoch(l_shipdate) <= {_SHIP_CUTOFF_S}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", Q1_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → 2-key hash agg.
+
+    At scale this is the canonical map-side-partial-agg query: Catalyst
+    splits into partial + final HashAggregate around one exchange on the
+    (low-cardinality) group keys; AQE coalesces the post-shuffle partitions.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc_price * (1.0 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz_lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            _davg(F.col("l_quantity"), "avg_qty"),
+            _davg(F.col("l_extendedprice"), "avg_price"),
+            _davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: multi-way join + top-k (broadcast dims, deterministic tie-break)
+# ---------------------------------------------------------------------------
+TOP_CUSTOMERS_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  n.n_name AS nation,
+  r.r_name AS region,
+  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+@query("top_customers_by_revenue", TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region → group → top-10.
+
+    nation/region (and customer at most SFs) are broadcast: no shuffle for
+    the dim joins; one exchange for the groupBy; TakeOrderedAndProject for
+    the limit. Revenue is a decimal-exact sum so the ORDER BY tie-break
+    (custkey) is deterministic across engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            _dsum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-family scalar/JSON: extract from events.props (P14-style JSON handling)
+# ---------------------------------------------------------------------------
+EVENTS_JSON_ORACLE = """
+SELECT
+  event_type,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_json_extract", EVENTS_JSON_ORACLE)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the JSON props column + aggregate.
+
+    JSON path extraction stays JVM-side (codegen'd), no Python. At scale the
+    JSON parse dominates; a real pipeline would persist extracted columns.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/P11: broadcast dim lookup with default on miss
+# (OrderService.kt:42-47,139-142 — constant market-price map)
+# ---------------------------------------------------------------------------
+MARKET_PRICE_ORACLE = """
+WITH signals AS (
+  SELECT
+    CASE user_id % 5
+      WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT' WHEN 2 THEN 'SOLUSDT'
+      WHEN 3 THEN 'XRPUSDT' ELSE 'NAS100' END AS symbol
+  FROM events
+),
+mp(symbol, price) AS (
+  VALUES ('BTCUSDT', CAST(65000.0 AS DOUBLE)), ('ETHUSDT', CAST(3500.0 AS DOUBLE)),
+         ('SOLUSDT', CAST(150.0 AS DOUBLE)), ('NAS100', CAST(18500.0 AS DOUBLE))
+)
+SELECT
+  s.symbol,
+  coalesce(mp.price, CAST(100.0 AS DOUBLE)) AS market_price,
+  CAST(count(*) AS BIGINT) AS n
+FROM signals s
+LEFT JOIN mp ON s.symbol = mp.symbol
+GROUP BY 1, 2
+"""
+
+
+@query("market_price_lookup", MARKET_PRICE_ORACLE)
+def q_market_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-map dim lookup as a broadcast left join + coalesce default.
+
+    The dim side is a literal 4-row DataFrame — broadcast, zero shuffle for
+    the join regardless of fact-side size.
+    """
+    from ..schemas import DEFAULT_MARKET_PRICE, MARKET_PRICES
+
+    ev = _t(spark, sf_dir, "events")
+    sym = F.col("user_id") % 5
+    s = ev.select(
+        F.when(sym == 0, "BTCUSDT")
+        .when(sym == 1, "ETHUSDT")
+        .when(sym == 2, "SOLUSDT")
+        .when(sym == 3, "XRPUSDT")
+        .otherwise("NAS100")
+        .alias("symbol")
+    )
+    mp = spark.createDataFrame(
+        [(k, float(v)) for k, v in MARKET_PRICES.items()], "symbol string, price double"
+    )
+    return (
+        s.join(F.broadcast(mp), "symbol", "left")
+        .select("symbol", F.coalesce("price", F.lit(DEFAULT_MARKET_PRICE)).alias("market_price"))
+        .groupBy("symbol", "market_price")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7-style exact dedup surface on documents
+# ---------------------------------------------------------------------------
+DEDUP_EXACT_ORACLE = """
+SELECT
+  lang,
+  CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("dedup_exact_documents", DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate profile per language: distinct-text vs total counts.
+
+    At scale, count(DISTINCT text) over long strings should dedup on a hash:
+    Catalyst expands distinct-agg into a two-phase plan; for 100 TB we'd
+    pre-hash (xxhash64/sha2) so the shuffle carries 8-32 bytes, not documents
+    — that variant is operators.dedup.exact_dedup.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count_distinct(F.col("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
