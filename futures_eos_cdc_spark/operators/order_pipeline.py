@@ -1,0 +1,215 @@
+"""Order pipeline: trading decisions → orders + outbox events → CDC routing.
+
+Re-expresses the reference's order-manager consumer and the Debezium outbox
+leg (SURVEY.md §2.2 P7-P16, §2.1 S5-S8):
+
+- P7  actionable filter        — OrderService.kt:116
+- P8  confidence gate w/ STRONG×1.2 boost — OrderService.kt:117-127
+- P9  action → side CASE       — OrderService.kt:145-149
+- P11 market-price dim lookup, default 100.0 — OrderService.kt:42-47,139-142
+- P12 confidence-scaled quantity [1,10], 2dp — OrderService.kt:190-199
+- P13 client_order_id synthesis — OrderService.kt:133
+- P14 outbox JSON payload       — OrderService.kt:162-172
+- P15 occurred_at_ms generated column — configmap-init.yaml:42-44
+- S8  outbox EventRouter (Debezium SMT) as a pure projection
+      — pg-outbox-connector.yaml:31-53
+- S7a Debezium envelope parser — the CDC-topic fidelity path
+
+Determinism (§7.4.3): in deterministic mode ids are sha256 of the business
+key and clocks derive from the decision window — no uuid()/now(), so results
+are oracle-checkable. Production mode (deterministic=False) switches to
+uuid() + current_timestamp() like the reference.
+
+Scale: every step is a narrow projection/filter plus ONE broadcast join
+(4-row dim) — zero shuffles end-to-end; at 100 TB the pipeline inherits the
+decision stream's partitioning untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import DEFAULT_MARKET_PRICE, MARKET_PRICES
+
+ACTIONABLE = ("BUY", "SELL", "STRONG_BUY", "STRONG_SELL")
+DEFAULT_CONFIDENCE_THRESHOLD = 0.65  # ORDER_CONFIDENCE_THRESHOLD default
+QTY_BASE, QTY_MAX = 1.0, 10.0
+
+DEBEZIUM_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("after", T.MapType(T.StringType(), T.StringType())),
+                    T.StructField("op", T.StringType()),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField(
+                        "source",
+                        T.StructType(
+                            [
+                                T.StructField("table", T.StringType()),
+                                T.StructField("lsn", T.LongType()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def market_prices_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in MARKET_PRICES.items()], "symbol string, price double"
+    )
+
+
+def filter_actionable(decisions: DataFrame, threshold: float = DEFAULT_CONFIDENCE_THRESHOLD) -> DataFrame:
+    """P7 + P8: actionable actions whose boosted confidence clears the gate."""
+    adj = F.when(
+        F.col("action").startswith("STRONG"), F.col("confidence") * 1.2
+    ).otherwise(F.col("confidence"))
+    return (
+        decisions.filter(F.col("action").isin(*ACTIONABLE))
+        .withColumn("adj_confidence", adj)
+        .filter(F.col("adj_confidence") >= F.lit(threshold))
+    )
+
+
+def confidence_scaled_qty(conf_col, threshold: float = DEFAULT_CONFIDENCE_THRESHOLD):
+    """P12: qty = base + (max-base) * clamp((conf-thr)/(1-thr), 0, 1), 2dp."""
+    frac = (conf_col - threshold) / (1.0 - threshold)
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), frac))
+    return F.round(F.lit(QTY_BASE) + (QTY_MAX - QTY_BASE) * clamped, 2)
+
+
+def decisions_to_orders(
+    decisions: DataFrame,
+    prices: DataFrame,
+    threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Decisions → order rows (the reference's createOrder, OrderService.kt:131-188).
+
+    ``decisions`` needs: symbol, window_start_s, action, confidence.
+    ``prices`` is the (symbol, price) dim — broadcast.
+    """
+    gated = filter_actionable(decisions, threshold)
+
+    side = (
+        F.when(F.col("action").isin("BUY", "STRONG_BUY"), "BUY")
+        .when(F.col("action").isin("SELL", "STRONG_SELL"), "SELL")
+        .otherwise(F.lit(None))
+    )
+
+    if deterministic:
+        order_id = F.sha2(
+            F.concat_ws("|", F.col("symbol"), F.col("window_start_s")), 256
+        )
+        created_at_s = F.col("window_start_s").cast("long")
+    else:
+        order_id = F.uuid()
+        created_at_s = F.unix_timestamp(F.current_timestamp())
+
+    with_id = gated.withColumn("id", order_id).withColumn("created_at_s", created_at_s)
+
+    client_order_id = F.concat(
+        F.lit("ORD-"),
+        (F.col("created_at_s") * 1000).cast("string"),
+        F.lit("-"),
+        F.substring(F.col("id"), 1, 8),
+    )
+
+    return (
+        with_id.join(F.broadcast(prices.withColumnRenamed("price", "mkt_price")), "symbol", "left")
+        .select(
+            F.col("id"),
+            client_order_id.alias("client_order_id"),
+            F.col("symbol"),
+            side.alias("side"),
+            confidence_scaled_qty(F.col("adj_confidence"), threshold).alias("qty"),
+            F.coalesce(F.col("mkt_price"), F.lit(DEFAULT_MARKET_PRICE)).alias("price"),
+            F.lit("PENDING").alias("status"),
+            F.col("created_at_s"),
+            F.col("created_at_s").alias("updated_at_s"),  # P16 touch-on-write
+            F.col("confidence"),
+            F.col("adj_confidence"),
+        )
+    )
+
+
+def orders_to_outbox(orders: DataFrame, deterministic: bool = True) -> DataFrame:
+    """Orders → outbox event rows with JSON payload (P13-P15, S5 shape).
+
+    Payload mirrors OrderService.kt:162-172: order fields + confidence.
+    """
+    event_id = (
+        F.sha2(F.concat_ws("|", F.lit("outbox"), F.col("id")), 256)
+        if deterministic
+        else F.uuid()
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("id").alias("orderId"),
+            F.col("client_order_id").alias("clientOrderId"),
+            F.col("symbol"),
+            F.col("side"),
+            F.col("qty"),
+            F.col("price"),
+            F.col("status"),
+            F.col("confidence"),
+        )
+    )
+    return orders.select(
+        event_id.alias("event_id"),
+        F.lit("ORDER").alias("aggregate_type"),
+        F.col("id").alias("aggregate_id"),
+        F.lit("ORDER_CREATED").alias("type"),
+        payload.alias("payload"),
+        F.col("created_at_s").alias("occurred_at_s"),
+        (F.col("created_at_s") * 1000).cast("long").alias("occurred_at_ms"),  # P15
+    )
+
+
+def outbox_event_router(outbox: DataFrame) -> DataFrame:
+    """S8: the Debezium Outbox EventRouter SMT as a pure projection.
+
+    key ← aggregate_id, value ← payload, topic ← 'trading.' + lower(type
+    routing by aggregate_type), headers carried as columns
+    (pg-outbox-connector.yaml:31-53).
+    """
+    return outbox.select(
+        F.col("aggregate_id").alias("key"),
+        F.col("payload").alias("value"),
+        F.concat(F.lit("trading."), F.lower(F.col("aggregate_type")), F.lit("s")).alias(
+            "topic"
+        ),
+        F.col("event_id").alias("header_event_id"),
+        F.col("type").alias("header_event_type"),
+        F.col("occurred_at_ms").alias("header_occurred_at_ms"),
+    )
+
+
+def parse_debezium_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S7a: parse a Debezium CDC JSON envelope from a Kafka-shaped DataFrame.
+
+    Tombstones (null value) and delete ops are dropped, mirroring the
+    EventRouter's tombstone handling.
+    """
+    parsed = raw.filter(F.col(value_col).isNotNull()).withColumn(
+        "env", F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE_SCHEMA)
+    )
+    return (
+        parsed.filter(F.col("env.payload.after").isNotNull())
+        .filter(F.col("env.payload.op").isin("c", "r", "u"))
+        .select(
+            F.col("env.payload.after").alias("after"),
+            F.col("env.payload.op").alias("op"),
+            F.col("env.payload.ts_ms").alias("ts_ms"),
+        )
+    )

@@ -123,7 +123,8 @@ def signals_from_events(events: DataFrame) -> DataFrame:
     that makes "last N by ts" deterministic (SURVEY.md §7.4.1). The identical
     derivation exists as SQL in plans/flagship.py so the DuckDB oracle sees
     the same stream. ``ts`` arrives as epoch-nanos LongType (see
-    sources.tables.load_table) and passes through as ``ts_ns``.
+    sources.tables.load_table) and is truncated to epoch-micros ``ts_us`` —
+    the finest precision DuckDB's parquet reader preserves.
     """
     sym = F.col("user_id") % 5
     return events.select(
@@ -143,29 +144,33 @@ def signals_from_events(events: DataFrame) -> DataFrame:
         .when(F.col("event_id") % 3 == 1, "5m")
         .otherwise("15m")
         .alias("timeframe"),
-        F.col("ts").alias("ts_ns"),
+        F.expr("ts div 1000").alias("ts_us"),
     )
 
 
-def with_ts_ns(signals: DataFrame, ts_col: str = "ts") -> DataFrame:
+def with_ts_us(signals: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize a wire-format signal (epoch-millis ``ts``, Signal.kt:19) to
-    the engine's canonical epoch-nanos ``ts_ns`` event time."""
-    return signals.withColumn("ts_ns", F.col(ts_col).cast("long") * 1_000_000)
+    the engine's canonical epoch-micros ``ts_us`` event time.
+
+    Micros (not nanos): Spark timestamps are micros internally, and DuckDB's
+    parquet reader truncates ns to µs — so µs is the finest precision every
+    engine in the toolchain can agree on."""
+    return signals.withColumn("ts_us", F.col(ts_col).cast("long") * 1_000)
 
 
 # ---------------------------------------------------------------------------
 # A1: epoch-aligned tumbling window bucket
 # ---------------------------------------------------------------------------
 def window_start_s_expr(window_seconds: int = WINDOW_SECONDS) -> Column:
-    """Tumbling-window start (epoch seconds, BIGINT) from epoch-nanos ts_ns.
+    """Tumbling-window start (epoch seconds, BIGINT) from epoch-micros ts_us.
 
-    Integer `div` — NEVER double division: epoch-nanos (~1.7e18) exceeds a
-    double's 53-bit exact-integer range, so float math would mis-bucket.
-    Epoch-aligned exactly like Kafka Streams' TimeWindows
+    Integer `div` — NEVER double division: epoch-micros (~1.7e15) sits at the
+    edge of a double's 53-bit exact-integer range, so float math could
+    mis-bucket. Epoch-aligned exactly like Kafka Streams' TimeWindows
     (SignalTopology.kt:52).
     """
-    w_ns = window_seconds * 1_000_000_000
-    return F.expr(f"(ts_ns div {w_ns}) * {window_seconds}").cast("long")
+    w_us = window_seconds * 1_000_000
+    return F.expr(f"(ts_us div {w_us}) * {window_seconds}").cast("long")
 
 
 def _dec_avg(sum_col: str, cnt_col: str) -> Column:
@@ -182,8 +187,8 @@ def decide(
 ) -> DataFrame:
     """signals → one decision row per (symbol, window) with >=2 timeframes.
 
-    Input columns: signal_id, symbol, side, qty, price, timeframe, ts_ns
-    (epoch nanos, LongType). Output: symbol, window_start_s, n_timeframes,
+    Input columns: signal_id, symbol, side, qty, price, timeframe, ts_us
+    (epoch micros, LongType). Output: symbol, window_start_s, n_timeframes,
     n_signals, balance, avg_price, alignment, avg_volatility, action,
     confidence, suggested_price, suggested_qty, reason.
     """
@@ -191,7 +196,7 @@ def decide(
 
     # A2: rank within (symbol, window, timeframe) by recency; rn<=10 is the buffer
     w_tf = Window.partitionBy("symbol", "window_start_s", "timeframe").orderBy(
-        F.desc("ts_ns"), F.desc("signal_id")
+        F.desc("ts_us"), F.desc("signal_id")
     )
     r = b.withColumn("rn", F.row_number().over(w_tf))
 
@@ -260,7 +265,7 @@ def decide(
 
     # D5: mean qty of the 5 most-recent buffered signals across timeframes
     w_recent = Window.partitionBy("symbol", "window_start_s").orderBy(
-        F.desc("ts_ns"), F.desc("signal_id")
+        F.desc("ts_us"), F.desc("signal_id")
     )
     top5 = (
         r.filter(in_buf)

@@ -27,17 +27,17 @@ WITH signals AS (
     CAST(event_id % 50 AS DOUBLE) / 100.0 + 0.01 AS qty,
     value AS price,
     CASE event_id % 3 WHEN 0 THEN '1m' WHEN 1 THEN '5m' ELSE '15m' END AS timeframe,
-    epoch_ns(ts) AS ts_ns
+    epoch_us(ts) AS ts_us
   FROM events
 ),
 b AS (
-  SELECT *, (ts_ns // 300000000000) * 300 AS window_start_s
+  SELECT *, (ts_us // 300000000) * 300 AS window_start_s
   FROM signals
 ),
 r AS (
   SELECT *, row_number() OVER (
     PARTITION BY symbol, window_start_s, timeframe
-    ORDER BY ts_ns DESC, signal_id DESC) AS rn
+    ORDER BY ts_us DESC, signal_id DESC) AS rn
   FROM b
 ),
 tf_agg AS (
@@ -94,7 +94,7 @@ top5 AS (
   FROM (
     SELECT *, row_number() OVER (
       PARTITION BY symbol, window_start_s
-      ORDER BY ts_ns DESC, signal_id DESC) AS rq
+      ORDER BY ts_us DESC, signal_id DESC) AS rq
     FROM r WHERE rn <= 10)
   WHERE rq <= 5
   GROUP BY 1, 2

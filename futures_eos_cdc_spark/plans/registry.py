@@ -299,3 +299,64 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("text")).alias("n_unique"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order pipeline (P7-P16) — see operators.order_pipeline
+# ---------------------------------------------------------------------------
+from ..operators.order_pipeline import (  # noqa: E402
+    decisions_to_orders,
+    market_prices_df,
+    orders_to_outbox,
+    outbox_event_router,
+)
+from .order_queries import ORDERS_ORACLE_SQL  # noqa: E402
+
+
+@query("orders_from_decisions", ORDERS_ORACLE_SQL)
+def q_orders_from_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decisions→orders leg: P7/P8 gates, P9 side CASE, P11 broadcast
+    dim lookup with default, P12 confidence-scaled qty, P13 sha-derived ids.
+    Zero extra shuffles beyond the decision aggregation."""
+    decisions = decisions_from_events(_t(spark, sf_dir, "events"))
+    return decisions_to_orders(decisions, market_prices_df(spark))
+
+
+@query("outbox_event_router")  # payload JSON formatting is engine-specific → rows-only
+def q_outbox_event_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5→S8 leg: orders → outbox rows (P14 JSON payload, P15 epoch-ms
+    generated column) → Debezium-EventRouter projection (key/value/topic +
+    headers). Pure projections — no shuffle."""
+    decisions = decisions_from_events(_t(spark, sf_dir, "events"))
+    orders = decisions_to_orders(decisions, market_prices_df(spark))
+    return outbox_event_router(orders_to_outbox(orders))
+
+
+# ---------------------------------------------------------------------------
+# Relational operator surface — see plans.relational
+# ---------------------------------------------------------------------------
+from . import relational as _rel  # noqa: E402
+
+
+def _bind(fn):
+    return lambda spark, sf_dir: fn(spark, sf_dir, _t)
+
+
+QUERIES["window_functions"] = _bind(_rel.q_window_functions)
+ORACLES["window_functions"] = _rel.WINDOW_FUNCS_ORACLE
+QUERIES["topk_per_group"] = _bind(_rel.q_topk_per_group)
+ORACLES["topk_per_group"] = _rel.TOPK_ORACLE
+QUERIES["rollup_subtotals"] = _bind(_rel.q_rollup)
+ORACLES["rollup_subtotals"] = _rel.ROLLUP_ORACLE
+QUERIES["pivot_by_status"] = _bind(_rel.q_pivot)
+ORACLES["pivot_by_status"] = _rel.PIVOT_ORACLE
+QUERIES["set_ops_priority_customers"] = _bind(_rel.q_set_ops)
+ORACLES["set_ops_priority_customers"] = _rel.SET_OPS_ORACLE
+QUERIES["customers_without_orders"] = _bind(_rel.q_anti_join)
+ORACLES["customers_without_orders"] = _rel.ANTI_JOIN_ORACLE
+QUERIES["distinct_aggregates"] = _bind(_rel.q_distinct_agg)
+ORACLES["distinct_aggregates"] = _rel.DISTINCT_AGG_ORACLE
+QUERIES["sessionize_events"] = _bind(_rel.q_sessionize)
+ORACLES["sessionize_events"] = _rel.SESSIONIZE_ORACLE
+QUERIES["asof_join_purchases"] = _bind(_rel.q_asof_join)
+ORACLES["asof_join_purchases"] = _rel.ASOF_ORACLE

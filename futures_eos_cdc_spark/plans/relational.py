@@ -1,0 +1,333 @@
+"""General relational operator surface: window functions, top-k per group,
+rollup, pivot, set ops, semi/anti joins, distinct aggregates, sessionization,
+as-of join (SURVEY.md §2.5-§2.8 + free-from-Spark capabilities).
+
+Registered via plans.registry.query() at import time (see registry bottom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.signal_pipeline import DEC
+
+# ---------------------------------------------------------------------------
+# §2.7 window functions: row_number / lag / lead / running sum
+# ---------------------------------------------------------------------------
+WINDOW_FUNCS_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_quantity,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  lag(l_quantity) OVER w AS prev_qty,
+  lead(l_quantity) OVER w AS next_qty,
+  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+"""
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Per-order running analytics. One exchange on l_orderkey serves all four
+    window functions (same partitioning + ordering → single Window node).
+    Running float sums accumulate in frame order — deterministic.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixture, so l_quantity
+    joins the ordering; remaining ties are output-indistinguishable rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.sum("l_quantity").over(wr).alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 O2/O3 batch form: top-k per group with deterministic tie-break
+# ---------------------------------------------------------------------------
+TOPK_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+  FROM lineitem)
+WHERE rk <= 3
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Top-3 lineitems per supplier by price. At scale: one exchange on
+    l_suppkey; Spark pushes a per-partition rank limit (WindowGroupLimit)
+    before the shuffle, so the exchange carries ≤k rows per key."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup (grouping sets) — free-from-Spark surface
+# ---------------------------------------------------------------------------
+ROLLUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Hierarchical subtotals. Catalyst expands the rollup into grouping sets
+    over ONE shuffle (Expand node) — not one pass per level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+PIVOT_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) FILTER (WHERE l_linestatus = 'O')
+    AS VARCHAR) AS DOUBLE) AS "O",
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) FILTER (WHERE l_linestatus = 'F')
+    AS VARCHAR) AS DOUBLE) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Pivot with explicit value list (no extra distinct-values job —
+    important at scale: an implicit pivot first scans for distinct keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 set operations: union / intersect / except
+# ---------------------------------------------------------------------------
+SET_OPS_ORACLE = """
+SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct (U1 + the free set-op surface)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    rows = [
+        urgent.intersect(high).select(
+            F.lit("intersect").alias("op"), F.lit(1).alias("one")
+        ),
+        urgent.subtract(high).select(  # subtract == EXCEPT DISTINCT
+            F.lit("except").alias("op"), F.lit(1).alias("one")
+        ),
+        urgent.union(high).distinct().select(
+            F.lit("union").alias("op"), F.lit(1).alias("one")
+        ),
+    ]
+    unioned = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return unioned.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 semi/anti joins
+# ---------------------------------------------------------------------------
+ANTI_JOIN_ORACLE = """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Customers with no URGENT orders, per nation: left_anti (NOT EXISTS) +
+    a broadcast dim join. The anti join shuffles on custkey only, and the
+    priority filter is pushed into the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregates
+# ---------------------------------------------------------------------------
+DISTINCT_AGG_ORACLE = """
+SELECT
+  o_orderstatus,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Multi-distinct aggregate: Catalyst expands to a single Expand-based
+    plan. At 100 TB prefer approx_count_distinct (exposed by the engine; not
+    oracle-comparable bit-for-bit, so checked by dedicated tests instead)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_custs"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch form of the streaming session_window)
+# ---------------------------------------------------------------------------
+SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+  CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_s
+FROM s
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Gap-based sessionization (1h gap): lag + cumulative-sum session ids,
+    all integer arithmetic on epoch-micros. One exchange on user_id serves
+    both window functions and the final aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    gap_us = 3600 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = ev.select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn("session_id", F.sum("is_new").over(wr))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min(ts_us) div 1000000").alias("session_start_s"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (Spark lacks a native one — composed from union + last())
+# ---------------------------------------------------------------------------
+ASOF_ORACLE = """
+SELECT e.user_id, e.event_id, e.ts_us, p.value AS last_purchase_value
+FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS p_ts_us, value
+                FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts_us >= p.p_ts_us
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """As-of join: each error event picks the most recent purchase value of
+    the same user at-or-before it.
+
+    Implemented the scalable way — union the two tagged streams, ONE exchange
+    on user_id, last(ignorenulls) over the time ordering — instead of a
+    pairwise range join (which explodes at 100 TB). Equal timestamps order
+    the purchase first (tag 0), matching ASOF's >= semantics.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id", "event_type", "value"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("tag"),
+        F.col("value").alias("p_value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = p.unionByName(e).withColumn(
+        "last_purchase_value", F.last("p_value", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "user_id", "event_id", "ts_us", "last_purchase_value"
+    )

@@ -49,7 +49,7 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
-def compare(spark_df, con, sql: str) -> None:
+def compare(spark_df, con, sql: str, allow_empty: bool = False) -> None:
     sdf = spark_df
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -60,7 +60,8 @@ def compare(spark_df, con, sql: str) -> None:
 
     assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"row count differs: {len(srows)} vs {len(drows)}"
-    assert len(srows) > 0, "query returned no rows — not a meaningful check"
+    if not allow_empty:
+        assert len(srows) > 0, "query returned no rows — not a meaningful check"
 
     sn = _norm_rows(scols, srows)
     dn = _norm_rows(dcols, drows)

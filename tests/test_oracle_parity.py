@@ -15,10 +15,18 @@ def con(sf_dir):
     c.close()
 
 
+# Queries whose row count is legitimately 0 at sf0.001 (the order pipeline
+# needs actionable decisions, which only appear at denser SFs — the driver's
+# sf0.01 check always has rows; tests/verify cover that via
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01).
+MAY_BE_EMPTY_AT_TINY_SF = {"orders_from_decisions"}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, sf_dir, con, name):
     df = QUERIES[name](spark, sf_dir)
-    compare(df, con, ORACLES[name])
+    allow_empty = name in MAY_BE_EMPTY_AT_TINY_SF and sf_dir.endswith("sf0.001")
+    compare(df, con, ORACLES[name], allow_empty=allow_empty)
 
 
 def test_all_queries_run(spark, sf_dir):
