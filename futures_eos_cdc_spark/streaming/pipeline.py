@@ -1,0 +1,373 @@
+"""Structured Streaming shell for the signal→decision pipeline.
+
+Maps the reference's Kafka Streams topology onto Spark Structured Streaming
+(SURVEY.md §2.9):
+
+- T1/T3  5-min tumbling window, zero grace → window() + withWatermark 0s
+         (late rows dropped identically)
+- T2     append mode = exactly one decision per (symbol, window) — the
+         engine default (deliberate re-spec, §7.4.4); update mode available
+         via output_mode for reference-like per-trigger emission cadence
+- T7     content dedup → dropDuplicatesWithinWatermark
+- S1-S4  sources: file stream (tests/demo), rate source (load probes), and a
+         Kafka builder (requires the spark-sql-kafka package on the
+         classpath — gated, not bundled in this container)
+- T5/T6  state + exactly-once: checkpointLocation carries offsets + state
+         atomically per micro-batch; end-to-end EOS needs an idempotent sink
+         (streaming/outbox.py) — same guarantee as the reference, different
+         mechanics (§7.3)
+
+Streaming plan shape: unlike the batch path (window functions), streaming
+uses ONE stateful aggregation per (symbol, window) that collects the window's
+signals and computes every A2-A10/D1-D5 quantity with array expressions in
+the finishing projection. One shuffle, one state store; state per key is
+bounded by the rows that fall in one 5-minute window per symbol. At 100 TB/d
+ingest with few symbols that per-key bound is the thing to watch — the
+mitigation is pre-aggregating per (symbol, window, timeframe) with chained
+windowed aggregations (Spark ≥3.4 supports multiple stateful operators), at
+the cost of a second state store; the array form keeps the demo simple and
+bit-compatible with the batch path (decimal-exact folds, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.signal_pipeline import (
+    BUFFER_KEEP,
+    DEC,
+    PRICE_MULT,
+    TOP_RECENT,
+    WINDOW_SECONDS,
+)
+from ..schemas import SIGNAL_WIRE_SCHEMA
+
+SIGNAL_STREAM_SCHEMA = (
+    "signal_id long, symbol string, side string, qty double, price double, "
+    "timeframe string, ts_us long"
+)
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+def read_signal_stream_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-based signal stream (parquet drops) — the test/demo source; the
+    schema matches operators.signal_pipeline.signals_from_events output."""
+    return spark.readStream.schema(SIGNAL_STREAM_SCHEMA).parquet(path)
+
+
+def read_signal_stream_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate-source synthetic signals (T9 load probe; P17 generator shape).
+
+    Deterministic expressions over the rate source's (timestamp, value):
+    symbols/timeframes round-robin, price = base*(1 ± 0.3%), qty ~ U(0.01,0.5)
+    via seeded rand — mirrors the reference generator's distributions
+    (apps/signal-generator/Main.kt:100-115)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    sym = F.col("value") % 5
+    base = (
+        F.when(sym == 0, 65000.0)
+        .when(sym == 1, 3000.0)
+        .when(sym == 2, 160.0)
+        .when(sym == 3, 0.6)
+        .otherwise(20000.0)
+    )
+    return rate.select(
+        F.col("value").alias("signal_id"),
+        F.when(sym == 0, "BTCUSDT")
+        .when(sym == 1, "ETHUSDT")
+        .when(sym == 2, "SOLUSDT")
+        .when(sym == 3, "XRPUSDT")
+        .otherwise("NAS100")
+        .alias("symbol"),
+        F.when(F.rand(42) < 0.5, "BUY").otherwise("SELL").alias("side"),
+        (F.rand(43) * 0.49 + 0.01).alias("qty"),
+        (base * (1.0 + (F.rand(44) - 0.5) * 0.006)).alias("price"),
+        F.when(F.col("value") % 3 == 0, "1m")
+        .when(F.col("value") % 3 == 1, "5m")
+        .otherwise("15m")
+        .alias("timeframe"),
+        F.unix_micros(F.col("timestamp")).alias("ts_us"),
+    )
+
+
+def read_signal_stream_kafka(
+    spark: SparkSession,
+    brokers: str,
+    topics: str = "trading.signal.1m,trading.signal.5m,trading.signal.15m",
+) -> DataFrame:
+    """Kafka source (S1): one multi-topic subscription replaces the
+    reference's 3 sources + merge (U1). Requires the spark-sql-kafka
+    package on the classpath; raises a clear error if absent."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topics)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - needs kafka jars
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka-0-10 package on the "
+            "Spark classpath (spark.jars.packages=org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:<spark-version>)"
+        ) from exc
+    parsed = raw.withColumn(
+        "s", F.from_json(F.col("value").cast("string"), SIGNAL_WIRE_SCHEMA)
+    )
+    return (
+        parsed.filter(F.col("s").isNotNull() & F.col("s.symbol").isNotNull())
+        .select("s.*")
+        .withColumn("ts_us", F.col("ts") * 1000)
+        .withColumn("signal_id", F.monotonically_increasing_id())
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7: content dedup within watermark (the EOS demo's input dedup)
+# ---------------------------------------------------------------------------
+def dedup_signals(signals: DataFrame, ts_col: str = "event_time") -> DataFrame:
+    """Drop byte-identical duplicate signals (eos-demo.sh's 5x injection →
+    one survivor) while state is bounded by the watermark."""
+    return signals.dropDuplicatesWithinWatermark(
+        ["symbol", "side", "price", "qty", "timeframe", "ts_us"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# The streaming decision aggregate
+# ---------------------------------------------------------------------------
+def _cmp_recent_first(x: Column, y: Column) -> Column:
+    """array_sort comparator: ts_us DESC, signal_id DESC (the deterministic
+    'most recent first' total order, SURVEY.md §7.4.1)."""
+    return (
+        F.when(x["ts_us"] > y["ts_us"], -1)
+        .when(x["ts_us"] < y["ts_us"], 1)
+        .when(x["signal_id"] > y["signal_id"], -1)
+        .when(x["signal_id"] < y["signal_id"], 1)
+        .otherwise(0)
+    )
+
+
+def _dec_sum(arr: Column, field: str) -> Column:
+    """Near-exact left-fold sum of a struct field on decimals.
+
+    Decimal addition widens (38,10)+(38,10)->(38,9), so the fold re-casts the
+    accumulator each step — each add can round at the 9th decimal (~1e-9
+    absolute), which is deterministic and invisible at the pipeline's 6-dp
+    outputs. (True exactness would need Spark's two-level streaming
+    aggregation — see the module docstring's scale note.)"""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(DEC),
+        lambda acc, x: (acc + x[field].cast(DEC)).cast(DEC),
+    ).cast("double")
+
+
+def _tf_cols(sorted_sigs: Column, tf: str) -> dict[str, Column]:
+    tf_arr = F.filter(sorted_sigs, lambda s: s["timeframe"] == tf)
+    buf = F.slice(tf_arr, 1, BUFFER_KEEP)  # already recent-first
+    n_buf = F.size(buf)
+    sum_p = _dec_sum(buf, "price")
+    sum_p2 = F.aggregate(
+        buf,
+        F.lit(0).cast(DEC),
+        lambda acc, x: (acc + (x["price"] * x["price"]).cast(DEC)).cast(DEC),
+    ).cast("double")
+    mean_p = sum_p / n_buf
+    nbuy = F.size(F.filter(buf, lambda s: s["side"] == "BUY"))
+    return {
+        "present": F.size(tf_arr) > 0,
+        "cnt_all": F.size(tf_arr),
+        "balance": F.aggregate(
+            tf_arr,
+            F.lit(0),
+            lambda acc, x: acc + F.when(x["side"] == "BUY", 1).otherwise(-1),
+        ),
+        "avg_price": mean_p,
+        "vol": F.when(n_buf < 2, F.lit(0.0)).otherwise(
+            F.sqrt(F.greatest(sum_p2 / n_buf - mean_p * mean_p, F.lit(0.0)))
+        ),
+        # majority side over the buffer; tie → 'SELL' (lexicographic max,
+        # matching the batch ORDER BY c DESC, side DESC tie-break)
+        "maj": F.when(nbuy * 2 > n_buf, "BUY").otherwise("SELL"),
+        "n_kept": F.least(F.size(tf_arr), F.lit(BUFFER_KEEP)),
+    }
+
+
+def decisions_from_signal_array(agg: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Finishing projection: (symbol, window_start_s, sigs array) → decision.
+
+    Pure array expressions — computed identically in streaming and batch; the
+    semantics mirror operators.signal_pipeline.decide (A2-A10, D1-D5, P5).
+    """
+    out = agg.withColumn("sorted_sigs", F.array_sort("sigs", _cmp_recent_first))
+
+    tfs = ["1m", "5m", "15m"]
+    per_tf = {tf: _tf_cols(F.col("sorted_sigs"), tf) for tf in tfs}
+
+    n_timeframes = sum(
+        (F.when(per_tf[tf]["present"], 1).otherwise(0) for tf in tfs), F.lit(0)
+    )
+    balance = sum((per_tf[tf]["balance"] for tf in tfs), F.lit(0))
+    n_signals = sum(
+        (F.when(per_tf[tf]["present"], per_tf[tf]["n_kept"]).otherwise(0) for tf in tfs),
+        F.lit(0),
+    )
+    sum_avg = sum(
+        (
+            F.when(per_tf[tf]["present"], per_tf[tf]["avg_price"].cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+            for tf in tfs
+        ),
+        F.lit(0).cast(DEC),
+    )
+    sum_vol = sum(
+        (
+            F.when(per_tf[tf]["present"], per_tf[tf]["vol"].cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+            for tf in tfs
+        ),
+        F.lit(0).cast(DEC),
+    )
+    avg_price = sum_avg.cast("double") / n_timeframes
+    avg_vol = sum_vol.cast("double") / n_timeframes
+
+    majs = F.array_distinct(
+        F.filter(
+            F.array(
+                *[
+                    F.when(per_tf[tf]["present"], per_tf[tf]["maj"]).otherwise(
+                        F.lit(None)
+                    )
+                    for tf in tfs
+                ]
+            ),
+            lambda m: m.isNotNull(),
+        )
+    )
+    alignment = F.when(F.size(majs) == 1, F.lit(1.0)).otherwise(F.lit(0.5))
+
+    # top-5 most recent across the per-timeframe buffers (A7/D5).
+    # (closure factory, not a defaulted lambda — PySpark would read a
+    # two-parameter lambda as (element, index))
+    def _is_tf(tf: str):
+        def f(s: Column) -> Column:
+            return s["timeframe"] == tf
+
+        return f
+
+    buffers = F.flatten(
+        F.array(
+            *[
+                F.slice(F.filter(F.col("sorted_sigs"), _is_tf(tf)), 1, BUFFER_KEEP)
+                for tf in tfs
+            ]
+        )
+    )
+    top5 = F.slice(F.array_sort(buffers, _cmp_recent_first), 1, TOP_RECENT)
+    qty_recent = _dec_sum(top5, "qty") / F.size(top5)
+
+    enriched = (
+        out.withColumn("n_timeframes", n_timeframes.cast("long"))
+        .withColumn("balance", balance.cast("long"))
+        .withColumn("n_signals", n_signals.cast("long"))
+        .withColumn("avg_price", avg_price)
+        .withColumn("avg_volatility", avg_vol)
+        .withColumn("alignment", alignment)
+        .withColumn("qty_recent", qty_recent)
+        .filter(F.col("n_timeframes") >= 2)  # P5 HAVING
+    )
+
+    bal = F.col("balance")
+    action = (
+        F.when(bal > 5, "STRONG_BUY")
+        .when(bal > 2, "BUY")
+        .when(bal < -5, "STRONG_SELL")
+        .when(bal < -2, "SELL")
+        .otherwise("HOLD")
+    )
+    enriched = enriched.withColumn("action", action)
+    mult = (
+        F.when(F.col("action") == "STRONG_BUY", PRICE_MULT["STRONG_BUY"])
+        .when(F.col("action") == "BUY", PRICE_MULT["BUY"])
+        .when(F.col("action") == "SELL", PRICE_MULT["SELL"])
+        .when(F.col("action") == "STRONG_SELL", PRICE_MULT["STRONG_SELL"])
+        .otherwise(F.lit(1.0))
+    )
+    confidence = F.least(
+        F.lit(1.0),
+        F.col("alignment") * 0.4
+        + F.least(F.lit(1.0), F.abs(bal) / 10.0) * 0.4
+        + F.greatest(F.lit(0.3), F.lit(1.0) - F.col("avg_volatility") / 100.0) * 0.2,
+    )
+    reason = (
+        F.when(
+            F.col("action").startswith("STRONG"),
+            F.when(F.col("alignment") > 0.8, "ALIGNED_SIGNALS").otherwise(
+                "MOMENTUM_SHIFT"
+            ),
+        )
+        .when(F.col("action").isin("BUY", "SELL"), "ALIGNED_SIGNALS")
+        .otherwise(
+            F.when(F.col("alignment") < 0.6, "DIVERGENT_SIGNALS").otherwise(
+                "INSUFFICIENT_DATA"
+            )
+        )
+    )
+    is_hold = F.col("action") == "HOLD"
+    return enriched.select(
+        "symbol",
+        F.col("window_start_s").cast("long").alias("window_start_s"),
+        "n_timeframes",
+        "n_signals",
+        "balance",
+        F.round("avg_price", round_dp).alias("avg_price"),
+        "alignment",
+        F.round("avg_volatility", round_dp).alias("avg_volatility"),
+        "action",
+        F.when(is_hold, F.lit(0.5)).otherwise(F.round(confidence, round_dp)).alias(
+            "confidence"
+        ),
+        F.round(F.col("avg_price") * mult, round_dp).alias("suggested_price"),
+        F.when(is_hold, F.lit(0.0))
+        .otherwise(F.floor(F.col("qty_recent") * 10000) / 10000.0)
+        .alias("suggested_qty"),
+        reason.alias("reason"),
+    )
+
+
+def streaming_decide(
+    signals: DataFrame,
+    window_seconds: int = WINDOW_SECONDS,
+    watermark: str = "0 seconds",
+    dedup: bool = False,
+) -> DataFrame:
+    """signals stream → decision stream (append mode semantics).
+
+    One stateful windowed aggregation; zero-grace watermark drops late rows
+    exactly like TimeWindows.ofSizeWithNoGrace (SignalTopology.kt:52).
+    """
+    sig = signals.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    sig = sig.withWatermark("event_time", watermark)
+    if dedup:
+        sig = dedup_signals(sig)
+    agg = (
+        sig.groupBy("symbol", F.window("event_time", f"{window_seconds} seconds"))
+        .agg(
+            F.collect_list(
+                F.struct("ts_us", "signal_id", "side", "qty", "price", "timeframe")
+            ).alias("sigs")
+        )
+        .withColumn("window_start_s", F.unix_timestamp(F.col("window.start")))
+        .drop("window")
+    )
+    return decisions_from_signal_array(agg)
