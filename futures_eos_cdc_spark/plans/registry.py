@@ -381,3 +381,17 @@ ORACLES["cosine_topk_bruteforce"] = _dp.COSINE_TOPK_ORACLE
 QUERIES["ann_cosine_lsh"] = _bind(_dp.q_ann_lsh)
 QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
 QUERIES["multimodal_features"] = _bind(_dp.q_multimodal_features)
+
+# ---------------------------------------------------------------------------
+# More TPC-H-shaped joins + remaining §2 items — see plans.tpch_more
+# ---------------------------------------------------------------------------
+from . import tpch_more as _tm  # noqa: E402
+
+QUERIES["q3_shipping_priority"] = _bind(_tm.q_shipping_priority)
+ORACLES["q3_shipping_priority"] = _tm.Q3_ORACLE
+QUERIES["q5_regional_revenue"] = _bind(_tm.q_regional_revenue)
+ORACLES["q5_regional_revenue"] = _tm.Q5_ORACLE
+QUERIES["signal_strength_histogram"] = _bind(_tm.q_strength_histogram)
+ORACLES["signal_strength_histogram"] = _tm.STRENGTH_ORACLE
+# sketch internals are engine-specific → rows-only + accuracy asserted in tests
+QUERIES["approx_aggregates"] = _bind(_tm.q_approx_aggregates)

@@ -1,0 +1,141 @@
+"""Additional TPC-H-shaped queries (Q3/Q5 adaptations) + small operator
+queries closing out the SURVEY.md §2 inventory (P10 strength, approximate
+aggregates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.signal_pipeline import DEC, signals_from_events, with_strength
+
+# ---------------------------------------------------------------------------
+# Q3 shape: shipping-priority revenue (3-way join, filter both sides, top-k)
+# ---------------------------------------------------------------------------
+_CUTOFF = "1998-01-01 00:00:00"
+_CUTOFF_S = 883612800
+
+Q3_ORACLE = f"""
+SELECT
+  l.l_orderkey,
+  CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+  o.o_orderpriority,
+  CAST(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,10)))
+    AS VARCHAR) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND epoch(o.o_orderdate) < {_CUTOFF_S}
+  AND epoch(l.l_shipdate) > {_CUTOFF_S}
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q3 shape. Both date filters push to the parquet scans; customer
+    is the small build side; TakeOrderedAndProject caps the result."""
+    from .registry import _dsum, _ntz_epoch_s, _ntz_lit
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz_lit(_CUTOFF))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ntz_lit(_CUTOFF))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            _ntz_epoch_s("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: revenue per nation within a region (5-way join)
+# ---------------------------------------------------------------------------
+Q5_ORACLE = """
+SELECT
+  n.n_name AS nation,
+  CAST(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,10)))
+    AS VARCHAR) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q5 shape. region/nation broadcast (the r_name filter prunes at
+    the broadcast build), customer broadcasts at small SF / shuffles at
+    scale (AQE decides), one exchange for the final 1-key aggregate."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10: timeframe → strength CASE as a histogram
+# ---------------------------------------------------------------------------
+STRENGTH_ORACLE = """
+WITH signals AS (
+  SELECT
+    CASE event_id % 3 WHEN 0 THEN '1m' WHEN 1 THEN '5m' ELSE '15m' END AS timeframe
+  FROM events
+)
+SELECT timeframe,
+  CASE timeframe WHEN '1m' THEN 'WEAK' WHEN '5m' THEN 'MEDIUM'
+       WHEN '15m' THEN 'STRONG' ELSE 'UNKNOWN' END AS strength,
+  CAST(CASE timeframe WHEN '1m' THEN 1 WHEN '5m' THEN 2
+       WHEN '15m' THEN 3 ELSE 0 END AS INT) AS strength_weight,
+  CAST(count(*) AS BIGINT) AS n
+FROM signals
+GROUP BY 1, 2, 3
+"""
+
+
+def q_strength_histogram(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    sig = with_strength(signals_from_events(_t(spark, sf_dir, "events")))
+    return sig.groupBy("timeframe", "strength", "strength_weight").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (rows-only: sketch internals differ across engines;
+# accuracy is asserted against exact values in tests/test_relational_extra.py)
+# ---------------------------------------------------------------------------
+def q_approx_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the properties that make these queries scale
+must be visible in the executed plan, not just intended (pushdown reaches the
+scan, dims broadcast, no Python UDFs in JVM-only pipelines)."""
+
+from __future__ import annotations
+
+from futures_eos_cdc_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_reads_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # column pruning: the FileScan output list must omit the unused key cols
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan_line
+    assert "l_partkey" not in scan_line
+    assert "l_quantity" in scan_line and "l_shipdate" in scan_line
+
+
+def test_top_customers_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_customers_by_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_market_price_lookup_is_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "market_price_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    # partial (map-side) aggregation before the exchange
+    plan = _plan(spark, sf_dir, "signal_decisions")
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") >= 2  # (sym,win,tf) ranking + (sym,win) rollup
+
+
+def test_no_python_udfs_in_jvm_pipelines(spark, sf_dir):
+    for name in (
+        "signal_decisions",
+        "q1_pricing_summary",
+        "orders_from_decisions",
+        "minhash_lsh_near_dup",
+        "text_stats",
+        "cosine_topk_bruteforce",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_anti_join_pushes_priority_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customers_without_orders")
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_topk_window_group_limit(spark, sf_dir):
+    # Spark ≥3.5 pushes a WindowGroupLimit below the exchange for rank<=k
+    plan = _plan(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan

@@ -1,0 +1,69 @@
+"""Accuracy/behavior tests for operators whose values can't be hash-compared
+against DuckDB (approximate sketches, generator, JDBC helpers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from futures_eos_cdc_spark.plans import QUERIES
+from futures_eos_cdc_spark.sources.generator import generate_signals
+from futures_eos_cdc_spark.sources.jdbc import recent_orders
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact_parts = li.select(F.count_distinct("l_partkey")).collect()[0][0]
+    row = QUERIES["approx_aggregates"](spark, sf_dir).collect()[0]
+    # HLL++ default rsd = 5%
+    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.1
+    lo, hi = (
+        li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    )
+    assert lo <= row.approx_median_price <= hi
+    assert row.approx_median_price <= row.approx_p99_price <= hi
+
+
+def test_generator_deterministic_and_in_range(spark):
+    a = generate_signals(spark, 1000, seed=7).collect()
+    b = generate_signals(spark, 1000, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a[:100]:
+        assert r.side in ("BUY", "SELL")
+        assert 0.01 <= r.qty <= 0.5
+        assert r.timeframe in ("1m", "5m", "15m")
+        assert r.price > 0
+    # different seed → different stream
+    c = generate_signals(spark, 1000, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_generated_signals_flow_through_decide(spark):
+    from futures_eos_cdc_spark.operators.signal_pipeline import decide
+
+    sig = generate_signals(spark, 5000, seed=7, rate_per_sec=50)
+    decisions = decide(sig)
+    rows = decisions.collect()
+    assert len(rows) > 0
+    assert all(r.n_timeframes >= 2 for r in rows)
+
+
+def test_recent_orders_take_ordered(spark):
+    from futures_eos_cdc_spark.operators.order_pipeline import (
+        decisions_to_orders,
+        market_prices_df,
+    )
+    from futures_eos_cdc_spark.operators.signal_pipeline import (
+        decide,
+        signals_from_events,
+    )
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    decisions = decide(signals_from_events(load_table(spark, "/root/testdata/sf0.01", "events")))
+    orders = decisions_to_orders(decisions, market_prices_df(spark))
+    top = recent_orders(orders, 5)
+    rows = top.collect()
+    assert len(rows) <= 5
+    ts = [r.created_at_s for r in rows]
+    assert ts == sorted(ts, reverse=True)
+    # the plan must be a TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in top._jdf.queryExecution().executedPlan().toString()
