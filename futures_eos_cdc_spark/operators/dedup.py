@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .common import spread
 from .text import shingles_expr, tokens_expr
 
 MINHASH_HASHES = 8
@@ -98,25 +99,43 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
-    sig = with_minhash(docs.select(id_col, text_col), text_col, k)
-    banded = sig.select(
-        F.col(id_col), "shingles", F.explode(lsh_bands_expr()).alias("bk")
-    ).select(id_col, "shingles", "bk.band", "bk.key")
-
-    left = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), "band", "key"
+    # Shingle sets are computed ONCE and persisted: three consumers (band
+    # keys + both sides of the pair join) would otherwise each re-tokenize
+    # and re-hash the corpus — the dominant cost (8 salted md5 per shingle).
+    shingle_sets = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+        )
+        .persist()
     )
-    right = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), "band", "key"
+    sig = shingle_sets.select(
+        id_col, *minhash_signature_exprs(F.col("shingles"))
     )
+    # Candidate generation carries ONLY ids through the band join — shingle
+    # sets would otherwise ride the shuffle 4x (once per band) and again
+    # through the pair-dedup. They are joined back per unique pair below.
+    banded = sig.select(F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+    left = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sets = shingle_sets.select(F.col(id_col).alias("sid"), "shingles")
+    pairs = (
+        cand.join(sets.withColumnRenamed("shingles", "sh_a"),
+                  cand.doc_a == F.col("sid")).drop("sid")
+        .join(sets.withColumnRenamed("shingles", "sh_b"),
+              cand.doc_b == F.col("sid")).drop("sid")
+    )
     return (
-        cand.withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -157,7 +176,7 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Docs grouped by identical SimHash — constant-width near-dup buckets."""
     return (
-        with_simhash(docs.select(id_col, text_col), text_col)
+        with_simhash(spread(docs).select(id_col, text_col), text_col)
         .groupBy("simhash16")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

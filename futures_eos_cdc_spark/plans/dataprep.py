@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.common import spread
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_buckets
 from ..operators.multimodal import attach_binary, decode_features
 from ..operators.similarity import ann_topk_lsh, brute_force_topk, embedding_near_dup
@@ -86,7 +87,7 @@ FROM s
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    d = with_text_stats(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    d = with_text_stats(spread(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text"))
     return d.select(
         "doc_id",
         "lang",
@@ -210,7 +211,7 @@ FROM ranked WHERE rank <= 3
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = spread(_t(spark, sf_dir, "embeddings"))
     return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
@@ -218,16 +219,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 # Rows-only (engine-specific) queries: ANN, embedding near-dup, multimodal
 # ---------------------------------------------------------------------------
 def q_ann_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = spread(_t(spark, sf_dir, "embeddings"))
     return ann_topk_lsh(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     # The fixture has no true duplicates (max pairwise cosine ≈ 0.48), so the
     # demo threshold is 0.3 — high-similarity pairs, same machinery.
-    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return embedding_near_dup(spread(_t(spark, sf_dir, "embeddings")), threshold=0.3)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return decode_features(attach_binary(docs))
