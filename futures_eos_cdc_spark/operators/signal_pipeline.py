@@ -350,3 +350,49 @@ def decide(
 def decisions_from_events(events: DataFrame) -> DataFrame:
     """Flagship query: events fixture → signals → decisions."""
     return decide(signals_from_events(events))
+
+
+# ---------------------------------------------------------------------------
+# D6: full TradingDecision record construction (TradingDecision.kt:10-37)
+# ---------------------------------------------------------------------------
+def to_decision_records(
+    decisions: DataFrame, signals: DataFrame, deterministic: bool = True
+) -> DataFrame:
+    """Decisions + their embedded ts-descending signal arrays (A7/D6).
+
+    Output matches the reference's wire record: id, symbol, action,
+    confidence, suggested_price, suggested_qty, signals (array of signal
+    structs, most recent first), timestamp (epoch s of window end), reason.
+
+    Deterministic mode derives id from the business key (sha256) and the
+    timestamp from the window (SURVEY.md §7.4.3); production mode uses
+    uuid()/current_timestamp() like the reference.
+    """
+    b = signals.withColumn("window_start_s", window_start_s_expr())
+    sig_arrays = b.groupBy("symbol", "window_start_s").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts_us", "signal_id", "side", "qty", "price", "timeframe")
+                )
+            )
+        ).alias("signals")  # struct sort is lexicographic on (ts_us, ...) → reverse = desc
+    )
+    if deterministic:
+        dec_id = F.sha2(F.concat_ws("|", F.col("symbol"), F.col("window_start_s")), 256)
+        ts = (F.col("window_start_s") + WINDOW_SECONDS).cast("long")
+    else:
+        dec_id = F.uuid()
+        ts = F.unix_timestamp(F.current_timestamp())
+    return decisions.join(sig_arrays, ["symbol", "window_start_s"]).select(
+        dec_id.alias("id"),
+        "symbol",
+        "action",
+        "confidence",
+        "suggested_price",
+        "suggested_qty",
+        "signals",
+        ts.alias("timestamp_s"),
+        "reason",
+        "window_start_s",
+    )

@@ -395,3 +395,13 @@ QUERIES["signal_strength_histogram"] = _bind(_tm.q_strength_histogram)
 ORACLES["signal_strength_histogram"] = _tm.STRENGTH_ORACLE
 # sketch internals are engine-specific → rows-only + accuracy asserted in tests
 QUERIES["approx_aggregates"] = _bind(_tm.q_approx_aggregates)
+
+
+@query("decision_records")  # nested signal arrays aren't hash-comparable → rows-only
+def q_decision_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: full TradingDecision wire records with the embedded ts-descending
+    signals array (A7), deterministic sha ids, window-derived timestamps."""
+    from ..operators.signal_pipeline import signals_from_events, to_decision_records
+
+    signals = signals_from_events(_t(spark, sf_dir, "events"))
+    return to_decision_records(decisions_from_events(_t(spark, sf_dir, "events")), signals)
