@@ -141,6 +141,65 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs via prefix filtering
+    (AllPairs/PPJoin family — Bayardo et al., WWW'07): no false negatives,
+    unlike MinHash-LSH.
+
+    Prefix filter: order each doc's shingle set by a fixed global order
+    (md5 of the shingle — a rarity-agnostic but deterministic proxy). Two
+    sets with Jaccard ≥ t MUST share at least one element among each one's
+    first floor((1-t)·|S|)+1 elements of that order, so candidates are
+    generated by an equi-join on prefix shingles only. At t=0.5 the shuffle
+    carries ~half of each shingle set once; candidates ≪ N². Exact Jaccard
+    then verifies every candidate. Skewed (very common) prefix shingles are
+    the hot keys — AQE skew-join splits them.
+    """
+    prefix_frac = 1.0 - threshold
+    base = spread(docs).select(
+        F.col(id_col),
+        shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+    )
+    # Global order = md5(shingle); keys keep the digest only (fixed 32 bytes
+    # across the shuffle; equal digests ⇔ equal shingles for candidates).
+    keyed = base.withColumn(
+        "keys", F.array_sort(F.transform(F.col("shingles"), F.md5))
+    ).withColumn(
+        "prefix",
+        F.slice(
+            F.col("keys"),
+            1,
+            (F.floor(F.size(F.col("keys")) * F.lit(prefix_frac)) + 1).cast("int"),
+        ),
+    )
+    ex = keyed.select(F.col(id_col), F.explode("prefix").alias("key"))
+    cand = (
+        ex.select(F.col(id_col).alias("doc_a"), "key")
+        .join(ex.select(F.col(id_col).alias("doc_b"), "key"), "key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = base.select(F.col(id_col).alias("sid"), "shingles")
+    pairs = (
+        cand.join(sets.withColumnRenamed("shingles", "sh_a"), cand.doc_a == F.col("sid"))
+        .drop("sid")
+        .join(sets.withColumnRenamed("shingles", "sh_b"), cand.doc_b == F.col("sid"))
+        .drop("sid")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -207,13 +207,33 @@ def decide(
     price2_dec = (F.col("price") * F.col("price")).cast(DEC)
 
     # Per-timeframe aggregates: A3 (avg over buffer), A4 (untrimmed balance),
-    # A6 (capped count), A10 (population stddev over buffer).
+    # A6 (capped count), A9 majority inputs, A10 (population stddev over
+    # buffer), and the ≤5-element recency buffer feeding D5. Grouping keys are
+    # a superset of the window-partition keys, so Catalyst reuses the exchange
+    # — the whole per-timeframe stage costs ONE shuffle.
+    is_buy = F.col("side") == "BUY"
     tf_agg = r.groupBy("symbol", "window_start_s", "timeframe").agg(
-        F.sum(F.when(F.col("side") == "BUY", 1).otherwise(-1)).alias("balance_tf"),
+        F.sum(F.when(is_buy, 1).otherwise(-1)).alias("balance_tf"),
         F.count(F.lit(1)).alias("cnt_all"),
         F.count(F.when(in_buf, 1)).alias("cnt_buf"),
         F.sum(F.when(in_buf, price_dec)).alias("sum_p"),
         F.sum(F.when(in_buf, price2_dec)).alias("sum_p2"),
+        # A9 majority side inputs: buffered BUY vs SELL counts
+        F.count(F.when(in_buf & is_buy, 1)).alias("buf_buy"),
+        F.count(F.when(in_buf & ~is_buy, 1)).alias("buf_sell"),
+        # D5 feed: the 5 most-recent buffered (ts, id, qty) — bounded (≤10
+        # collected, ≤5 kept), NOT an unbounded collect_list
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(in_buf, F.struct("ts_us", "signal_id", "qty"))
+                    )
+                )
+            ),
+            1,
+            TOP_RECENT,
+        ).alias("recent_tf"),
     )
     mean_p = _dec_avg("sum_p", "cnt_buf")
     mean_p2 = _dec_avg("sum_p2", "cnt_buf")
@@ -223,28 +243,25 @@ def decide(
         F.when(F.col("cnt_buf") < 2, F.lit(0.0)).otherwise(
             F.sqrt(F.greatest(mean_p2 - mean_p * mean_p, F.lit(0.0)))
         ),
+    ).withColumn(
+        # A9: majority side over the buffer; tie → lexicographic max ("SELL")
+        # per SURVEY.md §7.4.2 — a plain CASE, no extra aggregation needed
+        "maj_side",
+        F.when(F.col("buf_buy") > F.col("buf_sell"), "BUY").otherwise("SELL"),
     )
 
-    # A9: majority side per timeframe over the buffer; tie → lexicographic max
-    side_cnt = (
-        r.filter(in_buf)
-        .groupBy("symbol", "window_start_s", "timeframe", "side")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Rollup to (symbol, window): A5, A6, A8, A9, P5 HAVING, D5 — one more
+    # shuffle on the 2-key prefix; no joins anywhere in the pipeline.
+    recent5 = F.slice(
+        F.reverse(F.array_sort(F.flatten(F.collect_list("recent_tf")))), 1, TOP_RECENT
     )
-    w_maj = Window.partitionBy("symbol", "window_start_s", "timeframe").orderBy(
-        F.desc("c"), F.desc("side")
-    )
-    maj = (
-        side_cnt.withColumn("rs", F.row_number().over(w_maj))
-        .filter(F.col("rs") == 1)
-        .select("symbol", "window_start_s", "timeframe", F.col("side").alias("maj_side"))
-    )
-
-    tf_full = tf_agg.join(maj, ["symbol", "window_start_s", "timeframe"])
-
-    # Rollup to (symbol, window): A5, A6, A8, A9, P5 HAVING
-    sym_agg = (
-        tf_full.groupBy("symbol", "window_start_s")
+    qty_recent = F.aggregate(
+        recent5,
+        F.lit("0").cast(DEC),
+        lambda acc, x: (acc + x.getField("qty").cast(DEC)).cast(DEC),
+    ).cast("double") / F.size(recent5)
+    agg = (
+        tf_agg.groupBy("symbol", "window_start_s")
         .agg(
             F.count(F.lit(1)).alias("n_timeframes"),
             F.sum("balance_tf").alias("balance"),
@@ -259,27 +276,10 @@ def decide(
             F.when(F.count_distinct(F.col("maj_side")) == 1, F.lit(1.0))
             .otherwise(F.lit(0.5))
             .alias("alignment"),  # A9
+            qty_recent.alias("qty_recent"),  # D5 mean qty of 5 most-recent
         )
         .filter(F.col("n_timeframes") >= 2)  # P5
     )
-
-    # D5: mean qty of the 5 most-recent buffered signals across timeframes
-    w_recent = Window.partitionBy("symbol", "window_start_s").orderBy(
-        F.desc("ts_us"), F.desc("signal_id")
-    )
-    top5 = (
-        r.filter(in_buf)
-        .withColumn("rq", F.row_number().over(w_recent))
-        .filter(F.col("rq") <= TOP_RECENT)
-        .groupBy("symbol", "window_start_s")
-        .agg(
-            (F.sum(F.col("qty").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "qty_recent"
-            )
-        )
-    )
-
-    agg = sym_agg.join(top5, ["symbol", "window_start_s"])
 
     # D1: action thresholds
     bal = F.col("balance")

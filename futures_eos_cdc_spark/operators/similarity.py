@@ -178,6 +178,122 @@ def ann_topk_lsh(
     )
 
 
+def _dist2_expr(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid (left-fold, order-stable)."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(vec, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cell_ranking_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cell ids ordered by ascending distance to `vec`.
+
+    Ties break on cell id (struct comparison is lexicographic), so the
+    assignment is deterministic.
+    """
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(_dist2_expr(vec, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(ranked, lambda s: s.getField("cell"))
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids: seeded random init + `iters` Lloyd steps in Spark.
+
+    This is the offline "train" phase of IVF (at 100 TB you run it once on a
+    sample and persist the centroids); only n_cells x dim doubles ever reach
+    the driver. Each Lloyd step is one hash aggregation on the cell id.
+    """
+    centroids = _hyperplanes(dim, n_cells, seed)
+    v = embeddings.select(F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        assigned = v.withColumn(
+            "cell", _cell_ranking_expr(F.col("vec"), centroids).getItem(0)
+        )
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("vec"),
+                    F.array(*[F.lit(0.0)] * dim),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b.cast("double")),
+                ).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for row in sums:
+            new[row["cell"]] = [s / row["n"] for s in row["vsum"]]
+        centroids = new
+    return centroids
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: partition vectors into Voronoi cells
+    around trained centroids; each query probes only its `nprobe` nearest
+    cells, then exact cosine re-ranks the candidates.
+
+    Scale shape: candidates are assigned once (pure projection — at 100 TB
+    you'd persist the table partitioned/bucketed BY cell so the probe join is
+    shuffle-free on the big side); queries explode to nprobe rows and
+    broadcast; expected candidate count is nprobe/n_cells of the corpus.
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_cells, seed=seed, dim=dim, vec_col=vec_col)
+    c = embeddings.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _cell_ranking_expr(F.col(vec_col), centroids).getItem(0).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(_cell_ranking_expr(F.col(vec_col), centroids), 1, nprobe)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -14,9 +14,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.common import spread
-from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_buckets
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
 from ..operators.multimodal import attach_binary, decode_features
-from ..operators.similarity import ann_topk_lsh, brute_force_topk, embedding_near_dup
+from ..operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    brute_force_topk,
+    embedding_near_dup,
+)
 from ..operators.text import with_text_stats
 
 # ---------------------------------------------------------------------------
@@ -152,6 +162,52 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup via prefix filtering (no false negatives)
+# ---------------------------------------------------------------------------
+NGRAM_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t
+),
+keyed AS (
+  SELECT doc_id, shingles,
+    list_sort(list_transform(shingles, s -> md5(s))) AS keys
+  FROM sh
+),
+pref AS (
+  SELECT doc_id, shingles,
+    keys[1 : CAST(floor(len(keys) * 0.5) AS INT) + 1] AS prefix
+  FROM keyed
+),
+e AS (SELECT doc_id, shingles, unnest(prefix) AS key FROM pref),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.shingles AS sh_a, b.shingles AS sh_b
+  FROM e a JOIN e b ON a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / len(list_distinct(list_concat(sh_a, sh_b))) >= CAST(0.5 AS DOUBLE)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
 # SimHash buckets (portable 16-bit)
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS_SQL = " + ".join(
@@ -221,6 +277,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     e = spread(_t(spark, sf_dir, "embeddings"))
     return ann_topk_lsh(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    return ann_topk_ivf(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:

@@ -373,12 +373,15 @@ QUERIES["text_stats"] = _bind(_dp.q_text_stats)
 ORACLES["text_stats"] = _dp.TEXT_STATS_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
 ORACLES["minhash_lsh_near_dup"] = _dp.MINHASH_ORACLE
+QUERIES["ngram_jaccard_near_dup"] = _bind(_dp.q_ngram_jaccard)
+ORACLES["ngram_jaccard_near_dup"] = _dp.NGRAM_JACCARD_ORACLE
 QUERIES["simhash_buckets"] = _bind(_dp.q_simhash)
 ORACLES["simhash_buckets"] = _dp.SIMHASH_ORACLE
 QUERIES["cosine_topk_bruteforce"] = _bind(_dp.q_cosine_topk)
 ORACLES["cosine_topk_bruteforce"] = _dp.COSINE_TOPK_ORACLE
 # Engine-specific (xxhash-free LSH probing / Arrow-batched decode): rows-only
 QUERIES["ann_cosine_lsh"] = _bind(_dp.q_ann_lsh)
+QUERIES["ann_cosine_ivf"] = _bind(_dp.q_ann_ivf)
 QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
 QUERIES["multimodal_features"] = _bind(_dp.q_multimodal_features)
 
@@ -391,6 +394,12 @@ QUERIES["q3_shipping_priority"] = _bind(_tm.q_shipping_priority)
 ORACLES["q3_shipping_priority"] = _tm.Q3_ORACLE
 QUERIES["q5_regional_revenue"] = _bind(_tm.q_regional_revenue)
 ORACLES["q5_regional_revenue"] = _tm.Q5_ORACLE
+QUERIES["q6_forecast_revenue"] = _bind(_tm.q_forecast_revenue)
+ORACLES["q6_forecast_revenue"] = _tm.Q6_ORACLE
+QUERIES["q4_order_priority"] = _bind(_tm.q_order_priority)
+ORACLES["q4_order_priority"] = _tm.Q4_ORACLE
+QUERIES["above_brand_avg_parts"] = _bind(_tm.q_above_brand_avg)
+ORACLES["above_brand_avg_parts"] = _tm.ABOVE_BRAND_AVG_ORACLE
 QUERIES["signal_strength_histogram"] = _bind(_tm.q_strength_histogram)
 ORACLES["signal_strength_histogram"] = _tm.STRENGTH_ORACLE
 # sketch internals are engine-specific → rows-only + accuracy asserted in tests

@@ -101,6 +101,133 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q6 shape: revenue-change forecast (pure filter + aggregate, zero joins)
+# ---------------------------------------------------------------------------
+_Q6_LO_S = 852076800  # 1997-01-01 UTC
+_Q6_HI_S = 883612800  # 1998-01-01 UTC
+
+Q6_ORACLE = f"""
+SELECT
+  CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))
+    AS VARCHAR) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE epoch(l_shipdate) >= {_Q6_LO_S}
+  AND epoch(l_shipdate) < {_Q6_HI_S}
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q6 shape: every predicate pushes to the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity), projection prunes to
+    3 columns, and the aggregate is a single partial+final pair with no group
+    keys — at 100 TB this is I/O-bound by exactly the pruned column bytes."""
+    from .registry import _dsum, _ntz_lit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz_lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz_lit("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: order-priority count with EXISTS (left-semi join)
+# (the fixture lineitem has no commit/receipt dates — the EXISTS predicate is
+# "has a returned lineitem", same plan shape as TPC-H Q4's late-lineitem test)
+# ---------------------------------------------------------------------------
+Q4_ORACLE = f"""
+SELECT
+  o_orderpriority,
+  CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE epoch(o_orderdate) >= {_Q6_LO_S}
+  AND epoch(o_orderdate) < {_Q6_HI_S}
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. The semi-join shuffles only
+    l_orderkey (the probe payload is one bigint per returned lineitem); the
+    returnflag filter pushes to the parquet scan; the 5-value groupBy is
+    map-side partial."""
+    from .registry import _ntz_lit
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz_lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz_lit("1998-01-01 00:00:00"))
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery shape: parts priced above their brand average
+# ---------------------------------------------------------------------------
+ABOVE_BRAND_AVG_ORACLE = """
+WITH b AS (
+  SELECT p_brand,
+    CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+      / count(*) AS brand_avg
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_brand,
+  CAST(count(*) AS BIGINT) AS n_above,
+  round(max(p.p_retailprice - b.brand_avg), 6) AS max_premium
+FROM part p JOIN b ON p.p_brand = b.p_brand
+WHERE p.p_retailprice > b.brand_avg
+GROUP BY p.p_brand
+"""
+
+
+def q_above_brand_avg(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Correlated-subquery shape (price > AVG over its own brand), decorrelated
+    the way Catalyst itself rewrites it: aggregate-then-join. The brand-avg
+    side is tiny (|brands|) → broadcast; the fact side never shuffles."""
+    p = _t(spark, sf_dir, "part")
+    b = p.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        (F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "brand_avg"
+        )
+    )
+    return (
+        p.join(F.broadcast(b), p.p_brand == b.b_brand)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.max(F.col("p_retailprice") - F.col("brand_avg")), 6).alias(
+                "max_premium"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # P10: timeframe → strength CASE as a histogram
 # ---------------------------------------------------------------------------
 STRENGTH_ORACLE = """

@@ -5,14 +5,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from futures_eos_cdc_spark.operators.dedup import minhash_lsh_pairs, with_minhash
+from futures_eos_cdc_spark.operators.dedup import (
+    jaccard_expr,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    with_minhash,
+)
 from futures_eos_cdc_spark.operators.multimodal import (
     attach_binary,
     decode_features,
     frame_sample_stub,
     resize_stub,
 )
-from futures_eos_cdc_spark.operators.similarity import ann_topk_lsh, brute_force_topk
+from futures_eos_cdc_spark.operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    brute_force_topk,
+)
+from futures_eos_cdc_spark.operators.text import shingles_expr, tokens_expr
 
 
 def _docs(spark, sf_dir):
@@ -49,6 +59,42 @@ def test_ann_cosines_are_exact_for_returned_pairs(spark, sf_dir):
     }
     for r in ann_topk_lsh(e, q, k=3).collect():
         assert abs(exact[(r.q_id, r.c_id)] - r.cosine) < 1e-12
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(e, q, k=3).collect()}
+    approx = {(r.q_id, r.c_id) for r in ann_topk_ivf(e, q, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    # Lloyd-trained centroids + nprobe=4/16 recall 1.0 on the fixture; keep
+    # headroom for corpus drift.
+    assert recall >= 0.8, f"IVF recall too low: {recall:.2f}"
+    assert all(a != b for a, b in approx)
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark, sf_dir):
+    """Prefix filtering must equal brute-force all-pairs — NO false negatives
+    (that's its contract, unlike MinHash-LSH)."""
+    d = _docs(spark, sf_dir)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    base = d.select(
+        F.col("doc_id"), shingles_expr(tokens_expr(F.col("text")), 3).alias("sh")
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in brute.collect()}
+    assert got == want
+    assert len(got) > 0
 
 
 def test_minhash_pairs_symmetric_and_thresholded(spark, sf_dir):
