@@ -345,6 +345,107 @@ def decisions_from_signal_array(agg: DataFrame, round_dp: int = 6) -> DataFrame:
     )
 
 
+def streaming_sessionize(
+    signals: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """T4 session windows (absent in the reference, free in Spark): per-symbol
+    activity sessions that close after `gap` of silence.
+
+    ``session_window`` is a merging stateful aggregation — state per key is
+    one open session, not the member rows, so it scales with |symbols|, not
+    row count. Append mode emits a session once the watermark passes its end.
+    """
+    sig = signals.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        sig.withWatermark("event_time", watermark)
+        .groupBy("symbol", F.session_window("event_time", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            _dec_sum_plain(F.col("price")).alias("sum_price"),
+        )
+        .select(
+            "symbol",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("session_window.end")).alias("session_end_s"),
+            "n_signals",
+            "sum_price",
+        )
+    )
+
+
+def _dec_sum_plain(col: Column) -> Column:
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def arrival_order_last10(
+    signals: DataFrame,
+    window_seconds: int = WINDOW_SECONDS,
+    keep: int = BUFFER_KEEP,
+) -> DataFrame:
+    """BIT-EXACT arrival-order last-N buffer as a custom stateful operator.
+
+    The engine's default path re-specifies the reference's FIFO-by-arrival
+    buffer (SignalAggregator.kt:16-23) to ts-order (SURVEY.md §7.4.1) because
+    arrival order is not reproducible under repartitioning. When strict
+    arrival semantics ARE required, this operator provides them:
+    ``applyInPandasWithState`` keyed by (symbol, window_start_s, timeframe),
+    state = the last `keep` (price, ts_us) pairs in processing order, emitted
+    per trigger (update semantics — mirrors the reference's per-commit
+    cadence, T2).
+
+    Scale: Arrow-batched, state bounded at `keep` rows per key, one shuffle on
+    the group key. Arrival order within a micro-batch follows source row
+    order per partition — exactly as far as the reference's own guarantee
+    goes (Kafka preserves order per partition only).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "symbol string, window_start_s long, timeframe string, "
+        "n_buffered int, avg_price double, newest_ts_us long"
+    )
+    state_schema = "prices array<double>, tss array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            prices, tss = state.get
+            prices, tss = list(prices), list(tss)
+        else:
+            prices, tss = [], []
+        for pdf in pdfs:
+            for p, t in zip(pdf["price"], pdf["ts_us"]):
+                prices.append(float(p))
+                tss.append(int(t))
+                if len(prices) > keep:  # FIFO eviction (SignalAggregator.kt:19-21)
+                    prices.pop(0)
+                    tss.pop(0)
+        state.update((prices, tss))
+        symbol, window_start_s, timeframe = key
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": symbol,
+                    "window_start_s": window_start_s,
+                    "timeframe": timeframe,
+                    "n_buffered": len(prices),
+                    "avg_price": sum(prices) / len(prices) if prices else 0.0,
+                    "newest_ts_us": tss[-1] if tss else 0,
+                }
+            ]
+        )
+
+    w_us = window_seconds * 1_000_000
+    keyed = signals.withColumn(
+        "window_start_s", F.expr(f"(ts_us div {w_us}) * {window_seconds}").cast("long")
+    )
+    return keyed.groupBy("symbol", "window_start_s", "timeframe").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_decide(
     signals: DataFrame,
     window_seconds: int = WINDOW_SECONDS,

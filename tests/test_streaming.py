@@ -200,3 +200,141 @@ def test_content_duplicate_report(spark, sf_dir, key_cols):
     rep = content_duplicate_report(dup, key_cols)
     assert rep.count() == 3
     assert rep.agg(F.max("n")).collect()[0][0] == 2
+
+
+def test_streaming_sessionize(spark, sf_dir, tmp_path):
+    """T4 session windows: rows within `gap` merge into one session; a quiet
+    period splits sessions."""
+    from futures_eos_cdc_spark.streaming.pipeline import streaming_sessionize
+
+    base = 1_700_000_000 * 1_000_000  # epoch micros
+    rows = [
+        # session 1: 3 rows, 10s apart
+        (1, "BTCUSDT", "BUY", 0.1, 100.0, "1m", base),
+        (2, "BTCUSDT", "SELL", 0.1, 101.0, "1m", base + 10_000_000),
+        (3, "BTCUSDT", "BUY", 0.1, 102.0, "1m", base + 20_000_000),
+        # >30s silence → session 2: 1 row
+        (4, "BTCUSDT", "BUY", 0.1, 103.0, "1m", base + 120_000_000),
+        # another symbol, own session
+        (5, "ETHUSDT", "BUY", 0.1, 50.0, "1m", base + 5_000_000),
+        # watermark-advancing sentinel
+        (9, "SENTINEL", "BUY", 0.1, 1.0, "1m", SENTINEL_TS_US),
+    ]
+    schema = (
+        "signal_id long, symbol string, side string, qty double, price double,"
+        " timeframe string, ts_us long"
+    )
+    path = str(tmp_path / "sess_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    q = (
+        streaming_sessionize(read_signal_stream_files(spark, path), gap="30 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r.symbol, r.session_start_s): r
+        for r in spark.sql("SELECT * FROM sess1")
+        .filter(F.col("symbol") != "SENTINEL")
+        .collect()
+    }
+    assert len(out) == 3
+    s1 = out[("BTCUSDT", 1_700_000_000)]
+    assert s1.n_signals == 3
+    assert s1.session_end_s == 1_700_000_000 + 20 + 30  # last event + gap
+    s2 = out[("BTCUSDT", 1_700_000_120)]
+    assert s2.n_signals == 1
+    assert out[("ETHUSDT", 1_700_000_005)].n_signals == 1
+
+
+def test_arrival_order_last10_stateful(spark, tmp_path):
+    """The bit-exact arrival-order buffer (applyInPandasWithState): keeps the
+    last 10 rows in ARRIVAL order — even when event time runs backwards —
+    and evicts FIFO across micro-batches."""
+    from futures_eos_cdc_spark.streaming.pipeline import arrival_order_last10
+
+    schema = (
+        "signal_id long, symbol string, side string, qty double, price double,"
+        " timeframe string, ts_us long"
+    )
+    base = 1_700_000_000 * 1_000_000
+    # 12 rows, single group, event time DESCENDING (arrival != ts order):
+    # prices 1..12, ts decreasing. Arrival last-10 = prices 3..12;
+    # ts-order last-10 would be prices 1..10 — the test distinguishes them.
+    batch1 = [
+        (i, "BTCUSDT", "BUY", 0.1, float(i), "1m", base + (100 - i) * 1_000)
+        for i in range(1, 13)
+    ]
+    path = str(tmp_path / "arr_in")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(path + "/b0")
+
+    q = (
+        arrival_order_last10(read_signal_stream_files(spark, path + "/b*"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("arr1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM arr1").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_buffered == 10
+        assert r.avg_price == sum(range(3, 13)) / 10.0  # arrival-order survivors
+        assert r.newest_ts_us == base + (100 - 12) * 1_000  # last ARRIVED, oldest ts
+        # second micro-batch: 3 more rows evict 3 more heads → prices 6..15
+        batch2 = [
+            (i, "BTCUSDT", "BUY", 0.1, float(i), "1m", base + (100 - i) * 1_000)
+            for i in range(13, 16)
+        ]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(path + "/b1")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM arr1").collect()
+        latest = max(rows, key=lambda r: r.avg_price)
+        assert latest.n_buffered == 10
+        assert latest.avg_price == sum(range(6, 16)) / 10.0
+    finally:
+        q.stop()
+
+
+@pytest.mark.slow
+def test_rate_source_sustains_1000_rps(spark):
+    """BASELINE.md streaming bar: ≥1,000 signals/s with the 5-min windowed
+    aggregation without falling behind (batch duration < trigger interval)."""
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        read_signal_stream_rate,
+        streaming_decide,
+    )
+
+    q = (
+        streaming_decide(read_signal_stream_rate(spark, rows_per_second=1000))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("soak1")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    try:
+        time.sleep(12)
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    assert progress, "no progress recorded"
+    rates = [p["processedRowsPerSecond"] for p in progress if p["numInputRows"] > 0]
+    durs = [p["durationMs"]["triggerExecution"] for p in progress if p["numInputRows"] > 0]
+    assert rates, "no non-empty batches"
+    # steady state must keep up: median processing rate >= input rate and the
+    # median trigger finishes within its 1s budget (first batches may be slow
+    # while codegen warms)
+    rates.sort(), durs.sort()
+    assert rates[len(rates) // 2] >= 1000, rates
+    assert durs[len(durs) // 2] <= 1000, durs
