@@ -72,3 +72,36 @@ def test_topk_window_group_limit(spark, sf_dir):
     # Spark ≥3.5 pushes a WindowGroupLimit below the exchange for rank<=k
     plan = _plan(spark, sf_dir, "topk_per_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_all_predicates_pushed_and_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # predicates reach the scan (toString truncates the PushedFilters list —
+    # assert the untruncated prefix proves all three columns participate)
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in scan_line
+    )
+    # projection prunes to exactly the 4 referenced columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in scan_line
+    )
+
+
+def test_q4_uses_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed below the join
+
+
+def test_above_brand_avg_broadcasts_agg_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "above_brand_avg_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_jaccard_single_candidate_shuffle_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_jaccard_near_dup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
