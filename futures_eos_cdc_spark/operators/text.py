@@ -39,6 +39,19 @@ def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+# GPT-2-style BPE pre-tokenizer split, restated lookahead-free so RE2-based
+# engines (DuckDB, Go) reproduce it byte-for-byte: contractions, space-glued
+# letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_count_expr(text: Column) -> Column:
+    """BPE-ish token count: the pre-tokenizer piece count that upper-bounds a
+    real BPE vocab's token count — the standard cheap budget estimator for
+    LLM training-data sizing. Pure JVM regex, no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+
+
 def stopword_ratio_expr(tokens: Column, lexicon: tuple[str, ...] = STOPWORDS_EN) -> Column:
     hits = F.size(F.filter(tokens, lambda t: t.isin(*lexicon)))
     return hits / F.size(tokens)
@@ -123,6 +136,7 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_expr(text)
     return (
         docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_subwords", subword_count_expr(text))
         .withColumn("stopword_ratio", F.round(stopword_ratio_expr(toks), 6))
         .withColumn("punct_ratio", F.round(punct_ratio_expr(text), 6))
         .withColumn("quality", quality_score_expr(text))

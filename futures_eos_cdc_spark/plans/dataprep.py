@@ -79,6 +79,9 @@ s AS (
 )
 SELECT doc_id, lang,
   CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+    AS BIGINT) AS n_subwords,
   round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
   round(CAST(punct_chars AS DOUBLE) / length(text), 6) AS punct_ratio,
   round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
@@ -102,6 +105,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         "doc_id",
         "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
         "stopword_ratio",
         "punct_ratio",
         "quality",
