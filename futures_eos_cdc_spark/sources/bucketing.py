@@ -1,0 +1,58 @@
+"""Bucketed-table layout: the 100 TB co-located-join strategy.
+
+At scale, the dominant cost of fact-fact joins (lineitem ⋈ orders) is the
+shuffle of both sides. Bucketing pre-partitions the data on the join key at
+WRITE time (`bucketBy` + `sortBy` + `saveAsTable`): readers see
+`HashPartitioning(key, n)` on both sides, so Catalyst plans a sort-merge join
+with ZERO Exchange — and with `sortBy`, zero Sort. The shuffle is paid once
+at ingest, amortized over every subsequent join/aggregation on that key.
+
+Rules of thumb this module encodes:
+- bucket count is a power of two sized so one bucket ≈ 100-200 MB at target
+  scale (local tests use small counts; the layout logic is identical);
+- bucket BOTH sides of a recurring join with the SAME count and key, or one
+  side's buckets must be a multiple of the other's
+  (`spark.sql.bucketing.coalesceBucketsInJoin.enabled`);
+- `sortBy` the bucket key so merge-join needs no sort, and groupBy on the
+  bucket key needs no exchange either.
+
+Reference parity note: the reference co-locates by Kafka partition key
+(symbol — SignalTopology.kt:110); bucketing is the batch-storage equivalent
+of that design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist `df` bucketed (and bucket-sorted) on `bucket_cols`.
+
+    Uses saveAsTable (bucket metadata lives in the catalog); `path` pins the
+    files outside the default warehouse so tests control the location.
+    """
+    # One file per bucket: Spark's scan only reports bucket-sorted output
+    # ordering (→ sort-free merge join) when each bucket is a single file.
+    out = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+    writer = out.write.mode("overwrite").option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — plans with no
+    Exchange on either side (assert via tests/test_bucketing.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on)

@@ -1,0 +1,66 @@
+"""Bucketed-layout tests: the co-located-join strategy must actually remove
+the exchanges (and sorts) from the physical plan, not just intend to."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from futures_eos_cdc_spark.sources.bucketing import bucketed_join, write_bucketed
+from futures_eos_cdc_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge so the test proves bucket co-location, not broadcast;
+    enable sorted bucket scans (off by default since SPARK-28589 — safe here
+    because write_bucketed guarantees one sorted file per bucket)."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old_ord)
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark, sf_dir, tmp_path, no_broadcast):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "t_li_b", ["l_orderkey"], 4, str(tmp_path / "li"))
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_o_b",
+        ["l_orderkey"],
+        4,
+        str(tmp_path / "o"),
+    )
+    try:
+        joined = bucketed_join(spark, "t_li_b", "t_o_b", ["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: shuffle paid at write time
+        assert "Sort" not in plan.replace("SortMergeJoin", "")  # sortBy removed sorts
+        # and the result is right
+        n = joined.count()
+        assert n == li.count()  # every lineitem matches exactly one order
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_groupby_on_bucket_key_has_no_exchange(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "t_li_g", ["l_orderkey"], 4, str(tmp_path / "lig"))
+    try:
+        agg = (
+            spark.table("t_li_g")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_g")
