@@ -400,6 +400,12 @@ QUERIES["q4_order_priority"] = _bind(_tm.q_order_priority)
 ORACLES["q4_order_priority"] = _tm.Q4_ORACLE
 QUERIES["above_brand_avg_parts"] = _bind(_tm.q_above_brand_avg)
 ORACLES["above_brand_avg_parts"] = _tm.ABOVE_BRAND_AVG_ORACLE
+QUERIES["q12_priority_shipping"] = _bind(_tm.q_priority_shipping)
+ORACLES["q12_priority_shipping"] = _tm.Q12_ORACLE
+QUERIES["q14_promo_revenue"] = _bind(_tm.q_promo_revenue)
+ORACLES["q14_promo_revenue"] = _tm.Q14_ORACLE
+QUERIES["q18_large_volume_orders"] = _bind(_tm.q_large_volume_orders)
+ORACLES["q18_large_volume_orders"] = _tm.Q18_ORACLE
 QUERIES["signal_strength_histogram"] = _bind(_tm.q_strength_histogram)
 ORACLES["signal_strength_histogram"] = _tm.STRENGTH_ORACLE
 # sketch internals are engine-specific → rows-only + accuracy asserted in tests

@@ -228,6 +228,147 @@ def q_above_brand_avg(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q12 shape: shipmode-style buckets via conditional aggregation
+# (fixture has no l_shipmode — bucket by order priority urgency instead,
+# same CASE-inside-agg plan shape as TPC-H Q12)
+# ---------------------------------------------------------------------------
+Q12_ORACLE = f"""
+SELECT
+  l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE epoch(l.l_shipdate) >= {_Q6_LO_S}
+  AND epoch(l.l_shipdate) < {_Q6_HI_S}
+GROUP BY l.l_linestatus
+"""
+
+
+def q_priority_shipping(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-inside-SUM conditional aggregation. The
+    date filter pushes to the lineitem scan; the join shuffles only
+    (l_orderkey, l_linestatus) vs (o_orderkey, o_orderpriority)."""
+    from .registry import _ntz_lit
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz_lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz_lit("1998-01-01 00:00:00"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: conditional revenue ratio (promo % by part type prefix)
+# ---------------------------------------------------------------------------
+Q14_ORACLE = """
+SELECT
+  CAST(CAST(sum(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END
+        AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) * 100.0
+  / CAST(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q14 shape: CASE-gated revenue over total revenue. part is the
+    small side → broadcast; single global aggregate, no group keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo.cast(DEC)).cast("double")
+                * 100.0
+                / F.sum(rev.cast(DEC)).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders (HAVING over a grouped sum, then join back)
+# ---------------------------------------------------------------------------
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > CAST(200.0 AS DECIMAL(38,10))
+)
+SELECT
+  c.c_custkey,
+  c.c_name,
+  o.o_orderkey,
+  CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+  o.o_totalprice,
+  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q18 shape: grouped-HAVING pre-filter (the `big` semi-side is the
+    aggregate itself), then 3-way join + re-aggregate + top-k. The HAVING
+    output is tiny → AQE broadcasts it into the orders join."""
+    from .registry import _dsum, _ntz_epoch_s
+
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+        .filter(F.col("sq") > F.lit(200.0).cast(DEC))
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"), F.col("lk") == o.o_orderkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _ntz_epoch_s("o_orderdate").alias("o_orderdate_s"),
+            "o_totalprice",
+        )
+        .agg(_dsum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # P10: timeframe → strength CASE as a histogram
 # ---------------------------------------------------------------------------
 STRENGTH_ORACLE = """
