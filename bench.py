@@ -39,6 +39,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        # Drop cached intermediates so the timed run measures the query's own
+        # computation (operators may persist() shared subplans WITHIN a query
+        # — that stays; cross-run cache reuse would not be honest).
+        spark.catalog.clearCache()
         df = fn(spark, sf_dir)  # fresh plan, warm codegen/broadcast caches
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -145,44 +145,76 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.5,
+    threshold: float = 0.7,
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs via prefix filtering
     (AllPairs/PPJoin family — Bayardo et al., WWW'07): no false negatives,
     unlike MinHash-LSH.
 
-    Prefix filter: order each doc's shingle set by a fixed global order
-    (md5 of the shingle — a rarity-agnostic but deterministic proxy). Two
-    sets with Jaccard ≥ t MUST share at least one element among each one's
-    first floor((1-t)·|S|)+1 elements of that order, so candidates are
-    generated by an equi-join on prefix shingles only. At t=0.5 the shuffle
-    carries ~half of each shingle set once; candidates ≪ N². Exact Jaccard
-    then verifies every candidate. Skewed (very common) prefix shingles are
-    the hot keys — AQE skew-join splits them.
+    Prefix filter: order every doc's shingle set by ONE global total order;
+    two sets with Jaccard ≥ t MUST share an element within each one's first
+    floor((1-t)·|S|)+1 elements of that order, so candidates come from an
+    equi-join on prefix shingles only. The order is **ascending document
+    frequency** (tie: shingle text) — the canonical AllPairs choice: prefixes
+    then hold each doc's RAREST shingles, so join keys are near-unique and
+    the candidate count collapses (a frequency-agnostic order like a hash
+    puts stopword shingles in prefixes → quadratic blowup on hot keys).
+    Costs one extra pre-pass (explode + count + re-collect) — linear, and at
+    100 TB the df table is exactly the corpus statistics a pipeline caches
+    anyway. The PPJoin length filter prunes candidates whose set sizes make
+    Jaccard ≥ t impossible (|A| ≥ t·|B| and vice versa) before the sets are
+    fetched; exact Jaccard then verifies the survivors.
     """
     prefix_frac = 1.0 - threshold
-    base = spread(docs).select(
-        F.col(id_col),
-        shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+    # Shingle sets feed three consumers (freq counts, prefix keys, pair
+    # verification) — persist so tokenize+shingle runs once, as in
+    # minhash_lsh_pairs.
+    base = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+        )
+        .persist()
     )
-    # Global order = md5(shingle); keys keep the digest only (fixed 32 bytes
-    # across the shuffle; equal digests ⇔ equal shingles for candidates).
-    keyed = base.withColumn(
-        "keys", F.array_sort(F.transform(F.col("shingles"), F.md5))
-    ).withColumn(
+    ex_all = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = ex_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Portable composite order key: zero-padded df then shingle — string sort
+    # == (df asc, shingle asc) in any engine.
+    order_key = F.concat(
+        F.lpad(F.col("df").cast("string"), 8, "0"), F.lit("|"), F.col("shingle")
+    )
+    keys = (
+        ex_all.join(freq, "shingle")
+        .select(F.col(id_col), order_key.alias("key"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("key")).alias("keys"))
+    )
+    pref = keys.withColumn(
         "prefix",
         F.slice(
             F.col("keys"),
             1,
             (F.floor(F.size(F.col("keys")) * F.lit(prefix_frac)) + 1).cast("int"),
         ),
-    )
-    ex = keyed.select(F.col(id_col), F.explode("prefix").alias("key"))
+    ).withColumn("n", F.size("keys"))
+    # Both sides of the candidate self-join read the prefix rows — persist to
+    # avoid recomputing the freq-join + sort twice.
+    ex = pref.select(F.col(id_col), "n", F.explode("prefix").alias("key")).persist()
     cand = (
-        ex.select(F.col(id_col).alias("doc_a"), "key")
-        .join(ex.select(F.col(id_col).alias("doc_b"), "key"), "key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        ex.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "key")
+        .join(
+            ex.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "key"),
+            "key",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: |A∩B| ≤ min(n_a,n_b) and |A∪B| ≥ max(n_a,n_b),
+            # so jaccard ≤ min/max — sizes outside ratio t can't qualify
+            & (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -181,34 +181,44 @@ sh AS (
     ELSE [array_to_string(toks, ' ')] END AS shingles
   FROM t
 ),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
 keyed AS (
-  SELECT doc_id, shingles,
-    list_sort(list_transform(shingles, s -> md5(s))) AS keys
-  FROM sh
+  SELECT e.doc_id,
+    list_sort(list(lpad(CAST(f.df AS VARCHAR), 8, '0') || '|' || e.shingle)) AS keys
+  FROM ex e JOIN freq f ON e.shingle = f.shingle
+  GROUP BY e.doc_id
 ),
 pref AS (
-  SELECT doc_id, shingles,
-    keys[1 : CAST(floor(len(keys) * 0.5) AS INT) + 1] AS prefix
+  SELECT doc_id, len(keys) AS n,
+    keys[1 : CAST(floor(len(keys) * 0.3) AS INT) + 1] AS prefix
   FROM keyed
 ),
-e AS (SELECT doc_id, shingles, unnest(prefix) AS key FROM pref),
+e AS (SELECT doc_id, n, unnest(prefix) AS key FROM pref),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    a.shingles AS sh_a, b.shingles AS sh_b
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM e a JOIN e b ON a.key = b.key
   WHERE a.doc_id < b.doc_id
+    AND a.n >= CAST(0.7 AS DOUBLE) * b.n
+    AND b.n >= CAST(0.7 AS DOUBLE) * a.n
+),
+candsets AS (
+  SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
   round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
         / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
-FROM cand
+FROM candsets
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-      / len(list_distinct(list_concat(sh_a, sh_b))) >= CAST(0.5 AS DOUBLE)
+      / len(list_distinct(list_concat(sh_a, sh_b))) >= CAST(0.7 AS DOUBLE)
 """
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
 # ---------------------------------------------------------------------------

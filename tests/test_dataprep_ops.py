@@ -79,7 +79,7 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     got = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in ngram_jaccard_pairs(d, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(d, threshold=0.7).collect()
     }
     base = d.select(
         F.col("doc_id"), shingles_expr(tokens_expr(F.col("text")), 3).alias("sh")
@@ -90,7 +90,7 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= 0.7)
     )
     want = {(r.doc_a, r.doc_b, r.jaccard) for r in brute.collect()}
     assert got == want
