@@ -360,6 +360,10 @@ QUERIES["sessionize_events"] = _bind(_rel.q_sessionize)
 ORACLES["sessionize_events"] = _rel.SESSIONIZE_ORACLE
 QUERIES["asof_join_purchases"] = _bind(_rel.q_asof_join)
 ORACLES["asof_join_purchases"] = _rel.ASOF_ORACLE
+QUERIES["cube_order_stats"] = _bind(_rel.q_cube)
+ORACLES["cube_order_stats"] = _rel.CUBE_ORACLE
+QUERIES["sliding_window_events"] = _bind(_rel.q_sliding_window)
+ORACLES["sliding_window_events"] = _rel.SLIDING_ORACLE
 
 # ---------------------------------------------------------------------------
 # Training-data-pipeline surface (dedup / text / similarity / multimodal)

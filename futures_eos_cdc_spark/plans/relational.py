@@ -292,6 +292,70 @@ ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS p_ts_us, value
 """
 
 
+CUBE_ORACLE = """
+SELECT
+  o_orderpriority,
+  o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping sets in one pass.
+    Catalyst expands the cube with an Expand node before ONE hash aggregate —
+    rows are replicated 4x map-side, but there is still a single exchange."""
+    from .registry import _dsum
+
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+SLIDING_ORACLE = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+w AS (
+  SELECT event_type, ts_us,
+    unnest([ (ts_us // 300000000) * 300 - 300, (ts_us // 300000000) * 300 ])
+      AS window_start_s
+  FROM s
+)
+SELECT
+  CAST(window_start_s AS BIGINT) AS window_start_s,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM w
+WHERE window_start_s >= 0
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """10-minute windows sliding every 5: each row lands in exactly 2 windows.
+    Expressed as integer bucket arithmetic + explode (bit-identical to the
+    oracle and to Spark's own window(col, '10 minutes', '5 minutes'), which
+    plans the same Expand + aggregate shape)."""
+    ev = _t(spark, sf_dir, "events")
+    five_min = F.expr("(ts div 1000 div 300000000) * 300")
+    return (
+        ev.select(
+            "event_type",
+            F.explode(
+                F.array(five_min - 300, five_min)
+            ).alias("window_start_s"),
+        )
+        .filter(F.col("window_start_s") >= 0)
+        .groupBy(F.col("window_start_s").cast("long").alias("window_start_s"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     """As-of join: each error event picks the most recent purchase value of
     the same user at-or-before it.

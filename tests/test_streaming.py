@@ -338,3 +338,57 @@ def test_rate_source_sustains_1000_rps(spark):
     rates.sort(), durs.sort()
     assert rates[len(rates) // 2] >= 1000, rates
     assert durs[len(durs) // 2] <= 1000, durs
+
+
+def test_update_mode_reemits_per_trigger(spark, tmp_path):
+    """T2 reference-like cadence: update mode re-emits the (symbol, window)
+    aggregate on every micro-batch that changes it (Kafka Streams emits per
+    commit/cache-flush); append mode emits exactly once. SURVEY.md §7.4.4."""
+    schema = (
+        "signal_id long, symbol string, side string, qty double, price double,"
+        " timeframe string, ts_us long"
+    )
+    base = 1_700_000_100 * 1_000_000  # inside the 1_700_000_100-window? no:
+    # window = (ts div 300e6)*300 → 1_700_000_100 div 300 = window 1699999800
+    b0 = [
+        (1, "BTCUSDT", "BUY", 0.1, 100.0, "1m", base),
+        (2, "BTCUSDT", "BUY", 0.1, 101.0, "5m", base + 1_000_000),
+        (3, "BTCUSDT", "BUY", 0.1, 102.0, "1m", base + 2_000_000),
+        (4, "BTCUSDT", "BUY", 0.1, 103.0, "5m", base + 3_000_000),
+    ]
+    b1 = [
+        (5, "BTCUSDT", "BUY", 0.1, 104.0, "1m", base + 4_000_000),
+        (6, "BTCUSDT", "BUY", 0.1, 105.0, "5m", base + 5_000_000),
+        (7, "BTCUSDT", "BUY", 0.1, 106.0, "1m", base + 6_000_000),
+    ]
+    path = str(tmp_path / "upd_in")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(path + "/b0")
+    q = (
+        streaming_decide(read_signal_stream_files(spark, path + "/b*"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("upd1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(path + "/b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM upd1").collect()
+    counts = sorted(r.n_signals for r in rows)
+    assert counts == [4, 7], counts  # one emission per trigger, cumulative
+    final = next(r for r in rows if r.n_signals == 7)
+    # the final update equals the batch answer over the full input
+    batch = decide(
+        spark.createDataFrame(b0 + b1, schema)
+    ).collect()
+    assert len(batch) == 1
+    b = batch[0]
+    assert (final.balance, final.action, final.confidence) == (
+        b.balance,
+        b.action,
+        b.confidence,
+    )
