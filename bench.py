@@ -49,17 +49,40 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Optional: time the DuckDB oracles on the same tables for the
+    # BASELINE.md "within 2x of the oracle engine" comparison.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+        import duckdb
+
+        from futures_eos_cdc_spark.plans import ORACLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {cpus}")
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name, sql in sorted(ORACLES.items()):
+            con.execute(sql).fetchall()  # warm-up (buffer pool)
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        result["duckdb_queries"] = duck
+        result["duckdb_total"] = round(sum(duck.values()), 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -392,3 +392,47 @@ def test_update_mode_reemits_per_trigger(spark, tmp_path):
         b.action,
         b.confidence,
     )
+
+
+def test_streaming_outbox_relay_end_to_end(spark, tmp_path):
+    """S7b: the self-contained CDC leg — stream decisions, persist orders via
+    the idempotent sink, relay them as outbox events through the
+    EventRouter projection (key=aggregate_id, topic, headers)."""
+    from futures_eos_cdc_spark.operators.order_pipeline import (
+        decisions_to_orders,
+        market_prices_df,
+        orders_to_outbox,
+        outbox_event_router,
+    )
+
+    # denser SF so actionable (confidence-gated) orders exist
+    path = _write_stream_input(spark, "/root/testdata/sf0.01", tmp_path)
+    base = str(tmp_path / "relay")
+    writer = parquet_orders_outbox_writer(base)
+
+    def sink(batch_df, epoch_id):
+        batch_df = batch_df.filter(F.col("symbol") != "SENTINEL")
+        writer(decisions_to_orders(batch_df, market_prices_df(spark)), epoch_id)
+
+    q = (
+        streaming_decide(read_signal_stream_files(spark, path))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    orders = spark.read.parquet(base + "/orders")
+    n_orders = orders.count()
+    assert n_orders > 0
+    routed = outbox_event_router(orders_to_outbox(orders)).collect()
+    assert len(routed) == n_orders
+    order_ids = {r.id for r in orders.select("id").collect()}
+    for r in routed:
+        assert r.topic == "trading.orders"
+        assert r.key in order_ids  # key = aggregate_id = order id
+        assert r.header_event_type == "ORDER_CREATED"
+        assert r.value  # JSON payload travels as the record value
