@@ -273,9 +273,11 @@ def decide(
             (
                 F.sum(F.col("vol_tf").cast(DEC)).cast("double") / F.count(F.lit(1))
             ).alias("avg_volatility"),
-            F.when(F.count_distinct(F.col("maj_side")) == 1, F.lit(1.0))
+            # A9: all timeframes' majorities agree ⇔ min == max (maj_side is
+            # never null) — algebraic, so no distinct-agg Expand/exchange
+            F.when(F.min("maj_side") == F.max("maj_side"), F.lit(1.0))
             .otherwise(F.lit(0.5))
-            .alias("alignment"),  # A9
+            .alias("alignment"),
             qty_recent.alias("qty_recent"),  # D5 mean qty of 5 most-recent
         )
         .filter(F.col("n_timeframes") >= 2)  # P5

@@ -47,7 +47,9 @@ def test_flagship_partial_aggregation(spark, sf_dir):
     # partial (map-side) aggregation before the exchange
     plan = _plan(spark, sf_dir, "signal_decisions")
     assert "HashAggregate" in plan
-    assert plan.count("Exchange") >= 2  # (sym,win,tf) ranking + (sym,win) rollup
+    # EXACTLY two hash exchanges: (sym,win,tf) ranking + (sym,win) rollup.
+    # A third would mean a distinct-agg Expand or a join crept back in.
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_no_python_udfs_in_jvm_pipelines(spark, sf_dir):
