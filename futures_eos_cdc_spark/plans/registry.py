@@ -289,14 +289,15 @@ GROUP BY lang
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate profile per language: distinct-text vs total counts.
 
-    At scale, count(DISTINCT text) over long strings should dedup on a hash:
-    Catalyst expands distinct-agg into a two-phase plan; for 100 TB we'd
-    pre-hash (xxhash64/sha2) so the shuffle carries 8-32 bytes, not documents
-    — that variant is operators.dedup.exact_dedup.
+    At scale, count(DISTINCT text) over long strings must dedup on a hash so
+    the distinct-agg shuffle carries a 16-byte digest, not documents —
+    count(DISTINCT md5(text)) is value-identical (collision odds ~n²/2^128)
+    and is what we compute; the oracle keeps DISTINCT text, proving the
+    equivalence. Row-level keep-first dedup is operators.dedup.exact_dedup.
     """
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.count_distinct(F.col("text")).alias("n_unique"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_unique"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
