@@ -115,6 +115,65 @@ def q_text_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-cleaning funnel: quality gate → lang agreement → exact dedup
+# (the composed pipeline a training-data run actually executes)
+# ---------------------------------------------------------------------------
+CORPUS_FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, text,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS stop_hits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+    len(list_filter(toks, x -> x IN ({_LEX['de']}))) AS s_de,
+    len(list_filter(toks, x -> x IN ({_LEX['en']}))) AS s_en,
+    len(list_filter(toks, x -> x IN ({_LEX['es']}))) AS s_es,
+    len(list_filter(toks, x -> x IN ({_LEX['fr']}))) AS s_fr
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang, text,
+    round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      + (CAST(1.0 AS DOUBLE)
+         - least(CAST(1.0 AS DOUBLE), (CAST(punct_chars AS DOUBLE) / length(text)) * 10.0)) * 0.3
+      + least(CAST(1.0 AS DOUBLE), (CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0) * 0.3, 6)
+      AS quality,
+    CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (quality >= CAST(0.5 AS DOUBLE) AND lang_pred = lang)
+    AS BIGINT) AS n_kept,
+  CAST(count(DISTINCT CASE WHEN quality >= CAST(0.5 AS DOUBLE) AND lang_pred = lang
+    THEN md5(text) END) AS BIGINT) AS n_unique_kept
+FROM scored
+GROUP BY lang
+"""
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Per-language funnel counts for the composed cleaning pipeline:
+    input → quality ≥ 0.5 ∧ lang-ID agrees → content-hash unique. One scan,
+    one aggregation; the dedup counts on md5 digests (16-byte shuffle)."""
+    d = with_text_stats(spread(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text"))
+    keep = (F.col("quality") >= 0.5) & (F.col("lang_pred") == F.col("lang"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count_distinct(F.when(keep, F.md5(F.col("text")))).alias("n_unique_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate pairs (verified with exact Jaccard)
 # ---------------------------------------------------------------------------
 def _mh_sql(i: int) -> str:

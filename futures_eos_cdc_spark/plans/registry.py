@@ -376,6 +376,8 @@ QUERIES["exact_dedup_keep_first"] = _bind(_dp.q_exact_dedup)
 ORACLES["exact_dedup_keep_first"] = _dp.EXACT_DEDUP_ORACLE
 QUERIES["text_stats"] = _bind(_dp.q_text_stats)
 ORACLES["text_stats"] = _dp.TEXT_STATS_ORACLE
+QUERIES["corpus_clean_funnel"] = _bind(_dp.q_corpus_funnel)
+ORACLES["corpus_clean_funnel"] = _dp.CORPUS_FUNNEL_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
 ORACLES["minhash_lsh_near_dup"] = _dp.MINHASH_ORACLE
 QUERIES["ngram_jaccard_near_dup"] = _bind(_dp.q_ngram_jaccard)
