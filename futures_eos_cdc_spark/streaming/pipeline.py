@@ -48,6 +48,14 @@ SIGNAL_STREAM_SCHEMA = (
     "timeframe string, ts_us long"
 )
 
+# T5: the reference's RocksDB state store (SignalTopology.kt:30-37, spilled
+# keyed state + changelog recovery) maps to Spark's RocksDB provider — set
+# this session conf before starting a stateful stream; checkpointLocation
+# replaces the changelog topic. Bundled with Spark ≥3.2, no extra jars.
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 # ---------------------------------------------------------------------------
 # Sources

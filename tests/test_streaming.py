@@ -436,3 +436,28 @@ def test_streaming_outbox_relay_end_to_end(spark, tmp_path):
         assert r.key in order_ids  # key = aggregate_id = order id
         assert r.header_event_type == "ORDER_CREATED"
         assert r.value  # JSON payload travels as the record value
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir, tmp_path):
+    """T5: the windowed aggregation runs on the RocksDB state store provider
+    (the reference's store) and produces the same decisions."""
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(key, ROCKSDB_STATE_STORE_PROVIDER)
+    try:
+        path = _write_stream_input(spark, sf_dir, tmp_path)
+        out = {
+            (r.symbol, r.window_start_s): (r.balance, r.action)
+            for r in _run_stream(spark, path, "rocks1").collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    batch = {
+        (r.symbol, r.window_start_s): (r.balance, r.action)
+        for r in decide(_signals(spark, sf_dir)).collect()
+    }
+    assert out == batch
