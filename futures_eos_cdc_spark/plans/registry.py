@@ -418,6 +418,38 @@ ORACLES["signal_strength_histogram"] = _tm.STRENGTH_ORACLE
 # sketch internals are engine-specific → rows-only + accuracy asserted in tests
 QUERIES["approx_aggregates"] = _bind(_tm.q_approx_aggregates)
 
+# ---------------------------------------------------------------------------
+# Wider TPC-H coverage (Q7-Q22 shapes) — see plans.tpch_wide
+# ---------------------------------------------------------------------------
+from . import tpch_wide as _tw  # noqa: E402
+
+QUERIES["q7_nation_trade_volume"] = _bind(_tw.q_nation_trade_volume)
+ORACLES["q7_nation_trade_volume"] = _tw.Q7_ORACLE
+QUERIES["q8_market_share"] = _bind(_tw.q_market_share)
+ORACLES["q8_market_share"] = _tw.Q8_ORACLE
+QUERIES["q9_profit_by_nation"] = _bind(_tw.q_profit_by_nation)
+ORACLES["q9_profit_by_nation"] = _tw.Q9_ORACLE
+QUERIES["q10_returned_items"] = _bind(_tw.q_returned_items)
+ORACLES["q10_returned_items"] = _tw.Q10_ORACLE
+QUERIES["q11_important_suppliers"] = _bind(_tw.q_important_suppliers)
+ORACLES["q11_important_suppliers"] = _tw.Q11_ORACLE
+QUERIES["q13_order_count_distribution"] = _bind(_tw.q_customer_order_distribution)
+ORACLES["q13_order_count_distribution"] = _tw.Q13_ORACLE
+QUERIES["q15_top_supplier"] = _bind(_tw.q_top_supplier)
+ORACLES["q15_top_supplier"] = _tw.Q15_ORACLE
+QUERIES["q16_supplier_diversity"] = _bind(_tw.q_supplier_diversity)
+ORACLES["q16_supplier_diversity"] = _tw.Q16_ORACLE
+QUERIES["q17_small_quantity_revenue"] = _bind(_tw.q_small_quantity_revenue)
+ORACLES["q17_small_quantity_revenue"] = _tw.Q17_ORACLE
+QUERIES["q19_disjunctive_revenue"] = _bind(_tw.q_disjunctive_revenue)
+ORACLES["q19_disjunctive_revenue"] = _tw.Q19_ORACLE
+QUERIES["q20_excess_stock_suppliers"] = _bind(_tw.q_excess_stock_suppliers)
+ORACLES["q20_excess_stock_suppliers"] = _tw.Q20_ORACLE
+QUERIES["q21_sole_blame_suppliers"] = _bind(_tw.q_sole_blame_suppliers)
+ORACLES["q21_sole_blame_suppliers"] = _tw.Q21_ORACLE
+QUERIES["q22_idle_wealthy_customers"] = _bind(_tw.q_idle_wealthy_customers)
+ORACLES["q22_idle_wealthy_customers"] = _tw.Q22_ORACLE
+
 
 @query("decision_records")  # nested signal arrays aren't hash-comparable → rows-only
 def q_decision_records(spark: SparkSession, sf_dir: str) -> DataFrame:
