@@ -37,16 +37,23 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        # Drop cached intermediates so the timed run measures the query's own
-        # computation (operators may persist() shared subplans WITHIN a query
-        # — that stays; cross-run cache reuse would not be honest).
-        spark.catalog.clearCache()
-        df = fn(spark, sf_dir)  # fresh plan, warm codegen/broadcast caches
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # One broken query must not zero out the round's perf signal:
+        # record the error and keep going (lesson of round 1).
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+            # Drop cached intermediates so the timed run measures the query's
+            # own computation (operators may persist() shared subplans WITHIN
+            # a query — that stays; cross-run cache reuse would not be honest).
+            spark.catalog.clearCache()
+            df = fn(spark, sf_dir)  # fresh plan, warm codegen/broadcast caches
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -56,6 +63,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
 
     # Optional: time the DuckDB oracles on the same tables for the
     # BASELINE.md "within 2x of the oracle engine" comparison.

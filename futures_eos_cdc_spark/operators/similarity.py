@@ -214,7 +214,10 @@ def ivf_train(
 
     This is the offline "train" phase of IVF (at 100 TB you run it once on a
     sample and persist the centroids); only n_cells x dim doubles ever reach
-    the driver. Each Lloyd step is one hash aggregation on the cell id.
+    the driver. Each Lloyd step is one hash aggregation on (cell, dim_idx) —
+    partial (map-side) sums keep per-group state at one double, so a hot cell
+    never materializes its member vectors (the collect_list formulation OOMs
+    at corpus scale — a cell with 1e9 members is a 256 GB array).
     """
     centroids = _hyperplanes(dim, n_cells, seed)
     v = embeddings.select(F.col(vec_col).alias("vec"))
@@ -222,21 +225,24 @@ def ivf_train(
         assigned = v.withColumn(
             "cell", _cell_ranking_expr(F.col("vec"), centroids).getItem(0)
         )
-        sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.aggregate(
-                    F.collect_list("vec"),
-                    F.array(*[F.lit(0.0)] * dim),
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b.cast("double")),
-                ).alias("vsum"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        # (cell, dim_idx) grid: dim_sums is n_cells x dim rows of scalar
+        # sums; counts is n_cells rows. Both are partial-aggregated
+        # map-side, so the shuffle carries O(n_cells * dim) doubles total.
+        exploded = assigned.select(
+            "cell", F.posexplode(F.col("vec")).alias("dim_idx", "val")
+        )
+        dim_sums = (
+            exploded.groupBy("cell", "dim_idx")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"))
             .collect()
         )
-        new = list(centroids)
-        for row in sums:
-            new[row["cell"]] = [s / row["n"] for s in row["vsum"]]
+        counts = {
+            row["cell"]: row["n"]
+            for row in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        new = [list(c) for c in centroids]
+        for row in dim_sums:
+            new[row["cell"]][row["dim_idx"]] = row["s"] / counts[row["cell"]]
         centroids = new
     return centroids
 
@@ -297,27 +303,53 @@ def ann_topk_ivf(
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
     seed: int = 42,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the same LSH buckets:
-    pairs sharing a bucket with cosine ≥ threshold (a < b)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH.
+
+    L tables x b sign-bits (the ann_topk_lsh machinery): a pair is a
+    candidate if it collides in ANY table — recall 1-(1-p^b)^L where
+    p = 1 - angle/pi, so at near-dup thresholds (cosine >= 0.9, p >= 0.9)
+    recall is ~1.0 while each table's bucket population is ~N/2^b.
+
+    Scale guards (vs the naive single-table form, which is O(N^2/2^b)):
+    - expected bucket size shrinks exponentially in b, and b can grow with
+      corpus size without losing recall because L tables vote;
+    - ``max_bucket`` drops buckets above a population cap (a degenerate
+      all-zeros / viral-cluster bucket would otherwise go quadratic). A
+      dropped bucket only loses pairs that collide in NO other table.
+    Within-bucket pairing is (table, bucket)-local; the pair-dedup shuffle
+    carries ids only.
+    """
+    tables = [
+        _hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)
+    ]
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+        F.explode(_table_buckets_expr(F.col(vec_col), tables)).alias("tb"),
+    ).select("id", "vec", "tb.table", "tb.bucket")
+    if max_bucket is not None:
+        counts = e.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        e = e.join(
+            F.broadcast(counts.filter(F.col("_bn") > max_bucket)),
+            ["table", "bucket"],
+            "left_anti",
+        )
+    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "table", "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "table", "bucket")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

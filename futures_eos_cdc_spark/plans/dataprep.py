@@ -359,10 +359,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     # The fixture has no true duplicates (max pairwise cosine ≈ 0.48), so the
-    # demo threshold is 0.3 — high-similarity pairs, same machinery.
-    return embedding_near_dup(spread(_t(spark, sf_dir, "embeddings")), threshold=0.3)
+    # demo threshold is 0.3 — high-similarity pairs, same machinery. At this
+    # low threshold the collision probability per bit is only ~0.6, so the
+    # demo uses short tables and more of them (12 x 4 bits → recall ~0.8);
+    # production near-dup (cosine ≥ 0.9, p ≥ 0.85) keeps the 8 x 8 default
+    # with recall ~0.95 and exponentially smaller buckets.
+    return embedding_near_dup(
+        spread(_t(spark, sf_dir, "embeddings")),
+        threshold=0.3,
+        n_tables=12,
+        bits_per_table=4,
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    # The driver canonicalizer hashes result cells; serialize the
+    # array<double> feature vector to JSON so every column is scalar.
     docs = spread(_t(spark, sf_dir, "documents"))
-    return decode_features(attach_binary(docs))
+    feats = decode_features(attach_binary(docs))
+    return feats.withColumn("features", F.to_json(F.col("features")))

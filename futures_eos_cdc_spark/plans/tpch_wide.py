@@ -38,8 +38,8 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
 ) shipping
 GROUP BY 1, 2, 3
 """
@@ -66,11 +66,13 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
+    # NATION_3/NATION_19: the pair is populated at every fixture SF
+    # (NATION_1/NATION_2 is empty at sf0.001).
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_3"))
     return (
-        li.join(F.broadcast(s), "l_suppkey")
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .filter(pair)
@@ -137,7 +139,7 @@ def q_market_share(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
     nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(s), "l_suppkey")
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -201,8 +203,8 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), "l_partkey")
-        .join(F.broadcast(s), "l_suppkey")
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -345,7 +347,7 @@ WITH revenue AS (
     CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10)))
       AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
-  WHERE epoch(l_shipdate) >= 852076800 AND epoch(l_shipdate) < 859766400
+  WHERE epoch(l_shipdate) >= 852076800 AND epoch(l_shipdate) < 859852800
   GROUP BY l_suppkey
 )
 SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -411,7 +413,7 @@ def q_supplier_diversity(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -649,17 +651,22 @@ SELECT
 FROM customer c, avgbal
 WHERE c.c_nationkey % 5 IN (0, 1, 2)
   AND c.c_acctbal > avgbal.a
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
 GROUP BY 1
 """
 
 
 def q_idle_wealthy_customers(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     """TPC-H Q22 shape: global scalar AVG subquery (1-row broadcast) gating a
-    NOT EXISTS anti-join, grouped output. The anti-join probe projects only
-    o_custkey — at 100 TB the shuffled payload is one bigint per order; the
-    scalar avg is decimal-exact so the > comparison matches the oracle
-    bit-for-bit."""
+    NOT EXISTS anti-join (customers with no URGENT order — the fixture has an
+    order for every customer, so the classic "no orders at all" form is
+    structurally empty), grouped output. The anti-join probe filter pushes to
+    the orders scan and projects only o_custkey — at 100 TB the shuffled
+    payload is one bigint per qualifying order; the scalar avg is
+    decimal-exact so the > comparison matches the oracle bit-for-bit."""
     c = _t(spark, sf_dir, "customer")
     avgbal = (
         c.filter(F.col("c_acctbal") > 0.0)
@@ -667,7 +674,11 @@ def q_idle_wealthy_customers(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("a")
         )
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     code = (F.col("c_nationkey") % 5).cast("long")
     return (
         c.filter(code.isin(0, 1, 2))

@@ -36,41 +36,52 @@ def jdbc_orders_outbox_writer(jdbc_url: str, properties: dict[str, str]):
     and commits — mirroring DatabaseManager.saveOrderWithOutbox, scaled out.
     """
 
-    def write(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()  # order batches are tiny (post-aggregation)
+    def write_partition(rows) -> None:  # pragma: no cover - needs driver jar
+        """Runs ON THE EXECUTOR: one connection + one transaction per
+        partition, batched inserts. Idempotent under replay via ON CONFLICT
+        DO NOTHING on the unique keys (client_order_id / event_id), so
+        at-least-once re-delivery of a whole partition is a no-op."""
+        rows = list(rows)
         if not rows:
             return
         import importlib
 
         try:
             jaydebeapi = importlib.import_module("jaydebeapi")  # optional
-        except ModuleNotFoundError as exc:  # pragma: no cover
+        except ModuleNotFoundError as exc:
             raise RuntimeError(
                 "JDBC sink needs a JDBC bridge (jaydebeapi) + driver jar; "
                 "use parquet_orders_outbox_writer for local runs"
             ) from exc
-        conn = jaydebeapi.connect(properties["driver"], jdbc_url)  # pragma: no cover
-        try:  # pragma: no cover
+        conn = jaydebeapi.connect(properties["driver"], jdbc_url)
+        try:
             cur = conn.cursor()
-            for r in rows:
-                cur.execute(
-                    "INSERT INTO app.orders (id, client_order_id, symbol, side,"
-                    " qty, price, status) VALUES (?,?,?,?,?,?,?)"
-                    " ON CONFLICT (client_order_id) DO NOTHING",
-                    [r.id, r.client_order_id, r.symbol, r.side, r.qty, r.price, r.status],
-                )
-                cur.execute(
-                    "INSERT INTO app.outbox (event_id, aggregate_type,"
-                    " aggregate_id, type, payload) VALUES (?,?,?,?,?)"
-                    " ON CONFLICT (event_id) DO NOTHING",
-                    [r.event_id, "ORDER", r.id, "ORDER_CREATED", r.payload],
-                )
+            cur.executemany(
+                "INSERT INTO app.orders (id, client_order_id, symbol, side,"
+                " qty, price, status) VALUES (?,?,?,?,?,?,?)"
+                " ON CONFLICT (client_order_id) DO NOTHING",
+                [
+                    [r.id, r.client_order_id, r.symbol, r.side, r.qty, r.price, r.status]
+                    for r in rows
+                ],
+            )
+            cur.executemany(
+                "INSERT INTO app.outbox (event_id, aggregate_type,"
+                " aggregate_id, type, payload) VALUES (?,?,?,?,?)"
+                " ON CONFLICT (event_id) DO NOTHING",
+                [[r.event_id, "ORDER", r.id, "ORDER_CREATED", r.payload] for r in rows],
+            )
             conn.commit()
-        except Exception:  # pragma: no cover
+        except Exception:
             conn.rollback()
             raise
-        finally:  # pragma: no cover
+        finally:
             conn.close()
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        # Distributed sink: each executor partition opens one connection and
+        # commits one transaction — no driver-side collect() bottleneck.
+        batch_df.foreachPartition(write_partition)
 
     return write
 
