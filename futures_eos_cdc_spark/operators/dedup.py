@@ -19,6 +19,8 @@ production can swap xxhash64 (cheaper, JVM-intrinsic) via parameters.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,28 @@ from .text import shingles_expr, tokens_expr
 MINHASH_HASHES = 8
 LSH_BANDS = 4  # 4 bands x 2 rows: catches jaccard ≳ 0.4 pairs w.h.p.
 SHINGLE_K = 3
+
+
+def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Release persisted intermediates when `result` is garbage-collected.
+
+    The persisted subplans are shared by several branches of `result`'s
+    plan, so they cannot be unpersisted eagerly (the result is lazy). In a
+    long-lived shared session the caches would otherwise accumulate across
+    queries; this ties their lifetime to the result DataFrame — once the
+    caller drops it, the executor memory is handed back.
+    """
+    jdfs = [c._jdf for c in cached]
+
+    def _release() -> None:
+        for jdf in jdfs:
+            try:
+                jdf.unpersist(False)
+            except Exception:  # session already stopped — nothing to free
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -134,11 +158,14 @@ def minhash_lsh_pairs(
         .join(sets.withColumnRenamed("shingles", "sh_b"),
               cand.doc_b == F.col("sid")).drop("sid")
     )
-    return (
-        pairs.withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    # Filter on the RAW jaccard, round only for output — rounding first
+    # would admit pairs in [t - 5e-7, t) that the exact predicate rejects.
+    out = (
+        pairs.withColumn("jaccard_raw", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+    return _unpersist_on_gc(out, shingle_sets)
 
 
 def ngram_jaccard_pairs(
@@ -181,9 +208,11 @@ def ngram_jaccard_pairs(
     ex_all = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = ex_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Portable composite order key: zero-padded df then shingle — string sort
-    # == (df asc, shingle asc) in any engine.
+    # == (df asc, shingle asc) in any engine. Width 19 holds any BIGINT count
+    # (lpad TRUNCATES when the value outgrows the pad, which would mangle the
+    # rarest-first ordering for shingles with df >= 1e8 at corpus scale).
     order_key = F.concat(
-        F.lpad(F.col("df").cast("string"), 8, "0"), F.lit("|"), F.col("shingle")
+        F.lpad(F.col("df").cast("string"), 19, "0"), F.lit("|"), F.col("shingle")
     )
     keys = (
         ex_all.join(freq, "shingle")
@@ -225,11 +254,14 @@ def ngram_jaccard_pairs(
         .join(sets.withColumnRenamed("shingles", "sh_b"), cand.doc_b == F.col("sid"))
         .drop("sid")
     )
-    return (
-        pairs.withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    # Raw-value filter then round, matching the oracle's order (see
+    # minhash_lsh_pairs).
+    out = (
+        pairs.withColumn("jaccard_raw", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+    return _unpersist_on_gc(out, base, ex)
 
 
 # ---------------------------------------------------------------------------

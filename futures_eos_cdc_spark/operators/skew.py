@@ -33,9 +33,17 @@ _ALGEBRAIC = {
 
 
 def _salt_expr(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt: hash of the whole row disperses evenly
-    without RNG (same input → same plan → reproducible results)."""
-    return F.pmod(F.xxhash64(*[df[c] for c in df.columns]), F.lit(n_salts))
+    """Deterministic per-row salt: hash of the whole row MIXED WITH the row's
+    physical position (partition id + per-partition counter). The position
+    component matters for the headline hot-key case — a viral document
+    duplicated byte-for-byte: a content-only hash gives every copy the SAME
+    salt, collapsing them back onto one reducer. Position-salting disperses
+    them while staying RNG-free; results are unaffected (the salt only picks
+    a reducer), and the salt is stable for a fixed input partitioning."""
+    return F.pmod(
+        F.xxhash64(*[df[c] for c in df.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
 
 
 def salted_aggregate(
@@ -87,7 +95,19 @@ def salted_join(
     side is exploded n_salts× so every (key, salt) pair finds its match. The
     shuffle then partitions on (key, salt) — a key holding 50% of the data
     spreads over n_salts reducers instead of one.
+
+    Only join types where the replicated side never emits unmatched rows are
+    allowed: inner / left / left_semi / left_anti (the big side carries
+    exactly one salt, so its unmatched rows emit once). right/full would emit
+    every unmatched SMALL-side row n_salts times — silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how='{how}' would duplicate unmatched small-side "
+            f"rows {n_salts}x; use one of {sorted(allowed)} or an unsalted join"
+        )
     b = big.withColumn("__salt", _salt_expr(big, n_salts))
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -244,7 +244,7 @@ ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 freq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
 keyed AS (
   SELECT e.doc_id,
-    list_sort(list(lpad(CAST(f.df AS VARCHAR), 8, '0') || '|' || e.shingle)) AS keys
+    list_sort(list(lpad(CAST(f.df AS VARCHAR), 19, '0') || '|' || e.shingle)) AS keys
   FROM ex e JOIN freq f ON e.shingle = f.shingle
   GROUP BY e.doc_id
 ),

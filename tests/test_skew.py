@@ -56,3 +56,48 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    # right/full would emit every unmatched replicated-small-side row
+    # n_salts times — the API must refuse rather than silently corrupt.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    import pytest
+
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, o, ["l_orderkey"], n_salts=4, how=how)
+
+
+def test_salted_join_left_matches_plain(spark, sf_dir):
+    # left outer is allowed: the salted big side carries one salt per row,
+    # so unmatched big rows emit exactly once.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    plain = li.join(o, ["l_orderkey"], "left").groupBy("o_orderpriority").count()
+    salted = (
+        salted_join(li, o, ["l_orderkey"], n_salts=8, how="left")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    key = lambda rows: sorted(map(tuple, rows), key=repr)  # noqa: E731 (None keys)
+    assert key(plain.collect()) == key(salted.collect())
+
+
+def test_duplicate_rows_get_distinct_salts(spark, sf_dir):
+    # The viral-document case: byte-identical rows must NOT collapse onto
+    # one salt (content-only hashing would put them all on one reducer).
+    from futures_eos_cdc_spark.operators.skew import _salt_expr
+
+    dup = spark.range(1).select(F.lit("same").alias("k")).crossJoin(
+        spark.range(2000).select(F.lit("x").alias("v"))
+    ).select("k", "v")
+    n = dup.select(_salt_expr(dup, 16).alias("s")).distinct().count()
+    assert n >= 8, f"identical rows collapsed onto {n} salts"
