@@ -1,0 +1,94 @@
+"""Public Column-expression library: the engine's reusable scalar functions.
+
+Everything here is a pure ``pyspark.sql.Column`` expression (JVM-side,
+whole-stage-codegen-friendly — no Python UDFs), reusable outside the packaged
+operators: compose them in your own ``select``/``withColumn`` pipelines.
+
+Grouped by domain:
+
+- text:       ``tokens``, ``token_count``, ``subword_count``, ``shingles``,
+              ``stopword_ratio``, ``punct_ratio``, ``quality_score``,
+              ``lang_id``, ``fingerprint``
+- similarity: ``dot``, ``norm``, ``cosine``
+- sets:       ``jaccard``
+- hashing:    ``minhash_signatures``, ``lsh_bucket``, ``simhash16``
+
+The reference engine exposes no user-function surface (its transforms are
+fixed topology stages — SignalTopology.kt); this library is the Spark-native
+generalization: the same expressions its pipelines use, importable à la
+carte.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import (
+    jaccard_expr as jaccard,
+)
+from ..operators.dedup import (
+    lsh_bands_expr as minhash_lsh_bands,
+)
+from ..operators.dedup import (
+    minhash_signature_exprs as minhash_signatures,
+)
+from ..operators.dedup import (
+    simhash16_expr as simhash16,
+)
+from ..operators.similarity import (
+    cosine_expr as cosine,
+)
+from ..operators.similarity import (
+    dot_expr as dot,
+)
+from ..operators.similarity import (
+    lsh_bucket_expr as lsh_bucket,
+)
+from ..operators.similarity import (
+    norm_expr as norm,
+)
+from ..operators.text import (
+    fingerprint_expr as fingerprint,
+)
+from ..operators.text import (
+    lang_id_expr as lang_id,
+)
+from ..operators.text import (
+    punct_ratio_expr as punct_ratio,
+)
+from ..operators.text import (
+    quality_score_expr as quality_score,
+)
+from ..operators.text import (
+    shingles_expr as shingles,
+)
+from ..operators.text import (
+    stopword_ratio_expr as stopword_ratio,
+)
+from ..operators.text import (
+    subword_count_expr as subword_count,
+)
+from ..operators.text import (
+    token_count_expr as token_count,
+)
+from ..operators.text import (
+    tokens_expr as tokens,
+)
+
+__all__ = [
+    "cosine",
+    "dot",
+    "fingerprint",
+    "jaccard",
+    "lang_id",
+    "lsh_bucket",
+    "minhash_lsh_bands",
+    "minhash_signatures",
+    "norm",
+    "punct_ratio",
+    "quality_score",
+    "shingles",
+    "simhash16",
+    "stopword_ratio",
+    "subword_count",
+    "token_count",
+    "tokens",
+]

@@ -343,6 +343,29 @@ def _bind(fn):
     return lambda spark, sf_dir: fn(spark, sf_dir, _t)
 
 
+# Registered early: the driver walks QUERIES in insertion order under a
+# budget, and these four had no CORRECTNESS row in round 1 (the run stopped
+# after ~50 queries). Fresh rows beat re-verifying known-green ones.
+from . import tpch_wide as _tw  # noqa: E402
+
+QUERIES["q20_excess_stock_suppliers"] = _bind(_tw.q_excess_stock_suppliers)
+ORACLES["q20_excess_stock_suppliers"] = _tw.Q20_ORACLE
+QUERIES["q21_sole_blame_suppliers"] = _bind(_tw.q_sole_blame_suppliers)
+ORACLES["q21_sole_blame_suppliers"] = _tw.Q21_ORACLE
+QUERIES["q22_idle_wealthy_customers"] = _bind(_tw.q_idle_wealthy_customers)
+ORACLES["q22_idle_wealthy_customers"] = _tw.Q22_ORACLE
+
+
+@query("decision_records")  # nested signal arrays aren't hash-comparable → rows-only
+def q_decision_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: full TradingDecision wire records with the embedded ts-descending
+    signals array (A7), deterministic sha ids, window-derived timestamps."""
+    from ..operators.signal_pipeline import signals_from_events, to_decision_records
+
+    signals = signals_from_events(_t(spark, sf_dir, "events"))
+    return to_decision_records(decisions_from_events(_t(spark, sf_dir, "events")), signals)
+
+
 QUERIES["window_functions"] = _bind(_rel.q_window_functions)
 ORACLES["window_functions"] = _rel.WINDOW_FUNCS_ORACLE
 QUERIES["topk_per_group"] = _bind(_rel.q_topk_per_group)
@@ -420,9 +443,8 @@ QUERIES["approx_aggregates"] = _bind(_tm.q_approx_aggregates)
 
 # ---------------------------------------------------------------------------
 # Wider TPC-H coverage (Q7-Q22 shapes) — see plans.tpch_wide
+# (q20/q21/q22 registered earlier, near the top of the walk order)
 # ---------------------------------------------------------------------------
-from . import tpch_wide as _tw  # noqa: E402
-
 QUERIES["q7_nation_trade_volume"] = _bind(_tw.q_nation_trade_volume)
 ORACLES["q7_nation_trade_volume"] = _tw.Q7_ORACLE
 QUERIES["q8_market_share"] = _bind(_tw.q_market_share)
@@ -443,19 +465,3 @@ QUERIES["q17_small_quantity_revenue"] = _bind(_tw.q_small_quantity_revenue)
 ORACLES["q17_small_quantity_revenue"] = _tw.Q17_ORACLE
 QUERIES["q19_disjunctive_revenue"] = _bind(_tw.q_disjunctive_revenue)
 ORACLES["q19_disjunctive_revenue"] = _tw.Q19_ORACLE
-QUERIES["q20_excess_stock_suppliers"] = _bind(_tw.q_excess_stock_suppliers)
-ORACLES["q20_excess_stock_suppliers"] = _tw.Q20_ORACLE
-QUERIES["q21_sole_blame_suppliers"] = _bind(_tw.q_sole_blame_suppliers)
-ORACLES["q21_sole_blame_suppliers"] = _tw.Q21_ORACLE
-QUERIES["q22_idle_wealthy_customers"] = _bind(_tw.q_idle_wealthy_customers)
-ORACLES["q22_idle_wealthy_customers"] = _tw.Q22_ORACLE
-
-
-@query("decision_records")  # nested signal arrays aren't hash-comparable → rows-only
-def q_decision_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D6: full TradingDecision wire records with the embedded ts-descending
-    signals array (A7), deterministic sha ids, window-derived timestamps."""
-    from ..operators.signal_pipeline import signals_from_events, to_decision_records
-
-    signals = signals_from_events(_t(spark, sf_dir, "events"))
-    return to_decision_records(decisions_from_events(_t(spark, sf_dir, "events")), signals)
