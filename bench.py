@@ -90,6 +90,11 @@ def main() -> None:
             duck[name] = round(time.perf_counter() - t0, 3)
         result["duckdb_queries"] = duck
         result["duckdb_total"] = round(sum(duck.values()), 3)
+        # Apples-to-apples: Spark time over the SAME query set DuckDB ran
+        # (engine-specific rows-only queries have no DuckDB counterpart).
+        result["oracle_matched_spark_total"] = round(
+            sum(v for k, v in timings.items() if k in duck), 3
+        )
 
     print(json.dumps(result))
 

@@ -1,0 +1,80 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+A 100 TB corpus is split train/val/test by CONTENT-STABLE hashing, never by
+`rand()`: the assignment must survive re-runs, repartitioning, and incremental
+appends (a new file must not reshuffle old rows between splits). The operator
+hashes a stable id with a salt and compares the first hex byte against
+cumulative thresholds — one projection, no shuffle, no state.
+
+Changing ``salt`` re-deals the assignment (for ablations); changing nothing
+reproduces it bit-for-bit in any engine with md5 (the DuckDB oracle runs the
+same expression).
+
+Granularity is 1/256 per threshold step — plenty for split ratios; use
+4 hex chars (65536 steps) if sub-0.4% precision is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(label, exclusive upper hex-byte bound) pairs for all labels but the
+    last; the last label is the CASE's ELSE arm (absorbs rounding
+    remainder, so the bounds always cover the full 0x00-0xff range)."""
+    total = sum(weights.values())
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    for label in list(weights)[:-1]:
+        acc += weights[label] / total
+        bounds.append((label, format(min(255, round(acc * 256)), "02x")))
+    return bounds
+
+
+def split_label_expr(
+    id_col: Column, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Content-stable split label: first hex byte of md5(salt|id) vs
+    cumulative thresholds. Hex-string comparison is identical in every
+    engine (lowercase md5), so oracles reproduce the assignment exactly."""
+    bucket = F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 2)
+    expr = None
+    for label, ub in split_thresholds(weights):
+        cond = bucket < F.lit(ub)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = list(weights)[-1]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def split_label_sql(id_sql: str, weights: dict[str, float], salt: str = "split") -> str:
+    """The same assignment as ANSI SQL (DuckDB oracle)."""
+    bucket = f"substr(md5('{salt}|' || CAST({id_sql} AS VARCHAR)), 1, 2)"
+    cases = "".join(
+        f" WHEN {bucket} < '{ub}' THEN '{label}'"
+        for label, ub in split_thresholds(weights)
+    )
+    last = list(weights)[-1]
+    return f"CASE{cases} ELSE '{last}' END"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column: deterministic train/val/test assignment."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_label_expr(F.col(id_col), weights, salt))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Content-stable Bernoulli sample: same rows every run, append-safe
+    (unlike ``df.sample``, whose selection depends on partitioning)."""
+    return hash_split(
+        df, id_col, {"keep": fraction, "drop": 1.0 - fraction}, salt
+    ).filter(F.col("split") == "keep").drop("split")

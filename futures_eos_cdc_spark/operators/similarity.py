@@ -28,6 +28,36 @@ def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_pandas_udf():
+    """Arrow-vectorized pair dot product: the scale path for candidate
+    VERIFICATION stages that evaluate millions of dots (near-dup verify).
+
+    Spark's higher-order functions (zip_with/aggregate) are interpreted per
+    element — fine on N rows, dominant on N² candidate pairs. This kernel
+    moves each Arrow batch to numpy once and does one einsum: ~50x fewer
+    per-element dispatches. Oracle-checked paths keep the fold-based
+    ``dot_expr`` (bit-reproducible left fold); this is for engine-specific
+    operators where throughput wins.
+
+    Built lazily (inside a function) so importing the module never triggers
+    a pandas/pyarrow import on the driver path that doesn't need it.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot(a, b):
+        import numpy as np
+
+        stacked_a = np.vstack(a.to_numpy())
+        stacked_b = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", stacked_a, stacked_b))
+
+    # Annotate at runtime (PEP-563 string hints from `from __future__ import
+    # annotations` don't resolve for locally-imported pandas).
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot, "double")
+
+
 def norm_expr(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -311,45 +341,111 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH.
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH,
+    executed as Arrow-batched numpy kernels end-to-end.
 
-    L tables x b sign-bits (the ann_topk_lsh machinery): a pair is a
-    candidate if it collides in ANY table — recall 1-(1-p^b)^L where
-    p = 1 - angle/pi, so at near-dup thresholds (cosine >= 0.9, p >= 0.9)
-    recall is ~1.0 while each table's bucket population is ~N/2^b.
+    L tables x b sign-bits (the same seeded hyperplane family as
+    ``ann_topk_lsh``): a pair is a candidate if it collides in ANY table —
+    recall 1-(1-p^b)^L with p = 1 - angle/pi, so at near-dup thresholds
+    (cosine >= 0.9, p >= 0.9) recall is ~1.0 while each table's bucket
+    population is ~N/2^b.
 
-    Scale guards (vs the naive single-table form, which is O(N^2/2^b)):
-    - expected bucket size shrinks exponentially in b, and b can grow with
-      corpus size without losing recall because L tables vote;
-    - ``max_bucket`` drops buckets above a population cap (a degenerate
-      all-zeros / viral-cluster bucket would otherwise go quadratic). A
-      dropped bucket only loses pairs that collide in NO other table.
-    Within-bucket pairing is (table, bucket)-local; the pair-dedup shuffle
-    carries ids only.
+    Plan shape (one shuffle):
+    1. ``mapInPandas`` signature kernel — one matrix multiply per Arrow batch
+       computes ALL L·b plane dots, bucket ids, and the L2-normalized vector
+       (expression-tree higher-order functions evaluate these interpreted,
+       per element — ~50x slower on the same data).
+    2. ONE shuffle on (table, bucket) into ``applyInPandas`` — each bucket's
+       pairwise cosines are one chunked X @ X.T; only pairs >= threshold are
+       emitted, so the dedup that follows sees verified pairs (tiny), not
+       the full candidate set.
+    3. ``dropDuplicates`` on (id_a, id_b) — a pair colliding in several
+       tables carries a bit-identical cosine, so any copy survives.
+
+    Scale guards: bucket size shrinks exponentially in b (grow b with corpus
+    size; L tables keep recall), and buckets above ``max_bucket`` are skipped
+    inside the kernel — a degenerate viral-cluster bucket can't go quadratic;
+    its pairs are only lost if NO other table catches them. The pairwise
+    kernel computes in row-chunks so its memory is O(chunk x bucket), not
+    O(bucket^2).
+
+    Rows-only at the driver (the hyperplane LCG is engine-specific);
+    correctness is pinned by the brute-force recall pytest.
     """
-    tables = [
-        _hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)
-    ]
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(_table_buckets_expr(F.col(vec_col), tables)).alias("tb"),
-    ).select("id", "vec", "tb.table", "tb.bucket")
-    if max_bucket is not None:
-        counts = e.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
-        e = e.join(
-            F.broadcast(counts.filter(F.col("_bn") > max_bucket)),
-            ["table", "bucket"],
-            "left_anti",
+    import numpy as np
+
+    planes = np.array(
+        [_hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(n_tables)]
+    )  # (L, b, dim)
+    flat = planes.reshape(n_tables * bits_per_table, dim).T.copy()  # (dim, L*b)
+    bit_weights = 1 << np.arange(bits_per_table)
+    n_t, n_b = n_tables, bits_per_table
+    cap = max_bucket if max_bucket is not None else 1 << 62
+
+    def signature_batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = _np.vstack(pdf[id_col + "_vec_tmp"].to_numpy()).astype(_np.float64)
+            signs = (x @ flat) >= 0.0  # same convention as lsh_bucket_expr
+            buckets = (
+                signs.reshape(len(pdf), n_t, n_b) * bit_weights
+            ).sum(axis=2)  # (n, L)
+            nrm = _np.linalg.norm(x, axis=1, keepdims=True)
+            xn = x / _np.where(nrm == 0.0, 1.0, nrm)
+            unit = list(xn)
+            for t in range(n_t):
+                yield _pd.DataFrame(
+                    {
+                        "id": pdf["_id_tmp"],
+                        "table": t,
+                        "bucket": buckets[:, t],
+                        "vec": unit,
+                    }
+                )
+
+    def bucket_pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        n = len(pdf)
+        empty = _pd.DataFrame({"id_a": _pd.Series(dtype="int64"),
+                               "id_b": _pd.Series(dtype="int64"),
+                               "cosine": _pd.Series(dtype="float64")})
+        if n < 2 or n > cap:
+            return empty
+        ids = pdf["id"].to_numpy()
+        order = _np.argsort(ids)
+        ids = ids[order]
+        x = _np.vstack(pdf["vec"].to_numpy())[order]
+        out_a, out_b, out_c = [], [], []
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            cos = x[lo:hi] @ x.T  # (chunk, n)
+            rows, cols = _np.nonzero(cos >= threshold)
+            keep = lo + rows < cols  # i < j: upper triangle only
+            out_a.append(ids[lo + rows[keep]])
+            out_b.append(ids[cols[keep]])
+            out_c.append(cos[rows[keep], cols[keep]])
+        return _pd.DataFrame(
+            {
+                "id_a": _np.concatenate(out_a),
+                "id_b": _np.concatenate(out_b),
+                "cosine": _np.round(_np.concatenate(out_c), 6),
+            }
         )
-    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "table", "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "table", "bucket")
-    return (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    prepped = embeddings.select(
+        F.col(id_col).alias("_id_tmp"), F.col(vec_col).alias(id_col + "_vec_tmp")
     )
+    sig = prepped.mapInPandas(
+        signature_batches, "id long, table int, bucket long, vec array<double>"
+    )
+    pairs = sig.groupBy("table", "bucket").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])

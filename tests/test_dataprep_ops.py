@@ -134,3 +134,34 @@ def test_multimodal_resize_and_frame_sample_shapes(spark, sf_dir):
     n_in = mm.count()
     assert frames.count() >= n_in  # at least one frame per doc
     assert "frame_payload" in frames.columns
+
+
+def test_embedding_near_dup_recall_and_precision(spark, sf_dir):
+    # The Arrow-kernel LSH path: every emitted pair must truly clear the
+    # threshold (zero false positives — pairs are verified with exact cosine
+    # inside the bucket kernel), and recall vs brute force stays useful even
+    # in the fixture's hardest regime (no planted dups, threshold 0.3).
+    from futures_eos_cdc_spark.operators.similarity import (
+        cosine_expr,
+        embedding_near_dup,
+    )
+
+    e = _emb(spark, sf_dir)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(
+            e, threshold=0.3, n_tables=12, bits_per_table=4
+        ).collect()
+    }
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    assert not (got - truth), "false positives emitted"
+    assert len(got & truth) / len(truth) >= 0.6, "recall too low"
+    assert all(x < y for x, y in got)
