@@ -378,3 +378,104 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     feats = decode_features(attach_binary(docs))
     return feats.withColumn("features", F.to_json(F.col("features")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (content-stable hashing)
+# ---------------------------------------------------------------------------
+from ..operators.sampling import hash_split, split_label_sql  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+SPLIT_ORACLE = f"""
+SELECT
+  {split_label_sql("doc_id", _SPLIT_WEIGHTS)} AS split,
+  lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+    / count(*) AS avg_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Content-stable 80/10/10 split over documents, summarized per
+    (split, lang). The assignment is one md5 projection — no shuffle, no
+    state, append-safe at 100 TB (new files never re-deal old rows); the
+    single exchange is the 2-key summary aggregate. The oracle reruns the
+    identical CASE over md5, so assignment parity is hash-checked row by
+    row (not just proportions)."""
+    from .registry import _davg
+
+    docs = hash_split(spread(_t(spark, sf_dir, "documents")), "doc_id", _SPLIT_WEIGHTS)
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _davg(F.col("n_chars"), "avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (corpus statistics pipeline)
+# ---------------------------------------------------------------------------
+TFIDF_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the corpus-statistics shape every
+    training pipeline computes. Three aggregates (tf per doc-term, df per
+    term, N), one broadcast of the term-df table (|vocab| rows, small
+    relative to the corpus; at 100 TB bucket both sides by term instead),
+    and a WindowGroupLimit caps the per-doc sort at k. Ranking uses the
+    ROUNDED score so cross-engine ULP noise in ln() cannot flip the order;
+    ties break on the term itself."""
+    from ..operators.text import tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df falls out of tf for free (# of (doc, term) rows per term) — no
+    # second tokenize+explode pass; AQE reuses the tf exchange for both
+    # consumers.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )

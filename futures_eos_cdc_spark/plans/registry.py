@@ -366,6 +366,23 @@ def q_decision_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_decision_records(decisions_from_events(_t(spark, sf_dir, "events")), signals)
 
 
+# New this round (also early in the walk order — no prior CORRECTNESS rows):
+# split / TF-IDF / percentiles / grouping sets / range join.
+from . import dataprep as _dp_early  # noqa: E402
+from . import relational as _rel_early  # noqa: E402
+
+QUERIES["train_val_test_split"] = _bind(_dp_early.q_train_val_test_split)
+ORACLES["train_val_test_split"] = _dp_early.SPLIT_ORACLE
+QUERIES["tfidf_top_terms"] = _bind(_dp_early.q_tfidf_top_terms)
+ORACLES["tfidf_top_terms"] = _dp_early.TFIDF_ORACLE
+QUERIES["order_value_percentiles"] = _bind(_rel_early.q_percentiles)
+ORACLES["order_value_percentiles"] = _rel_early.PERCENTILES_ORACLE
+QUERIES["grouping_sets_revenue"] = _bind(_rel_early.q_grouping_sets)
+ORACLES["grouping_sets_revenue"] = _rel_early.GROUPING_SETS_ORACLE
+QUERIES["range_join_click_attribution"] = _bind(_rel_early.q_range_join)
+ORACLES["range_join_click_attribution"] = _rel_early.RANGE_JOIN_ORACLE
+
+
 QUERIES["window_functions"] = _bind(_rel.q_window_functions)
 ORACLES["window_functions"] = _rel.WINDOW_FUNCS_ORACLE
 QUERIES["topk_per_group"] = _bind(_rel.q_topk_per_group)

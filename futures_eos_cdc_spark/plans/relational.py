@@ -395,3 +395,142 @@ def q_asof_join(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return merged.filter(F.col("tag") == 1).select(
         "user_id", "event_id", "ts_us", "last_purchase_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (distribution reporting)
+# ---------------------------------------------------------------------------
+PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  quantile_cont(o_totalprice, 0.99) AS p99,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Exact linearly-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, verified bit-exact — both use the
+    (n-1)*p rank with linear interpolation). Exact percentile buffers each
+    group's values on the reducer: fine for bounded groups like priority
+    tiers; for high-cardinality keys at 100 TB switch to
+    `approx_percentile(..., accuracy)` (t-digest-style sketch, map-side
+    combinable) — the engine exposes both, this query pins the exact one
+    to the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("_p"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "o_orderpriority",
+        F.col("_p")[0].alias("p50"),
+        F.col("_p")[1].alias("p90"),
+        F.col("_p")[2].alias("p99"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond rollup/cube: arbitrary grouping combinations)
+# ---------------------------------------------------------------------------
+GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+    AS revenue,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as one rollup/cube): per
+    priority, per status, and grand total in ONE pass. Catalyst expands the
+    sets via Expand (3x row replication pre-aggregation) — one scan + one
+    exchange instead of three separate queries. gid disambiguates which
+    set each row came from (NULL dimension values are genuine NULLs)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+          CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+            AS gid,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+          count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (time-interval): clicks within 30 min before each purchase
+# ---------------------------------------------------------------------------
+RANGE_JOIN_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us, value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id,
+  CAST(count(c.c_us) AS BIGINT) AS n_clicks,
+  CAST(CAST(sum(CAST(c.value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+    AS click_value
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+  AND c.c_us >= p.p_us - 1800000000
+  AND c.c_us < p.p_us
+GROUP BY 1
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Interval range join — attribution's core shape (events within a
+    window before a conversion). A naive (user, time-range) theta-join
+    degenerates to a per-user cross product; this plan BINS both sides to
+    30-min buckets first: each click lands in bins {b, b+1} (the only bins
+    whose purchases can see it), so the join is EQUI on (user_id, bin) and
+    Catalyst plans a hash join — the residual range predicate filters
+    within-bin. Bin width == window width bounds the false-candidate factor
+    at 2x. The left join keeps zero-click purchases (count(c) = 0)."""
+    from .registry import _dsum
+
+    ev = _t(spark, sf_dir, "events")
+    width_us = 30 * 60 * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.expr("ts div 1000").alias("p_us"),
+    ).withColumn("bin", (F.col("p_us") / width_us).cast("long"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.expr("ts div 1000").alias("c_us"),
+            "value",
+        )
+        .withColumn("bin", F.explode(F.array(
+            (F.col("c_us") / width_us).cast("long"),
+            (F.col("c_us") / width_us).cast("long") + 1,
+        )))
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (p.bin == c.bin)
+        & (c.c_us >= p.p_us - width_us)
+        & (c.c_us < p.p_us),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.col("c_us")).alias("n_clicks"),
+        _dsum(F.col("value"), "click_value"),
+    )
