@@ -1,0 +1,108 @@
+"""Connected components over near-duplicate pairs → dedup cluster ids.
+
+Near-dup detection (MinHash/SimHash/embedding LSH) emits PAIRS; a cleaning
+pipeline needs CLUSTERS (keep one doc per component, drop the rest). Pair →
+cluster is connected components, an inherently iterative computation no
+single SQL query expresses — the engine implements it as alternating
+large-star / small-star rounds (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14), the shuffle-friendly formulation:
+
+- large-star: every node links its LARGER neighbors to its current minimum
+  neighbor (strictly decreases large labels without growing star sizes);
+- small-star: every node links itself and its smaller neighbors to the
+  minimum (contracts chains).
+
+Each round is two groupBys on node id — partial-aggregated, ids-only
+shuffles; convergence is O(log n) rounds on real near-dup graphs (dup
+clusters are dense and shallow). Compare label-propagation-to-fixpoint,
+which needs diameter rounds (a 10k-long chain = 10k shuffles).
+
+Each round materializes via ``localCheckpoint`` — without it the lineage
+doubles per iteration and Catalyst re-analyzes an exponentially growing
+plan (the classic iterative-DataFrame trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round. ``edges`` columns: (u, v)."""
+    # Symmetrize: neighborhoods are undirected.
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # large-star: for each u, attach neighbors > u to m = min(N(u) ∪ {u}).
+    nbr_min = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    large = (
+        sym.join(nbr_min, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # small-star: for each u, attach u and neighbors <= u to the minimum.
+    sym2 = large.select("u", "v").union(
+        large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    small_nbrs = sym2.filter(F.col("v") <= F.col("u"))
+    m2 = small_nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    small = (
+        small_nbrs.join(m2, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m2.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    return small
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve pair edges into components: (id, component) with component =
+    the minimum member id — the canonical "keep-doc" per dup cluster.
+
+    Iterates star rounds until the edge set is stable (every edge points
+    directly at its component root), checkpointing each round. At 100 TB
+    each round is a pair of ids-only hash aggregations; the convergence
+    check reuses the just-materialized round (a count, not a join).
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges).localCheckpoint()
+        # Fixpoint signature: rows + sum of endpoints — both stable iff the
+        # edge set stopped changing (star rounds never add new node ids).
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u") + F.col("v")).alias("s"),
+        ).first()
+        if prev_sig == (sig["n"], sig["s"]):
+            break
+        prev_sig = (sig["n"], sig["s"])
+    # edges now map member -> root; roots map to themselves.
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    return members.union(roots).dropDuplicates(["id"])
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every doc that belongs to a near-dup cluster but is not its
+    minimum-id representative — the final stage of a near-dup funnel."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

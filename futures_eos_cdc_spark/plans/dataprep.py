@@ -479,3 +479,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: connected components over MinHash-LSH pairs
+# ---------------------------------------------------------------------------
+# Oracle: transitive closure via recursive CTE (fine at fixture scale — the
+# engine side uses O(log n) alternating-star rounds instead, which is the
+# 100 TB formulation; see operators/clustering.py).
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM ( {MINHASH_ORACLE} )
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+cc AS (
+  SELECT u AS id, u AS comp FROM sym
+  UNION
+  SELECT s.u, cc.comp FROM sym s JOIN cc ON cc.id = s.v
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS component
+FROM cc GROUP BY id
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Pairs → clusters: alternating large-/small-star connected components
+    over the MinHash near-dup pairs; component = min member doc_id (the
+    keep-doc). Each round is two ids-only hash aggregations + a
+    localCheckpoint (lineage reset); converges in O(log n) rounds vs
+    diameter rounds for naive label propagation."""
+    from ..operators.clustering import connected_components
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return connected_components(pairs, id_a="doc_a", id_b="doc_b")

@@ -381,6 +381,8 @@ QUERIES["grouping_sets_revenue"] = _bind(_rel_early.q_grouping_sets)
 ORACLES["grouping_sets_revenue"] = _rel_early.GROUPING_SETS_ORACLE
 QUERIES["range_join_click_attribution"] = _bind(_rel_early.q_range_join)
 ORACLES["range_join_click_attribution"] = _rel_early.RANGE_JOIN_ORACLE
+QUERIES["dedup_clusters"] = _bind(_dp_early.q_dedup_clusters)
+ORACLES["dedup_clusters"] = _dp_early.CLUSTERS_ORACLE
 
 
 QUERIES["window_functions"] = _bind(_rel.q_window_functions)

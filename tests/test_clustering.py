@@ -1,0 +1,72 @@
+"""Connected components (alternating star rounds) vs a driver-side
+union-find reference, including the chain graph that defeats naive
+label propagation."""
+
+import random
+
+from futures_eos_cdc_spark.operators.clustering import (
+    connected_components,
+    dedup_keep_representatives,
+)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(m) for m in comps.values() for n in m}
+
+
+def test_matches_union_find_on_random_graphs(spark):
+    random.seed(11)
+    for n, m in [(60, 50), (200, 300), (120, 119)]:
+        edges = set()
+        while len(edges) < m:
+            a, b = random.randrange(n), random.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        nodes = sorted({x for e in edges for x in e})
+        truth = _union_find(edges, nodes)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == {x: truth[x] for x in nodes}
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # A 300-long chain needs 300 rounds under naive propagation; star
+    # rounds converge logarithmically (max_rounds=20 would fail otherwise).
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert len(got) == 301 and set(got.values()) == {0}
+
+
+def test_dedup_keep_representatives(spark, sf_dir):
+    from futures_eos_cdc_spark.operators.dedup import minhash_lsh_pairs
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select(
+        "doc_a", "doc_b"
+    ).withColumnRenamed("doc_a", "id_a").withColumnRenamed("doc_b", "id_b")
+    kept = dedup_keep_representatives(docs, pairs)
+    comp = connected_components(pairs)
+    n_losers = comp.filter("id != component").count()
+    assert kept.count() == docs.count() - n_losers
+    # every component representative survives
+    reps = {r.component for r in comp.collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert reps <= kept_ids
