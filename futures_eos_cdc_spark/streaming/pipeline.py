@@ -480,3 +480,46 @@ def streaming_decide(
         .drop("window")
     )
     return decisions_from_signal_array(agg)
+
+
+def stream_stream_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join: clicks within the `window_minutes` before
+    each purchase by the same user (the streaming twin of the batch
+    `range_join_click_attribution` query).
+
+    Beyond-reference streaming surface (the reference joins only
+    stream-to-constant-map — SignalTopology.kt:76); Spark's watermarked
+    stream-stream join is the engine capability that replaces it at scale.
+
+    State-bound reasoning (what makes this safe on an unbounded stream):
+    both sides carry a watermark and the join condition constrains the two
+    event times to a bounded range, so Spark derives a state-eviction bound
+    for each side — click state older than (purchase watermark -
+    window_minutes) and purchase state older than the click watermark are
+    dropped, keeping state O(window x rate) regardless of stream age.
+
+    Expected columns: purchases(event_id, user_id, event_time),
+    clicks(user_id, event_time, value).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("event_time").alias("p_time"),
+    ).withWatermark("p_time", "1 minute")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_time").alias("c_time"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_time", f"{window_minutes + 1} minutes")
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_time") < F.col("p_time"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "p_user", "p_time", "c_time", "click_value"
+    )

@@ -461,3 +461,45 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir, tmp_path):
         for r in decide(_signals(spark, sf_dir)).collect()
     }
     assert out == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    # Watermarked stream-stream range join == the same join run in batch.
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        stream_stream_click_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    p_dir, c_dir = str(tmp_path / "purchases"), str(tmp_path / "clicks")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases.write.mode("overwrite").parquet(p_dir)
+    clicks.write.mode("overwrite").parquet(c_dir)
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    q = (
+        stream_stream_click_attribution(p_stream, c_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.purchase_id, r.c_time) for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    batch = {
+        (r.purchase_id, r.c_time)
+        for r in stream_stream_click_attribution(purchases, clicks).collect()
+    }
+    assert got == batch and len(got) > 0
