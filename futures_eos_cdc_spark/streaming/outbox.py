@@ -36,11 +36,31 @@ def jdbc_orders_outbox_writer(jdbc_url: str, properties: dict[str, str]):
     and commits — mirroring DatabaseManager.saveOrderWithOutbox, scaled out.
     """
 
-    def write_partition(rows) -> None:  # pragma: no cover - needs driver jar
-        """Runs ON THE EXECUTOR: one connection + one transaction per
-        partition, batched inserts. Idempotent under replay via ON CONFLICT
-        DO NOTHING on the unique keys (client_order_id / event_id), so
-        at-least-once re-delivery of a whole partition is a no-op."""
+    write_partition = partition_txn_writer(jdbc_url, properties)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        # Distributed sink: each executor partition opens one connection and
+        # commits one transaction — no driver-side collect() bottleneck.
+        batch_df.foreachPartition(write_partition)
+
+    return write
+
+
+def partition_txn_writer(jdbc_url: str, properties: dict[str, str]):
+    """The per-partition transaction body (runs ON the executor): one
+    connection + ONE transaction per partition, both tables written with
+    batched ``executemany``. Idempotent under replay via ON CONFLICT DO
+    NOTHING on the unique keys (client_order_id / event_id), so
+    at-least-once re-delivery of a whole partition is a no-op — the same
+    contract as the reference's per-order transaction
+    (DatabaseManager.kt:33-88), amortized over a batch.
+
+    Factored out of the foreachBatch wrapper so its transaction/rollback
+    logic is unit-testable with a stub DB-API module (the real driver jar
+    is absent in this container).
+    """
+
+    def write_partition(rows) -> None:
         rows = list(rows)
         if not rows:
             return
@@ -78,12 +98,7 @@ def jdbc_orders_outbox_writer(jdbc_url: str, properties: dict[str, str]):
         finally:
             conn.close()
 
-    def write(batch_df: DataFrame, epoch_id: int) -> None:
-        # Distributed sink: each executor partition opens one connection and
-        # commits one transaction — no driver-side collect() bottleneck.
-        batch_df.foreachPartition(write_partition)
-
-    return write
+    return write_partition
 
 
 def parquet_orders_outbox_writer(base_dir: str, key_col: str = "client_order_id"):
