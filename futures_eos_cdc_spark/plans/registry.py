@@ -383,6 +383,10 @@ QUERIES["range_join_click_attribution"] = _bind(_rel_early.q_range_join)
 ORACLES["range_join_click_attribution"] = _rel_early.RANGE_JOIN_ORACLE
 QUERIES["dedup_clusters"] = _bind(_dp_early.q_dedup_clusters)
 ORACLES["dedup_clusters"] = _dp_early.CLUSTERS_ORACLE
+QUERIES["stratified_sample_per_lang"] = _bind(_rel_early.q_stratified_sample)
+ORACLES["stratified_sample_per_lang"] = _rel_early.STRATIFIED_SAMPLE_ORACLE
+QUERIES["order_price_histogram"] = _bind(_rel_early.q_histogram)
+ORACLES["order_price_histogram"] = _rel_early.HISTOGRAM_ORACLE
 
 
 QUERIES["window_functions"] = _bind(_rel.q_window_functions)

@@ -534,3 +534,78 @@ def q_range_join(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.count(F.col("c_us")).alias("n_clicks"),
         _dsum(F.col("value"), "click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified per-group sample (top-n by content-stable order)
+# ---------------------------------------------------------------------------
+STRATIFIED_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY md5('strat|' ||
+      CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 20
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Exactly-n-per-stratum sampling with a content-stable order: rank each
+    stratum by md5(salt|id) — a deterministic proxy for 'random' that every
+    engine reproduces — and keep the first n. WindowGroupLimit pushes the
+    n-cap below the exchange, so each reducer materializes at most n rows
+    per stratum (not the whole group sorted). The append-safe alternative
+    for ratio (not count) sampling is operators/sampling.py."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (width_bucket)
+# ---------------------------------------------------------------------------
+# DuckDB has no width_bucket — the oracle restates Spark's exact arithmetic:
+# floor((v - min) / ((max - min) / n)) + 1, clamped to 0 / n+1 outside.
+HISTOGRAM_ORACLE = """
+SELECT
+  CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 25
+            ELSE floor((o_totalprice - 0.0) / ((600000.0 - 0.0) / 24)) + 1
+       END AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+    AS total
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Distribution histogram in one aggregation: width_bucket is a pure
+    projection (no per-group sort, no percentile buffer), so the plan is a
+    partial-aggregated groupBy on a small integer key — the shape to prefer
+    over exact percentiles when only the distribution's shape is needed at
+    100 TB."""
+    from .registry import _dsum
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(24)),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice"), "total"),
+        )
+    )
