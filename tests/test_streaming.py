@@ -503,3 +503,58 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         for r in stream_stream_click_attribution(purchases, clicks).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_checkpoint_restart_recovers_exactly_once(spark, sf_dir, tmp_path):
+    # T5/T6: kill the query, add data, restart from the SAME checkpoint —
+    # the offset log + state store must resume without re-emitting phase-1
+    # windows (exactly-once to the file sink) and the union must equal the
+    # single-run batch result.
+    from futures_eos_cdc_spark.operators.signal_pipeline import decide
+
+    sig = _signals(spark, sf_dir)
+    median_us = sig.approxQuantile("ts_us", [0.5], 0.0)[0]
+    early = sig.filter(F.col("ts_us") <= median_us)
+    late = sig.filter(F.col("ts_us") > median_us)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, "SENTINEL", "BUY", 0.1, 1.0, "1m", SENTINEL_TS_US)],
+        early.schema,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    early.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        q = (
+            streaming_decide(read_signal_stream_files(spark, in_dir))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # phase 1
+    n_phase1 = spark.read.parquet(out_dir).count()
+    # phase 2: new files arrive while the query is DOWN; restart resumes
+    late.unionByName(sentinel).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    out = spark.read.parquet(out_dir).filter(F.col("symbol") != "SENTINEL")
+    # exactly-once: one row per (symbol, window) — a replayed phase 1 would
+    # duplicate its windows
+    assert (
+        out.groupBy("symbol", "window_start_s").count().filter("count > 1").count()
+        == 0
+    )
+    batch = decide(early.unionByName(late)).filter(F.col("symbol") != "SENTINEL")
+    got = {(r.symbol, r.window_start_s, r.action) for r in out.collect()}
+    want = {(r.symbol, r.window_start_s, r.action) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    assert out.count() > n_phase1  # phase 2 actually appended
