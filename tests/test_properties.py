@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the engine's pure expression logic:
+the pieces where a boundary bug silently mis-buckets or mis-splits data at
+100 TB. Driver-side properties are checked against pure-Python references;
+one Spark round-trip per test keeps the suite fast."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from futures_eos_cdc_spark.operators.sampling import split_label_sql, split_thresholds
+from futures_eos_cdc_spark.operators.signal_pipeline import WINDOW_SECONDS
+
+
+# ---------------------------------------------------------------------------
+# Window bucketing: epoch-aligned, integer div, never float
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4_102_444_800_000_000),  # µs to 2100
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_window_bucketing_matches_integer_reference(spark_prop, ts_list):
+    w_us = WINDOW_SECONDS * 1_000_000
+    df = spark_prop.createDataFrame([(t,) for t in ts_list], "ts_us long")
+    got = [
+        r.w
+        for r in df.select(
+            F.expr(f"(ts_us div {w_us}) * {WINDOW_SECONDS}").cast("long").alias("w")
+        ).collect()
+    ]
+    want = [(t // w_us) * WINDOW_SECONDS for t in ts_list]
+    assert got == want
+    # every bucket start is epoch-aligned and <= its ts
+    for t, w in zip(ts_list, got):
+        assert w % WINDOW_SECONDS == 0 and w * 1_000_000 <= t
+
+
+# ---------------------------------------------------------------------------
+# Hash split: total cover, no overlap, threshold arithmetic
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_split_thresholds_are_monotone_and_cover(weights_list):
+    weights = {f"s{i}": w for i, w in enumerate(weights_list)}
+    bounds = split_thresholds(weights)
+    assert len(bounds) == len(weights) - 1
+    hexes = [int(ub, 16) for _, ub in bounds]
+    assert hexes == sorted(hexes)  # monotone cumulative bounds
+    assert all(0 <= h <= 255 for h in hexes)
+    # SQL renders every label exactly once, last one as ELSE
+    sql = split_label_sql("x", weights)
+    for label in weights:
+        assert f"'{label}'" in sql
+    assert sql.strip().endswith(f"ELSE 's{len(weights_list)-1}' END")
+
+
+def test_split_is_deterministic_and_partitioning_proof(spark_prop):
+    # same ids, different partitioning → identical assignment
+    from futures_eos_cdc_spark.operators.sampling import hash_split
+
+    a = hash_split(spark_prop.range(0, 2000, 1, 1), "id")
+    b = hash_split(spark_prop.range(0, 2000, 1, 13), "id")
+    ma = {r.id: r.split for r in a.collect()}
+    mb = {r.id: r.split for r in b.collect()}
+    assert ma == mb
+    frac = sum(1 for v in ma.values() if v == "train") / len(ma)
+    assert 0.75 <= frac <= 0.85  # 80% ± hash noise
+
+
+# ---------------------------------------------------------------------------
+# Jaccard expression == Python set reference
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.sets(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=8),
+            st.sets(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_jaccard_expr_matches_python_sets(spark_prop, pairs):
+    from futures_eos_cdc_spark.operators.dedup import jaccard_expr
+
+    df = spark_prop.createDataFrame(
+        [(sorted(a), sorted(b)) for a, b in pairs],
+        "a array<string>, b array<string>",
+    )
+    got = [r.j for r in df.select(jaccard_expr(F.col("a"), F.col("b")).alias("j")).collect()]
+    want = [len(a & b) / len(a | b) for a, b in pairs]
+    assert got == want
