@@ -27,7 +27,7 @@ decision stream's partitioning untouched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -212,4 +212,35 @@ def parse_debezium_envelope(raw: DataFrame, value_col: str = "value") -> DataFra
             F.col("env.payload.op").alias("op"),
             F.col("env.payload.ts_ms").alias("ts_ms"),
         )
+    )
+
+
+def cdc_latest_snapshot(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize the current-state snapshot from a CDC change stream:
+    latest-wins per key, deletes tombstone the key.
+
+    This is the consumer-side completion of the reference's CDC path — the
+    outbox relay publishes row changes (configmap `outbox-connector.yaml`);
+    whoever consumes them must reconstruct current state. One window rank
+    per key (ordered by change time desc + tiebreakers for same-timestamp
+    changes) then drop keys whose last op is delete ('d').
+
+    Scale shape: a single hash exchange on the key; WindowGroupLimit keeps
+    only the top row per key on the reducer, so state is O(keys), not
+    O(changes). For continuous maintenance use
+    ``streaming/outbox.parquet_cdc_merge_writer`` (per-batch merge of the
+    same expression).
+    """
+    order_cols = [F.desc(ts_col)] + [F.desc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "d"))
+        .drop("_rn")
     )
