@@ -366,12 +366,23 @@ def to_decision_records(
     confidence, suggested_price, suggested_qty, signals (array of signal
     structs, most recent first), timestamp (epoch s of window end), reason.
 
+    A7 faithfulness: the reference embeds the *flattened last-10-per-timeframe
+    buffers* (SignalAggregator.kt:42-44), NOT every signal in the window — so
+    the array is bounded at |timeframes| x 10 (≤30 here) per decision. We rank
+    with the exact window used by decide() (ts desc, signal_id desc) and
+    collect only rn <= BUFFER_KEEP: the collect_list is bounded, never a
+    per-group scale hazard.
+
     Deterministic mode derives id from the business key (sha256) and the
     timestamp from the window (SURVEY.md §7.4.3); production mode uses
     uuid()/current_timestamp() like the reference.
     """
     b = signals.withColumn("window_start_s", window_start_s_expr())
-    sig_arrays = b.groupBy("symbol", "window_start_s").agg(
+    w_tf = Window.partitionBy("symbol", "window_start_s", "timeframe").orderBy(
+        F.desc("ts_us"), F.desc("signal_id")
+    )
+    buf = b.withColumn("rn", F.row_number().over(w_tf)).filter(F.col("rn") <= BUFFER_KEEP)
+    sig_arrays = buf.groupBy("symbol", "window_start_s").agg(
         F.reverse(
             F.array_sort(
                 F.collect_list(

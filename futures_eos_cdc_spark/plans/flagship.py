@@ -138,3 +138,57 @@ SELECT
                   ELSE 'INSUFFICIENT_DATA' END) END AS reason
 FROM d
 """
+
+# D6/A7 oracle: the flagship decisions joined with a deterministic string key
+# for the embedded last-10-per-timeframe signal buffers. The key encodes
+# membership AND order (ts desc, id desc) using only integer/string fields, so
+# it hash-compares exactly; the full struct array (incl. double qty/price) is
+# covered by pytest shape tests. sha256(symbol|window_start_s) mirrors the
+# engine's deterministic id derivation.
+DECISION_RECORDS_ORACLE_SQL = f"""
+WITH dec AS ({FLAGSHIP_ORACLE_SQL}),
+sig AS (
+  SELECT
+    event_id AS signal_id,
+    CASE user_id % 5
+      WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT' WHEN 2 THEN 'SOLUSDT'
+      WHEN 3 THEN 'XRPUSDT' ELSE 'NAS100' END AS symbol,
+    CASE WHEN event_type IN ('purchase','signup','click') THEN 'BUY'
+         ELSE 'SELL' END AS side,
+    CASE event_id % 3 WHEN 0 THEN '1m' WHEN 1 THEN '5m' ELSE '15m' END AS timeframe,
+    epoch_us(ts) AS ts_us
+  FROM events
+),
+rb AS (
+  SELECT *, (ts_us // 300000000) * 300 AS window_start_s,
+    row_number() OVER (
+      PARTITION BY symbol, ts_us // 300000000, timeframe
+      ORDER BY ts_us DESC, signal_id DESC) AS rn
+  FROM sig
+),
+keys AS (
+  SELECT symbol, window_start_s,
+    string_agg(
+      CAST(ts_us AS VARCHAR) || ':' || CAST(signal_id AS VARCHAR)
+        || ':' || side || ':' || timeframe,
+      ';' ORDER BY ts_us DESC, signal_id DESC) AS signals_key,
+    CAST(count(*) AS BIGINT) AS n_embedded
+  FROM rb
+  WHERE rn <= 10
+  GROUP BY 1, 2
+)
+SELECT
+  sha256(dec.symbol || '|' || CAST(dec.window_start_s AS VARCHAR)) AS id,
+  dec.symbol,
+  dec.action,
+  dec.confidence,
+  dec.suggested_price,
+  dec.suggested_qty,
+  k.signals_key,
+  k.n_embedded,
+  CAST(dec.window_start_s + 300 AS BIGINT) AS timestamp_s,
+  dec.reason,
+  dec.window_start_s
+FROM dec
+JOIN keys k ON dec.symbol = k.symbol AND dec.window_start_s = k.window_start_s
+"""

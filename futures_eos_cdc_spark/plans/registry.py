@@ -356,14 +356,50 @@ QUERIES["q22_idle_wealthy_customers"] = _bind(_tw.q_idle_wealthy_customers)
 ORACLES["q22_idle_wealthy_customers"] = _tw.Q22_ORACLE
 
 
-@query("decision_records")  # nested signal arrays aren't hash-comparable → rows-only
+from .flagship import DECISION_RECORDS_ORACLE_SQL  # noqa: E402
+
+
+@query("decision_records", DECISION_RECORDS_ORACLE_SQL)
 def q_decision_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: full TradingDecision wire records with the embedded ts-descending
-    signals array (A7), deterministic sha ids, window-derived timestamps."""
+    last-10-per-timeframe signal buffers (A7, bounded ≤30), deterministic sha
+    ids, window-derived timestamps.
+
+    For the hash compare, the nested ``signals array<struct>`` is projected to
+    a deterministic string key (ts:id:side:timeframe joined most-recent-first)
+    — integer/string fields only, so no float-formatting hazard; the full
+    struct array (incl. qty/price doubles) is asserted by pytest shape tests.
+    """
     from ..operators.signal_pipeline import signals_from_events, to_decision_records
 
     signals = signals_from_events(_t(spark, sf_dir, "events"))
-    return to_decision_records(decisions_from_events(_t(spark, sf_dir, "events")), signals)
+    recs = to_decision_records(decisions_from_events(_t(spark, sf_dir, "events")), signals)
+    sig_key = F.array_join(
+        F.transform(
+            F.col("signals"),
+            lambda s: F.concat_ws(
+                ":",
+                s["ts_us"].cast("string"),
+                s["signal_id"].cast("string"),
+                s["side"],
+                s["timeframe"],
+            ),
+        ),
+        ";",
+    )
+    return recs.select(
+        "id",
+        "symbol",
+        "action",
+        "confidence",
+        "suggested_price",
+        "suggested_qty",
+        sig_key.alias("signals_key"),
+        F.size("signals").cast("long").alias("n_embedded"),
+        "timestamp_s",
+        "reason",
+        "window_start_s",
+    )
 
 
 # New this round (also early in the walk order — no prior CORRECTNESS rows):
@@ -488,3 +524,33 @@ QUERIES["q17_small_quantity_revenue"] = _bind(_tw.q_small_quantity_revenue)
 ORACLES["q17_small_quantity_revenue"] = _tw.Q17_ORACLE
 QUERIES["q19_disjunctive_revenue"] = _bind(_tw.q_disjunctive_revenue)
 ORACLES["q19_disjunctive_revenue"] = _tw.Q19_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Driver walk order. The driver checks ~50 queries per round in insertion
+# order; front-load (a) round 1's red list — fixed in round 2 but never yet
+# driver-verified (VERDICT r2 #1), (b) decision_records (r2's one err, now
+# oracle-backed), (c) every query without an r2 CORRECTNESS row, so the
+# r1∪r2∪r3 union covers all registered names. Mutated in place so importers
+# holding a reference to QUERIES/ORACLES see the new order.
+# ---------------------------------------------------------------------------
+_WALK_FIRST = [
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "decision_records",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "signal_strength_histogram",
+    "approx_aggregates",
+]
+assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
+_order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
+_snapshot = dict(QUERIES)
+QUERIES.clear()
+QUERIES.update({k: _snapshot[k] for k in _order})

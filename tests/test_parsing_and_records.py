@@ -105,6 +105,9 @@ def test_decision_records_embed_sorted_signals(spark):
         assert r.timestamp_s == r.window_start_s + 300
         sigs = r.signals
         assert len(sigs) > 0
+        # A7: only the flattened last-10-per-timeframe buffers are embedded
+        # (SignalAggregator.kt:42-44) — bounded at 3 timeframes x 10
+        assert len(sigs) <= 30
         ts_list = [s.ts_us for s in sigs]
         assert ts_list == sorted(ts_list, reverse=True)  # most recent first
         assert all(s.symbol if hasattr(s, "symbol") else True for s in sigs)
