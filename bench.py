@@ -90,11 +90,23 @@ def main() -> None:
             duck[name] = round(time.perf_counter() - t0, 3)
         result["duckdb_queries"] = duck
         result["duckdb_total"] = round(sum(duck.values()), 3)
-        # Apples-to-apples: Spark time over the SAME query set DuckDB ran
-        # (engine-specific rows-only queries have no DuckDB counterpart).
+        # Apples-to-apples: both totals over the SAME key set — queries that
+        # ran on BOTH engines (rows-only queries have no DuckDB counterpart;
+        # a Spark-side error must drop the oracle's time too, or the headline
+        # ratio silently skews in Spark's favor).
+        matched = set(timings) & set(duck)
         result["oracle_matched_spark_total"] = round(
-            sum(v for k, v in timings.items() if k in duck), 3
+            sum(timings[k] for k in matched), 3
         )
+        result["oracle_matched_duckdb_total"] = round(
+            sum(duck[k] for k in matched), 3
+        )
+        if result["oracle_matched_duckdb_total"] > 0:
+            result["spark_vs_duckdb_ratio"] = round(
+                result["oracle_matched_spark_total"]
+                / result["oracle_matched_duckdb_total"],
+                3,
+            )
 
     print(json.dumps(result))
 

@@ -78,18 +78,31 @@ def connected_components(
         .dropDuplicates(["u", "v"])
         .localCheckpoint()
     )
+    prev = None
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         edges = _star_round(edges).localCheckpoint()
-        # Fixpoint signature: rows + sum of endpoints — both stable iff the
-        # edge set stopped changing (star rounds never add new node ids).
+        # Cheap signature (rows + endpoint sum) as a FAST PRE-FILTER only:
+        # distinct edge sets can collide on it, so equality is confirmed with
+        # an exact exceptAll on the two checkpointed rounds (both deduped and
+        # equal-count ⇒ symmetric-difference-empty ⇔ identical sets).
         sig = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("u") + F.col("v")).alias("s"),
         ).first()
-        if prev_sig == (sig["n"], sig["s"]):
-            break
+        if prev is not None and prev_sig == (sig["n"], sig["s"]):
+            if edges.exceptAll(prev).isEmpty():
+                converged = True
+                break
+        prev = edges
         prev_sig = (sig["n"], sig["s"])
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "returning partial labels would silently mis-cluster — raise "
+            "max_rounds (rounds needed grow ~log(component diameter))"
+        )
     # edges now map member -> root; roots map to themselves.
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))

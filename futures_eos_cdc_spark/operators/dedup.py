@@ -40,6 +40,15 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     long-lived shared session the caches would otherwise accumulate across
     queries; this ties their lifetime to the result DataFrame — once the
     caller drops it, the executor memory is handed back.
+
+    CAVEAT (cache lifetime vs derived plans): the finalizer fires on GC of
+    THIS exact object. A derived DataFrame (``result.filter(...)``) holds no
+    Python reference to it, so a caller that chains transformations and drops
+    the original can see the shared caches released early — never wrong, but
+    the dominant-cost subplan silently recomputes. Callers that chain further
+    work should keep the returned handle alive until the derived work has
+    executed, or release deterministically via the attached
+    ``result.release_cache()`` (idempotent; also detaches the finalizer).
     """
     jdfs = [c._jdf for c in cached]
 
@@ -50,7 +59,13 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
             except Exception:  # session already stopped — nothing to free
                 pass
 
-    weakref.finalize(result, _release)
+    fin = weakref.finalize(result, _release)
+
+    def _release_now() -> None:
+        fin.detach()
+        _release()
+
+    result.release_cache = _release_now
     return result
 
 

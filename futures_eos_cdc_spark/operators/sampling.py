@@ -29,7 +29,12 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     acc = 0.0
     for label in list(weights)[:-1]:
         acc += weights[label] / total
-        bounds.append((label, format(min(255, round(acc * 256)), "02x")))
+        b = round(acc * 256)
+        # A cumulative share reaching 1.0 must cover bucket 0xff as well:
+        # 'ff' as an EXCLUSIVE bound would silently drop ~0.39% of rows
+        # (e.g. deterministic_sample(fraction=1.0)). 'zz' sorts above every
+        # hex byte, making the bound always-true.
+        bounds.append((label, "zz" if b >= 256 else format(b, "02x")))
     return bounds
 
 

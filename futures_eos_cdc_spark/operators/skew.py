@@ -33,15 +33,22 @@ _ALGEBRAIC = {
 
 
 def _salt_expr(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt: hash of the whole row MIXED WITH the row's
-    physical position (partition id + per-partition counter). The position
-    component matters for the headline hot-key case — a viral document
-    duplicated byte-for-byte: a content-only hash gives every copy the SAME
-    salt, collapsing them back onto one reducer. Position-salting disperses
-    them while staying RNG-free; results are unaffected (the salt only picks
-    a reducer), and the salt is stable for a fixed input partitioning."""
+    """Deterministic per-row salt: hash of the whole row MIXED WITH the
+    partition id. The partition component matters for the headline hot-key
+    case — a viral document duplicated byte-for-byte: a content-only hash
+    gives every copy the SAME salt, collapsing them back onto one reducer;
+    adding spark_partition_id() disperses copies that sit in different input
+    partitions (same-partition copies still share a salt — an accepted bound).
+
+    Retry safety: deliberately NO monotonically_increasing_id() — that mixes a
+    per-partition COUNTER into a shuffle partition key, so a map-task retry
+    whose input iterates in a different row order (possible downstream of a
+    shuffle) would re-salt rows that already-fetched reducers consumed,
+    losing/duplicating rows (SPARK-23207-class indeterminate-stage hazard).
+    spark_partition_id() is constant per task attempt and file scans re-split
+    deterministically, so retries reproduce the same salt for every row."""
     return F.pmod(
-        F.xxhash64(*[df[c] for c in df.columns], F.monotonically_increasing_id()),
+        F.xxhash64(*[df[c] for c in df.columns], F.spark_partition_id()),
         F.lit(n_salts),
     )
 
