@@ -369,6 +369,14 @@ def embedding_near_dup(
     kernel computes in row-chunks so its memory is O(chunk x bucket), not
     O(bucket^2).
 
+    Skips are NOT silent: the returned DataFrame carries a
+    ``skipped_buckets`` Spark accumulator (attribute on the returned
+    DataFrame) — read ``.value`` after an action to see how many
+    (table, bucket) groups were dropped by the cap, so a 100 TB run can
+    observe recall loss and respond (raise ``bits_per_table`` or
+    ``max_bucket``). Task retries may over-count (accumulator semantics);
+    treat it as a recall-loss alarm, not an exact tally.
+
     Rows-only at the driver (the hyperplane LCG is engine-specific);
     correctness is pinned by the brute-force recall pytest.
     """
@@ -381,6 +389,7 @@ def embedding_near_dup(
     bit_weights = 1 << np.arange(bits_per_table)
     n_t, n_b = n_tables, bits_per_table
     cap = max_bucket if max_bucket is not None else 1 << 62
+    skipped = embeddings.sparkSession.sparkContext.accumulator(0)
 
     def signature_batches(it):
         import numpy as _np
@@ -415,7 +424,10 @@ def embedding_near_dup(
         empty = _pd.DataFrame({"id_a": _pd.Series(dtype="int64"),
                                "id_b": _pd.Series(dtype="int64"),
                                "cosine": _pd.Series(dtype="float64")})
-        if n < 2 or n > cap:
+        if n > cap:
+            skipped.add(1)
+            return empty
+        if n < 2:
             return empty
         ids = pdf["id"].to_numpy()
         order = _np.argsort(ids)
@@ -448,4 +460,6 @@ def embedding_near_dup(
     pairs = sig.groupBy("table", "bucket").applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    result = pairs.dropDuplicates(["id_a", "id_b"])
+    result.skipped_buckets = skipped
+    return result

@@ -165,3 +165,25 @@ def test_embedding_near_dup_recall_and_precision(spark, sf_dir):
     assert not (got - truth), "false positives emitted"
     assert len(got & truth) / len(truth) >= 0.6, "recall too low"
     assert all(x < y for x, y in got)
+
+
+def test_embedding_near_dup_skipped_bucket_accumulator(spark, sf_dir):
+    # A max_bucket cap small enough that every populated bucket exceeds it
+    # must (a) drop the capped buckets' pairs and (b) report the skips via
+    # the skipped_buckets accumulator attached to the returned DataFrame —
+    # the cap is a recall-loss alarm, never a silent truncation.
+    from futures_eos_cdc_spark.operators.similarity import embedding_near_dup
+
+    e = _emb(spark, sf_dir).limit(50)
+    capped = embedding_near_dup(
+        e, threshold=0.3, n_tables=2, bits_per_table=1, max_bucket=3
+    )
+    n_pairs = capped.count()  # action: accumulator updates flow back
+    assert capped.skipped_buckets.value > 0, "cap hit but no skip recorded"
+
+    uncapped = embedding_near_dup(
+        e, threshold=0.3, n_tables=2, bits_per_table=1, max_bucket=None
+    )
+    assert uncapped.count() > n_pairs
+    uncapped.count()
+    assert uncapped.skipped_buckets.value == 0
