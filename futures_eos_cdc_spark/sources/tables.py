@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -34,11 +35,30 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    # read it as a LongType of epoch-nanos (the engine's canonical event-time
-    # representation — integer, timezone-proof, full precision).
+    # events.ts arrives as parquet TIMESTAMP(NANOS) in some fixture
+    # generations (Spark rejects that by default → nanosAsLong reads it as
+    # epoch-nanos) and TIMESTAMP(MICROS) isAdjustedToUTC=false in others
+    # (read as TIMESTAMP_NTZ). Normalize both to a LongType of epoch-nanos —
+    # the engine's canonical event-time representation (integer,
+    # timezone-proof, full precision) — so every downstream `ts div 1000`
+    # (→ micros) expression and the DuckDB oracles' `epoch_us(ts)` agree
+    # regardless of the fixture's physical type AND of the session timezone
+    # (the driver's session config is unknown; an NTZ→TIMESTAMP cast would
+    # shift by the session offset, so the NTZ branch uses pure wall-time
+    # arithmetic instead).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and not isinstance(df.schema["ts"].dataType, LongType):
+        from pyspark.sql import functions as F
+
+        if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            micros = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        else:  # instant (isAdjustedToUTC=true): already timezone-free
+            micros = F.unix_micros(F.col("ts"))
+        df = df.withColumn("ts", micros * F.lit(1000))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

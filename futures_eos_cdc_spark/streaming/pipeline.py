@@ -178,7 +178,16 @@ def _dec_sum(arr: Column, field: str) -> Column:
     ).cast("double")
 
 
-def _tf_cols(sorted_sigs: Column, tf: str) -> dict[str, Column]:
+def _tf_cols(
+    sorted_sigs: Column, tf: str, ext: tuple[Column, Column] | None = None
+) -> dict[str, Column]:
+    """Per-timeframe stats from the sorted signal array.
+
+    ``ext`` (cnt_all, balance) supplies the untrimmed whole-window counters
+    externally — used by the bounded-state path, where ``sorted_sigs`` holds
+    only the last-10 buffers and the untrimmed quantities (A4 balance, A6's
+    min(count,10)) live in O(1) running counters instead of the array.
+    """
     tf_arr = F.filter(sorted_sigs, lambda s: s["timeframe"] == tf)
     buf = F.slice(tf_arr, 1, BUFFER_KEEP)  # already recent-first
     n_buf = F.size(buf)
@@ -190,14 +199,19 @@ def _tf_cols(sorted_sigs: Column, tf: str) -> dict[str, Column]:
     ).cast("double")
     mean_p = sum_p / n_buf
     nbuy = F.size(F.filter(buf, lambda s: s["side"] == "BUY"))
-    return {
-        "present": F.size(tf_arr) > 0,
-        "cnt_all": F.size(tf_arr),
-        "balance": F.aggregate(
+    if ext is None:
+        cnt_all = F.size(tf_arr)
+        balance = F.aggregate(
             tf_arr,
             F.lit(0),
             lambda acc, x: acc + F.when(x["side"] == "BUY", 1).otherwise(-1),
-        ),
+        )
+    else:
+        cnt_all, balance = ext
+    return {
+        "present": cnt_all > 0,
+        "cnt_all": cnt_all,
+        "balance": balance,
         "avg_price": mean_p,
         "vol": F.when(n_buf < 2, F.lit(0.0)).otherwise(
             F.sqrt(F.greatest(sum_p2 / n_buf - mean_p * mean_p, F.lit(0.0)))
@@ -205,20 +219,35 @@ def _tf_cols(sorted_sigs: Column, tf: str) -> dict[str, Column]:
         # majority side over the buffer; tie → 'SELL' (lexicographic max,
         # matching the batch ORDER BY c DESC, side DESC tie-break)
         "maj": F.when(nbuy * 2 > n_buf, "BUY").otherwise("SELL"),
-        "n_kept": F.least(F.size(tf_arr), F.lit(BUFFER_KEEP)),
+        "n_kept": F.least(cnt_all, F.lit(BUFFER_KEEP)),
     }
 
 
-def decisions_from_signal_array(agg: DataFrame, round_dp: int = 6) -> DataFrame:
+def decisions_from_signal_array(
+    agg: DataFrame,
+    round_dp: int = 6,
+    per_tf_counts: dict[str, tuple[Column, Column]] | None = None,
+) -> DataFrame:
     """Finishing projection: (symbol, window_start_s, sigs array) → decision.
 
     Pure array expressions — computed identically in streaming and batch; the
     semantics mirror operators.signal_pipeline.decide (A2-A10, D1-D5, P5).
+
+    ``per_tf_counts`` maps timeframe → (cnt_all, balance) columns for the
+    bounded-state path where ``sigs`` holds only the per-timeframe last-10
+    buffers (the untrimmed counters travel as scalar columns).
     """
     out = agg.withColumn("sorted_sigs", F.array_sort("sigs", _cmp_recent_first))
 
     tfs = ["1m", "5m", "15m"]
-    per_tf = {tf: _tf_cols(F.col("sorted_sigs"), tf) for tf in tfs}
+    per_tf = {
+        tf: _tf_cols(
+            F.col("sorted_sigs"),
+            tf,
+            per_tf_counts.get(tf) if per_tf_counts else None,
+        )
+        for tf in tfs
+    }
 
     n_timeframes = sum(
         (F.when(per_tf[tf]["present"], 1).otherwise(0) for tf in tfs), F.lit(0)
@@ -480,6 +509,167 @@ def streaming_decide(
         .drop("window")
     )
     return decisions_from_signal_array(agg)
+
+
+_TFS = ("1m", "5m", "15m")
+_BOUNDED_OUT_SCHEMA = (
+    "symbol string, window_start_s long, "
+    "ts_us array<long>, signal_id array<long>, side array<string>, "
+    "qty array<double>, price array<double>, timeframe array<string>, "
+    "cnt_1m long, bal_1m long, cnt_5m long, bal_5m long, cnt_15m long, bal_15m long"
+)
+_BOUNDED_STATE_SCHEMA = (
+    "tss array<long>, ids array<long>, sides array<string>, qtys array<double>, "
+    "prices array<double>, tfs array<string>, "
+    "c1 long, b1 long, c5 long, b5 long, c15 long, b15 long"
+)
+_BOUNDED_OUT_COLS = [
+    "symbol", "window_start_s", "ts_us", "signal_id", "side", "qty", "price",
+    "timeframe", "cnt_1m", "bal_1m", "cnt_5m", "bal_5m", "cnt_15m", "bal_15m",
+]
+
+
+def _make_bounded_update(window_seconds: int, keep: int):
+    """Build the applyInPandasWithState update fn for the bounded decide path.
+
+    State per (symbol, window_start_s) key is the trimmed per-timeframe
+    last-``keep`` buffers (≤ 3×keep rows, column-major arrays) plus six O(1)
+    counters — the untrimmed count and buy/sell balance per timeframe
+    (A4/A6's whole-window quantities). This mirrors the reference's own state
+    shape (SignalAggregator.kt:16-23 keeps only the last-10 buffers and
+    running counters, never the raw window), where the default windowed-agg
+    path's collect_list state grows with ingest rate.
+    """
+    import pandas as pd  # noqa: PLC0415 — closure ships to workers
+
+    def update(key, pdfs, state):
+        symbol, window_start_s = key
+        end_ms = (int(window_start_s) + window_seconds) * 1000
+
+        if state.hasTimedOut:
+            # Watermark passed window end: emit the partial once (append
+            # semantics, T1), drop state.
+            (tss, ids, sides, qtys, prices, tfs, c1, b1, c5, b5, c15, b15) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[symbol, int(window_start_s), list(tss), list(ids), list(sides),
+                  list(qtys), list(prices), list(tfs), c1, b1, c5, b5, c15, b15]],
+                columns=_BOUNDED_OUT_COLS,
+            )
+            return
+
+        if not state.exists and end_ms <= state.getCurrentWatermarkMs():
+            # Entirely-late window (already emitted or never will be): drop —
+            # the zero-grace late-row semantics of the windowed-agg path (T3).
+            return
+
+        if state.exists:
+            st = state.get
+            buf = list(zip(st[0], st[1], st[2], st[3], st[4], st[5]))
+            counters = list(st[6:12])
+        else:
+            buf, counters = [], [0, 0, 0, 0, 0, 0]
+
+        for pdf in pdfs:
+            for t, i, s, q, p, tf in zip(
+                pdf["ts_us"], pdf["signal_id"], pdf["side"], pdf["qty"],
+                pdf["price"], pdf["timeframe"],
+            ):
+                j = _TFS.index(tf)
+                counters[2 * j] += 1
+                counters[2 * j + 1] += 1 if s == "BUY" else -1
+                buf.append((int(t), int(i), str(s), float(q), float(p), str(tf)))
+
+        # Re-trim: keep the ``keep`` most-recent per timeframe by
+        # (ts_us desc, signal_id desc) — the engine's deterministic re-spec
+        # of the reference's arrival-order FIFO (SURVEY.md §7.4.1).
+        trimmed: list[tuple] = []
+        for tf in _TFS:
+            rows_tf = [r for r in buf if r[5] == tf]
+            rows_tf.sort(key=lambda r: (r[0], r[1]), reverse=True)
+            trimmed.extend(rows_tf[:keep])
+
+        state.update((
+            [r[0] for r in trimmed], [r[1] for r in trimmed],
+            [r[2] for r in trimmed], [r[3] for r in trimmed],
+            [r[4] for r in trimmed], [r[5] for r in trimmed],
+            *counters,
+        ))
+        # Emit when the watermark passes window end. max() keeps a retried /
+        # straggler batch from setting a timestamp the watermark already
+        # passed (illegal) — the window then closes at the next watermark
+        # advance instead of crashing the query.
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+
+    return update
+
+
+def streaming_decide_bounded(
+    signals: DataFrame,
+    window_seconds: int = WINDOW_SECONDS,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """signals stream → decision stream with BOUNDED per-key state.
+
+    The 100 TB/day variant of :func:`streaming_decide`: the default path's
+    single windowed aggregation collects every signal of a (symbol, window)
+    group into state, so per-key state grows with ingest rate — the one
+    scale hazard the module docstring names. This path replaces it with a
+    custom stateful operator (``applyInPandasWithState``, event-time timeout)
+    whose state per key is ≤ 3×BUFFER_KEEP buffer rows + 6 counters
+    regardless of rate, exactly mirroring the reference's own state shape
+    (SignalAggregator.kt:16-23 keeps only the last-10 buffers and running
+    counters, never the raw window).
+
+    The finishing math is the SAME JVM array expressions as the default path
+    (decisions_from_signal_array) — the Python side only maintains buffers
+    and counters; per-timeframe stats, thresholds, and the decision CASEs all
+    run as Catalyst expressions on the emitted partials — so results match
+    streaming_decide / batch ``decide`` (asserted row-for-row in
+    tests/test_streaming.py).
+
+    Emission contract: one row per (symbol, window) when the watermark passes
+    the window end (append semantics, zero-grace late drops — T1/T3), same as
+    the windowed-agg path. Run it on the RocksDB state store provider (T5)
+    like any other stateful query.
+
+    (Spark ≥4.0's transformWithStateInPandas could express the same operator
+    with typed ListState/ValueState + timers; it needs the protobuf runtime,
+    absent in this container, so the engine standardizes on the
+    applyInPandasWithState form — same state shape, executable everywhere.)
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    sig = signals.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    sig = sig.withWatermark("event_time", watermark)
+    w_us = window_seconds * 1_000_000
+    keyed = sig.withColumn(
+        "window_start_s",
+        F.expr(f"(ts_us div {w_us}) * {window_seconds}").cast("long"),
+    )
+    partials = keyed.groupBy("symbol", "window_start_s").applyInPandasWithState(
+        _make_bounded_update(window_seconds, BUFFER_KEEP),
+        _BOUNDED_OUT_SCHEMA,
+        _BOUNDED_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    # Re-assemble the array<struct> shape the finishing expressions consume;
+    # arrays_zip names struct fields after the source columns.
+    with_sigs = partials.select(
+        "symbol",
+        "window_start_s",
+        F.arrays_zip(
+            "ts_us", "signal_id", "side", "qty", "price", "timeframe"
+        ).alias("sigs"),
+        *[c for c in _BOUNDED_OUT_COLS[8:]],
+    )
+    return decisions_from_signal_array(
+        with_sigs,
+        per_tf_counts={
+            tf: (F.col(f"cnt_{tf}"), F.col(f"bal_{tf}")) for tf in _TFS
+        },
+    )
 
 
 def stream_stream_click_attribution(

@@ -1,0 +1,117 @@
+"""cdc_latest_snapshot (S7 consumer-side completion): latest-wins + delete
+tombstones vs a DuckDB row_number oracle, plus edge-case semantics.
+
+Reference path: the outbox relay publishes row changes
+(deploy/strimzi/connectors/pg-outbox-connector.yaml:9-53); any consumer that
+materializes current state must apply latest-wins-per-key with deletes
+removing the key. VERDICT r2 item #8.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from futures_eos_cdc_spark.operators.order_pipeline import cdc_latest_snapshot
+
+
+def _changes_pdf() -> pd.DataFrame:
+    # Hand-built change log exercising: multiple updates per key, ties on
+    # ts_ms broken by seq, delete-last (tombstoned), delete-then-reinsert
+    # (resurrected), insert-only, and a key whose latest two changes share
+    # ts_ms where the LOWER seq is a delete (survivor must be the update).
+    rows = [
+        # key 1: c -> u -> u  (latest wins)
+        (1, "c", 100, 1, "v1a"),
+        (1, "u", 200, 2, "v1b"),
+        (1, "u", 300, 3, "v1c"),
+        # key 2: c -> d  (tombstoned)
+        (2, "c", 100, 4, "v2a"),
+        (2, "d", 250, 5, None),
+        # key 3: c -> d -> c  (resurrected)
+        (3, "c", 100, 6, "v3a"),
+        (3, "d", 200, 7, None),
+        (3, "c", 300, 8, "v3b"),
+        # key 4: insert only
+        (4, "r", 150, 9, "v4a"),
+        # key 5: tie on ts_ms, higher seq is the survivor
+        (5, "c", 100, 10, "v5a"),
+        (5, "u", 400, 11, "v5b"),
+        (5, "u", 400, 12, "v5c"),
+        # key 6: tie on ts_ms where the delete has LOWER seq → key survives
+        (6, "c", 100, 13, "v6a"),
+        (6, "d", 500, 14, None),
+        (6, "u", 500, 15, "v6b"),
+        # key 7: tie on ts_ms where the delete has HIGHER seq → tombstoned
+        (7, "c", 100, 16, "v7a"),
+        (7, "u", 500, 17, "v7b"),
+        (7, "d", 500, 18, None),
+    ]
+    return pd.DataFrame(rows, columns=["id", "op", "ts_ms", "seq", "val"])
+
+
+ORACLE = """
+SELECT id, op, ts_ms, seq, val
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts_ms DESC, seq DESC) AS rn
+  FROM changes
+)
+WHERE rn = 1 AND op <> 'd'
+ORDER BY id
+"""
+
+
+def test_cdc_latest_snapshot_matches_rownumber_oracle(spark):
+    pdf = _changes_pdf()
+    changes = spark.createDataFrame(pdf)
+    snap = cdc_latest_snapshot(changes, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    got = sorted(
+        (int(r.id), r.op, int(r.ts_ms), int(r.seq), r.val) for r in snap.collect()
+    )
+
+    con = duckdb.connect()
+    con.register("changes", pdf)
+    want = [
+        (int(i), o, int(t), int(s), v)
+        for i, o, t, s, v in con.execute(ORACLE).fetchall()
+    ]
+    assert got == want
+    # Semantics spot-checks (independent of the oracle):
+    by_id = {r[0]: r for r in got}
+    assert set(by_id) == {1, 3, 4, 5, 6}  # 2 and 7 tombstoned
+    assert by_id[1][4] == "v1c"
+    assert by_id[3][4] == "v3b"  # delete-then-reinsert resurrects
+    assert by_id[5][4] == "v5c"  # ts tie → higher seq wins
+    assert by_id[6][4] == "v6b"  # delete loses the tie → key survives
+
+
+@pytest.mark.parametrize("n_keys,changes_per_key", [(50, 7)])
+def test_cdc_latest_snapshot_random_log(spark, n_keys, changes_per_key):
+    """Deterministic pseudo-random change log: Spark vs DuckDB row-for-row."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    seq = 0
+    for k in range(n_keys):
+        for _ in range(rng.randint(1, changes_per_key)):
+            seq += 1
+            op = rng.choice(["c", "u", "u", "u", "d"])
+            # Coarse ts with deliberate collisions (ties exercised)
+            rows.append((k, op, rng.randint(1, 5) * 100, seq, f"v{seq}" if op != "d" else None))
+    pdf = pd.DataFrame(rows, columns=["id", "op", "ts_ms", "seq", "val"])
+
+    snap = cdc_latest_snapshot(
+        spark.createDataFrame(pdf), ["id"], ts_col="ts_ms", tiebreak_cols=["seq"]
+    )
+    got = sorted(
+        (int(r.id), r.op, int(r.ts_ms), int(r.seq), r.val) for r in snap.collect()
+    )
+    con = duckdb.connect()
+    con.register("changes", pdf)
+    want = [
+        (int(i), o, int(t), int(s), v)
+        for i, o, t, s, v in con.execute(ORACLE).fetchall()
+    ]
+    assert got == want
