@@ -524,6 +524,8 @@ QUERIES["q17_small_quantity_revenue"] = _bind(_tw.q_small_quantity_revenue)
 ORACLES["q17_small_quantity_revenue"] = _tw.Q17_ORACLE
 QUERIES["q19_disjunctive_revenue"] = _bind(_tw.q_disjunctive_revenue)
 ORACLES["q19_disjunctive_revenue"] = _tw.Q19_ORACLE
+QUERIES["q2_min_cost_supplier"] = _bind(_tw.q_min_cost_supplier)
+ORACLES["q2_min_cost_supplier"] = _tw.Q2_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -548,6 +550,8 @@ _WALK_FIRST = [
     "q19_disjunctive_revenue",
     "signal_strength_histogram",
     "approx_aggregates",
+    # round-3 additions — need their first driver row
+    "q2_min_cost_supplier",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -691,3 +691,89 @@ def q_idle_wealthy_customers(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part in a region (correlated MIN)
+# ---------------------------------------------------------------------------
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eps AS (
+  SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT eps.s_acctbal, eps.s_name, eps.n_name,
+       p.p_partkey, p.p_name, eps.ps_supplycost
+FROM eps
+JOIN part p ON p.p_partkey = eps.l_partkey
+JOIN (SELECT l_partkey, min(ps_supplycost) AS min_cost FROM eps GROUP BY 1) m
+  ON m.l_partkey = eps.l_partkey AND eps.ps_supplycost = m.min_cost
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+ORDER BY eps.s_acctbal DESC, eps.n_name, eps.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in a region
+    offering the minimum supply cost — the classic correlated-MIN subquery,
+    decorrelated to aggregate-then-rejoin (Catalyst's own rewrite of the
+    scalar subquery).
+
+    Fixture adaptation (no partsupp table): the part-supplier offer relation
+    is derived from lineitem as min(l_extendedprice) per (l_partkey,
+    l_suppkey). MIN is a *selection* (no arithmetic), so the equality join on
+    the cost value is exact across engines.
+
+    Scale plan: one shuffle builds the derived partsupp (map-side partial
+    min); region-filtered supplier⋈nation⋈region is dim-sized → broadcast to
+    the offers; the per-part MIN aggregates (shuffle on partkey, partial agg)
+    and rejoins on the SAME partkey partitioning (AQE reuses the exchange);
+    part filters prune its broadcast build. ORDER BY … LIMIT 100 →
+    TakeOrderedAndProject (no global sort). Reference parity: relational
+    completeness beyond the reference's constant-map joins (SURVEY.md §2.6).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("ps_supplycost")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+    minc = eps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eps.join(
+            minc,
+            (eps.l_partkey == minc.m_partkey)
+            & (eps.ps_supplycost == minc.min_cost),
+        )
+        .join(F.broadcast(p), eps.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
