@@ -244,3 +244,45 @@ def cdc_latest_snapshot(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != "d"))
         .drop("_rn")
     )
+
+
+def cdc_scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+    valid_to_col: str = "valid_to",
+    is_current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from a CDC change stream:
+    every change becomes a versioned row with a validity interval.
+
+    Companion to :func:`cdc_latest_snapshot` (same reference CDC path —
+    the outbox relay's row-change feed): instead of keeping only the latest
+    row per key, each change row gains ``valid_to`` = the NEXT change's
+    timestamp for that key (null while still open) and ``is_current`` =
+    open AND not a delete. Delete ops close the preceding version's interval
+    but emit no version themselves (the key is absent between a delete and a
+    subsequent re-insert).
+
+    ``(ts_col, *tiebreak_cols)`` must totally order each key's changes or
+    interval boundaries are nondeterministic — same contract as
+    ``cdc_latest_snapshot``.
+
+    Scale shape: one hash exchange on the key, then a single streaming
+    window pass (``lead`` needs O(1) state per partition, not O(group)) —
+    no per-key materialization, no join back. At 100 TB of change log this
+    is shuffle-bound on the key exchange only.
+    """
+    order_cols = [F.asc(ts_col)] + [F.asc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    valid_to = F.lead(ts_col).over(w)
+    return (
+        changes.withColumn(valid_to_col, valid_to)
+        .withColumn(
+            is_current_col,
+            F.col(valid_to_col).isNull() & (F.col(op_col) != F.lit("d")),
+        )
+        .filter(F.col(op_col) != F.lit("d"))
+    )

@@ -115,3 +115,51 @@ def test_cdc_latest_snapshot_random_log(spark, n_keys, changes_per_key):
         for i, o, t, s, v in con.execute(ORACLE).fetchall()
     ]
     assert got == want
+
+
+SCD2_ORACLE = """
+SELECT id, op, ts_ms, seq, val, valid_to,
+       (valid_to IS NULL AND op <> 'd') AS is_current
+FROM (
+  SELECT *, lead(ts_ms) OVER (PARTITION BY id ORDER BY ts_ms, seq) AS valid_to
+  FROM changes
+)
+WHERE op <> 'd'
+ORDER BY id, ts_ms, seq
+"""
+
+
+def test_cdc_scd2_history_matches_lead_oracle(spark):
+    from futures_eos_cdc_spark.operators.order_pipeline import cdc_scd2_history
+
+    pdf = _changes_pdf()
+    hist = cdc_scd2_history(
+        spark.createDataFrame(pdf), ["id"], ts_col="ts_ms", tiebreak_cols=["seq"]
+    )
+    got = sorted(
+        (int(r.id), r.op, int(r.ts_ms), int(r.seq), r.val,
+         None if r.valid_to is None else int(r.valid_to), bool(r.is_current))
+        for r in hist.collect()
+    )
+    con = duckdb.connect()
+    con.register("changes", pdf)
+    want = sorted(
+        (int(i), o, int(t), int(s), v, None if vt is None else int(vt), bool(c))
+        for i, o, t, s, v, vt, c in con.execute(SCD2_ORACLE).fetchall()
+    )
+    assert got == want
+    # Semantics spot-checks:
+    rows = {(r[0], r[3]): r for r in got}
+    # key 1 (c@100 -> u@200 -> u@300): chained intervals, last open+current
+    assert rows[(1, 1)][5] == 200 and rows[(1, 1)][6] is False
+    assert rows[(1, 2)][5] == 300 and rows[(1, 2)][6] is False
+    assert rows[(1, 3)][5] is None and rows[(1, 3)][6] is True
+    # key 2 (c@100 -> d@250): the delete closes v1's interval, emits nothing,
+    # and the key has NO current version
+    assert rows[(2, 4)][5] == 250 and rows[(2, 4)][6] is False
+    assert not any(k == 2 and cur for (k, _), (*_, cur) in rows.items())
+    # key 3 (c -> d -> c): gap between delete and re-insert; new version open
+    assert rows[(3, 6)][5] == 200 and rows[(3, 8)][5] is None and rows[(3, 8)][6]
+    # key 7 (u@500 then d@500, delete higher seq): version closed at its own
+    # ts by the same-ts delete — not current
+    assert rows[(7, 17)][5] == 500 and rows[(7, 17)][6] is False
