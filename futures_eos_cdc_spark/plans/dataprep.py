@@ -513,3 +513,118 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
     pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
     return connected_components(pairs, id_a="doc_a", id_b="doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals (Gopher-style rules) per document
+# ---------------------------------------------------------------------------
+REPETITION_STATS_ORACLE = r"""
+WITH wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+  GROUP BY 1, 2
+),
+ws AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_words,
+    CAST(count(*) AS BIGINT) AS n_distinct_words,
+    CAST(max(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY 1
+),
+bgc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS bg
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents)
+  )
+  GROUP BY 1, 2
+),
+bs AS (
+  SELECT doc_id AS b_doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM bgc GROUP BY 1
+)
+SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+  CAST(top_word_count AS DOUBLE) / n_words AS top_word_frac,
+  CAST(n_words - n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+  CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.b_doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Per-document repetition signals, the Gopher-rule family of quality
+    filters for LLM training corpora (Rae et al. 2021 §A1.1: drop documents
+    whose top word / duplicate-word / top-n-gram fractions are extreme).
+
+    All-JVM plan: tokenize once (split), word counts via explode →
+    (doc, word) partial-agg → per-doc rollup; bigram counts the same way
+    over a zip_with of the shifted token array. The two per-doc summaries
+    join co-partitioned on doc_id (both sides exit their final aggregate
+    hash-partitioned by doc_id — no extra exchange). Fractions are single
+    IEEE divisions of exact integers → bit-stable across engines.
+
+    Scale: shuffles carry (doc_id, token, count) — never document bytes;
+    partial aggregation collapses each partition's counts map-side. At
+    100 TB the wide explode is the cost; it parallelizes per input split
+    and feeds a combiner, which is the right shape.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    words = docs.select("doc_id", F.explode("arr").alias("w")).filter(
+        F.col("w") != ""
+    )
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))),
+                F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    return (
+        wstats.join(bstats.withColumnRenamed("doc_id", "b_doc_id"),
+                    wstats.doc_id == F.col("b_doc_id"), "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "top_word_count",
+            (F.col("top_word_count").cast("double") / F.col("n_words")).alias(
+                "top_word_frac"
+            ),
+            (
+                (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+                / F.col("n_words")
+            ).alias("dup_word_frac"),
+            (
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+        )
+    )
