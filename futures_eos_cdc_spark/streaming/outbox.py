@@ -139,3 +139,70 @@ def content_duplicate_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+def parquet_cdc_merge_writer(
+    base_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+):
+    """foreachBatch writer that continuously maintains the CDC current-state
+    snapshot: each micro-batch of changes is merged latest-wins into the
+    previous snapshot (``operators.order_pipeline.cdc_latest_snapshot`` per
+    batch — deletes tombstone keys, ties broken deterministically).
+
+    Publication is versioned: the merged snapshot lands in a fresh
+    ``snapshot_epoch*`` directory, then a one-line ``_CURRENT`` pointer file
+    is swapped via ``os.replace`` (atomic on POSIX) — readers via
+    :func:`read_cdc_snapshot` always see a complete version, never a partial
+    write. Replay of an epoch is idempotent: latest-wins merge of
+    already-merged rows changes nothing.
+
+    Semantics note (mirrors Kafka log compaction): tombstones are NOT
+    retained after they delete a key, so changes must arrive per-key
+    time-ordered across batches — the reference's own per-partition Kafka
+    ordering guarantee. This is the locally-verifiable twin of a
+    Delta/Iceberg MERGE or the JDBC upsert path; superseded versions are
+    garbage-collected best-effort after the pointer swap.
+    """
+    pointer = os.path.join(base_dir, "_CURRENT")
+
+    def _current() -> str | None:
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                return os.path.join(base_dir, fh.read().strip())
+        return None
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.order_pipeline import cdc_latest_snapshot
+
+        spark = batch_df.sparkSession
+        cur = _current()
+        changes = batch_df
+        if cur and os.path.exists(cur):
+            changes = spark.read.parquet(cur).unionByName(batch_df)
+        merged = cdc_latest_snapshot(
+            changes, key_cols, ts_col=ts_col, op_col=op_col,
+            tiebreak_cols=tiebreak_cols,
+        )
+        vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(base_dir, vname))
+        tmp = f"{pointer}.tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            fh.write(vname)
+        os.replace(tmp, pointer)
+        for d in os.listdir(base_dir):
+            if d.startswith("snapshot_") and d != vname:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+
+    return write
+
+
+def read_cdc_snapshot(spark, base_dir: str) -> DataFrame:
+    """Read the current CDC snapshot version published by
+    :func:`parquet_cdc_merge_writer` (resolves the ``_CURRENT`` pointer)."""
+    pointer = os.path.join(base_dir, "_CURRENT")
+    with open(pointer) as fh:
+        return spark.read.parquet(os.path.join(base_dir, fh.read().strip()))

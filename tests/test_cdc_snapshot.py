@@ -163,3 +163,46 @@ def test_cdc_scd2_history_matches_lead_oracle(spark):
     # key 7 (u@500 then d@500, delete higher seq): version closed at its own
     # ts by the same-ts delete — not current
     assert rows[(7, 17)][5] == 500 and rows[(7, 17)][6] is False
+
+
+def test_parquet_cdc_merge_writer_maintains_snapshot(spark, tmp_path):
+    """Continuous snapshot maintenance (streaming twin of the JDBC upsert):
+    per-batch latest-wins merge == one-shot cdc_latest_snapshot over the
+    full change log, and epoch replay is a no-op."""
+    from futures_eos_cdc_spark.operators.order_pipeline import cdc_latest_snapshot
+    from futures_eos_cdc_spark.streaming.outbox import (
+        parquet_cdc_merge_writer,
+        read_cdc_snapshot,
+    )
+
+    schema = "id long, op string, ts_ms long, seq long, val string"
+    b1 = spark.createDataFrame(
+        [(1, "c", 100, 1, "v1a"), (2, "c", 100, 2, "v2a"), (3, "c", 100, 3, "v3a")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, "u", 200, 4, "v1b"), (2, "d", 200, 5, None), (4, "c", 200, 6, "v4a")],
+        schema,
+    )
+    base = str(tmp_path / "cdc_snap")
+    import os
+
+    os.makedirs(base)
+    write = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    write(b1, 1)
+    snap1 = {r.id: r.val for r in read_cdc_snapshot(spark, base).collect()}
+    assert snap1 == {1: "v1a", 2: "v2a", 3: "v3a"}
+
+    write(b2, 2)
+    expected = {
+        (r.id, r.val)
+        for r in cdc_latest_snapshot(
+            b1.unionByName(b2), ["id"], ts_col="ts_ms", tiebreak_cols=["seq"]
+        ).collect()
+    }
+    got = {(r.id, r.val) for r in read_cdc_snapshot(spark, base).collect()}
+    assert got == expected == {(1, "v1b"), (3, "v3a"), (4, "v4a")}
+
+    write(b2, 2)  # replayed epoch: idempotent
+    again = {(r.id, r.val) for r in read_cdc_snapshot(spark, base).collect()}
+    assert again == expected
