@@ -628,3 +628,79 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing (training-corpus cleaning pass)
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+PII_SCRUB_ORACLE = rf"""
+WITH with_pii AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or http://site.example/p/'
+         || doc_id || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_URL_RE}', '<URL>', 'g'),
+      '{_IP_RE}', '<IP>', 'g') AS clean
+  FROM with_pii
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(clean, '{_IP_RE}')) AS BIGINT) AS n_ips_left,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM scrubbed
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Training-corpus PII/URL scrubbing pass: emails → <EMAIL>, URLs →
+    <URL>, IPv4 → <IP>, applied in that order as JVM ``regexp_replace``
+    expressions (single codegen'd projection — no shuffle, no Python).
+
+    The fixture documents carry no organic PII, so a deterministic synthetic
+    tail (email + URL + IP derived from doc_id) is appended first; the query
+    emits match counts plus the md5 of the scrubbed text, so the oracle
+    compare proves byte-identical scrub output per document, and
+    ``n_ips_left = 0`` proves the IP pass ran after URL rewriting.
+
+    Scale: pure map-side work over the scan — partitions process
+    independently, nothing shuffles; regex patterns are plan literals
+    (compatible Java/RE2 subset, no backrefs or lookaround).
+    """
+    with_pii = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://site.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE, "<URL>",
+        ),
+        _IP_RE, "<IP>",
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(clean, F.lit(_IP_RE)).cast("long").alias("n_ips_left"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )

@@ -460,6 +460,8 @@ QUERIES["text_stats"] = _bind(_dp.q_text_stats)
 ORACLES["text_stats"] = _dp.TEXT_STATS_ORACLE
 QUERIES["doc_repetition_stats"] = _bind(_dp.q_repetition_stats)
 ORACLES["doc_repetition_stats"] = _dp.REPETITION_STATS_ORACLE
+QUERIES["pii_scrub"] = _bind(_dp.q_pii_scrub)
+ORACLES["pii_scrub"] = _dp.PII_SCRUB_ORACLE
 QUERIES["corpus_clean_funnel"] = _bind(_dp.q_corpus_funnel)
 ORACLES["corpus_clean_funnel"] = _dp.CORPUS_FUNNEL_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
@@ -644,6 +646,7 @@ _WALK_FIRST = [
     "cdc_customer_snapshot",
     "scd2_customer_history",
     "doc_repetition_stats",
+    "pii_scrub",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
