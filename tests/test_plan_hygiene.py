@@ -107,3 +107,36 @@ def test_above_brand_avg_broadcasts_agg_side(spark, sf_dir):
 def test_ngram_jaccard_single_candidate_shuffle_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_jaccard_near_dup")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q2_take_ordered_and_broadcast_dims(spark, sf_dir):
+    # correlated-MIN rejoin: no global sort (TakeOrderedAndProject), dims
+    # broadcast, and the derived-offers exchange reused (subplan shared by
+    # both the offers and the per-part MIN sides)
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    df.collect()  # AQE: exchange reuse only appears in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_pii_scrub_is_pure_projection(spark, sf_dir):
+    # map-side only: no shuffle, no Python in the plan
+    plan = _plan(spark, sf_dir, "pii_scrub")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_all_jvm_with_partial_aggs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_repetition_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan or plan.count("HashAggregate") >= 4
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    # one hash exchange on the key, then a streaming window pass — lead()
+    # must not introduce extra shuffles
+    plan = _plan(spark, sf_dir, "scd2_customer_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
