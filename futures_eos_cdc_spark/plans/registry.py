@@ -427,6 +427,8 @@ ORACLES["order_price_histogram"] = _rel_early.HISTOGRAM_ORACLE
 
 QUERIES["window_functions"] = _bind(_rel.q_window_functions)
 ORACLES["window_functions"] = _rel.WINDOW_FUNCS_ORACLE
+QUERIES["moving_aggregates"] = _bind(_rel.q_moving_aggregates)
+ORACLES["moving_aggregates"] = _rel.MOVING_AGG_ORACLE
 QUERIES["topk_per_group"] = _bind(_rel.q_topk_per_group)
 ORACLES["topk_per_group"] = _rel.TOPK_ORACLE
 QUERIES["rollup_subtotals"] = _bind(_rel.q_rollup)
@@ -647,6 +649,7 @@ _WALK_FIRST = [
     "scd2_customer_history",
     "doc_repetition_stats",
     "pii_scrub",
+    "moving_aggregates",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

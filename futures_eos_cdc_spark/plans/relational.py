@@ -609,3 +609,72 @@ def q_histogram(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             _dsum(F.col("o_totalprice"), "total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-based window aggregates: bounded ROWS frame, value RANGE frame,
+# ntile / percent_rank / cume_dist (the window surface beyond
+# q_window_functions' unbounded running forms)
+# ---------------------------------------------------------------------------
+MOVING_AGG_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(epoch(o_orderdate) AS BIGINT) AS ts_s, o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, ts_s, o_totalprice,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER w3 AS VARCHAR) AS DOUBLE)
+    AS mov_sum_3,
+  CAST(ntile(4) OVER wo AS BIGINT) AS quartile,
+  percent_rank() OVER wo AS pct_rank,
+  cume_dist() OVER wo AS cume_d,
+  CAST(count(*) OVER wr AS BIGINT) AS n_last_30d
+FROM o
+WINDOW
+  wo AS (PARTITION BY o_custkey ORDER BY ts_s, o_orderkey),
+  w3 AS (PARTITION BY o_custkey ORDER BY ts_s, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+  wr AS (PARTITION BY o_custkey ORDER BY ts_s
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_moving_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Moving/frame window aggregates per customer order history: 3-order
+    moving sum (bounded ROWS frame), order quartile (ntile), percent_rank /
+    cume_dist, and a 30-day trailing order count (value RANGE frame over
+    epoch seconds).
+
+    One exchange on o_custkey serves every function; the (ts_s, o_orderkey)
+    sort satisfies the RANGE window's (ts_s) prefix ordering, so there is no
+    second sort. The moving sum goes through DECIMAL(38,10) so the 3-element
+    frame sum is exact (hash-stable vs the oracle); percent_rank/cume_dist
+    are single IEEE divisions of exact integer ranks. Scale: windows stream
+    per partition with O(frame) state — nothing materializes a group.
+    """
+    from .registry import _ntz_epoch_s
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        _ntz_epoch_s("o_orderdate").alias("ts_s"),
+        "o_totalprice",
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("ts_s", "o_orderkey")
+    w3 = wo.rowsBetween(-2, Window.currentRow)
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_s")
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "ts_s",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w3).cast("double").alias("mov_sum_3"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
+        F.percent_rank().over(wo).alias("pct_rank"),
+        F.cume_dist().over(wo).alias("cume_d"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("n_last_30d"),
+    )
