@@ -56,3 +56,48 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — plans with no
     Exchange on either side (assert via tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Persist `df` hive-partitioned on `partition_cols` — the pruning half
+    of the 100 TB layout story (bucketing co-locates joins; directory
+    partitioning lets predicates skip whole partitions at planning time).
+
+    Partition columns should be LOW-cardinality (date, hour, category):
+    each distinct tuple becomes a directory, and a filter on the column
+    becomes a `PartitionFilters` entry in the scan — zero I/O for pruned
+    partitions, visible in `.explain` as `PartitionCount: k`.
+
+    `files_per_partition` caps the file count per directory (the
+    small-files guard): rows are pre-shuffled on (partition_cols, spread)
+    where spread is a deterministic content hash mod the cap, so each
+    directory is written by at most that many tasks. At 100 TB pick it so
+    files land ~128-512 MB. AQE partition coalescing composes: when the
+    actual data is small it merges the spread splits back down (fewer,
+    fuller files); at scale the splits survive and bound file size.
+    """
+    from pyspark.sql import functions as F
+
+    spread = F.pmod(
+        F.hash(*[df[c] for c in df.columns]), F.lit(files_per_partition)
+    ).alias("_spread")
+    (
+        df.repartition(*([df[c] for c in partition_cols] + [spread]))
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Read a hive-partitioned layout; partition columns come back as
+    regular columns and equality/range predicates on them prune directories
+    at planning time (no file listing beyond the matching partitions)."""
+    return spark.read.parquet(path)

@@ -64,3 +64,52 @@ def test_groupby_on_bucket_key_has_no_exchange(spark, sf_dir, tmp_path):
         assert "Exchange" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_g")
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """Filters on partition columns must become PartitionFilters (planning-
+    time directory pruning), not data filters — and prune to one partition."""
+    from futures_eos_cdc_spark.sources.bucketing import (
+        read_partition_pruned,
+        write_partitioned,
+    )
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    # disable AQE's small-partition merge for the write so the spread
+    # mechanism (the at-scale file-size bound) is observable on tiny data
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        write_partitioned(orders, path, ["o_orderpriority"], files_per_partition=2)
+    finally:
+        spark.conf.set(key, old)
+
+    back = read_partition_pruned(spark, path)
+    one = back.filter(back.o_orderpriority == "1-URGENT")
+    # formatted mode prints untruncated scan metadata (PartitionFilters /
+    # partition counts); toString() clips at maxMetadataStringLength
+    plan = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # row parity with the unpartitioned source
+    assert one.count() == orders.filter(orders.o_orderpriority == "1-URGENT").count()
+    # small-files guard: AT MOST 2 files per directory (spread = content
+    # hash mod 2; a task-assignment collision can merge the two), and the
+    # spread demonstrably splits at least one directory
+    import os
+
+    counts = []
+    for d in os.listdir(path):
+        if d.startswith("o_orderpriority="):
+            pdir = os.path.join(path, d)
+            counts.append(
+                len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+            )
+    assert counts and all(1 <= c <= 2 for c in counts)
+    assert max(counts) == 2
