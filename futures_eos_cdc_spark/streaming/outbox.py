@@ -167,42 +167,123 @@ def parquet_cdc_merge_writer(
     Delta/Iceberg MERGE or the JDBC upsert path; superseded versions are
     garbage-collected best-effort after the pointer swap.
     """
-    pointer = os.path.join(base_dir, "_CURRENT")
-
-    def _current() -> str | None:
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                return os.path.join(base_dir, fh.read().strip())
-        return None
+    store = _VersionedParquet(base_dir)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.order_pipeline import cdc_latest_snapshot
 
         spark = batch_df.sparkSession
-        cur = _current()
+        cur, last_epoch = store.current()
+        if epoch_id <= last_epoch:  # replayed epoch: already applied
+            return
         changes = batch_df
-        if cur and os.path.exists(cur):
+        if cur:
             changes = spark.read.parquet(cur).unionByName(batch_df)
         merged = cdc_latest_snapshot(
             changes, key_cols, ts_col=ts_col, op_col=op_col,
             tiebreak_cols=tiebreak_cols,
         )
-        vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(os.path.join(base_dir, vname))
-        tmp = f"{pointer}.tmp{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            fh.write(vname)
-        os.replace(tmp, pointer)
-        for d in os.listdir(base_dir):
-            if d.startswith("snapshot_") and d != vname:
-                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        store.publish(merged, epoch_id)
 
     return write
 
 
+class _VersionedParquet:
+    """Versioned parquet publication behind an atomic pointer file.
+
+    Each publish writes a fresh ``snapshot_epoch*`` directory, then swaps a
+    one-line ``_CURRENT`` pointer (``<version-dir> <epoch>``) via
+    ``os.replace`` (atomic on POSIX) — readers always see a complete
+    version. The recorded epoch makes foreachBatch replay detection exact:
+    a writer skips epochs ≤ the last published one (the standard
+    batchId-with-output transactional pattern). Superseded versions are
+    garbage-collected best-effort after the swap.
+    """
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.pointer = os.path.join(base_dir, "_CURRENT")
+
+    def current(self) -> tuple[str | None, int]:
+        if os.path.exists(self.pointer):
+            with open(self.pointer) as fh:
+                vname, _, epoch = fh.read().strip().partition(" ")
+            return os.path.join(self.base_dir, vname), int(epoch or -1)
+        return None, -1
+
+    def publish(self, df: DataFrame, epoch_id: int) -> None:
+        vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.base_dir, vname))
+        tmp = f"{self.pointer}.tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            fh.write(f"{vname} {epoch_id}")
+        os.replace(tmp, self.pointer)
+        for d in os.listdir(self.base_dir):
+            if d.startswith("snapshot_") and d != vname:
+                shutil.rmtree(os.path.join(self.base_dir, d), ignore_errors=True)
+
+
 def read_cdc_snapshot(spark, base_dir: str) -> DataFrame:
-    """Read the current CDC snapshot version published by
-    :func:`parquet_cdc_merge_writer` (resolves the ``_CURRENT`` pointer)."""
-    pointer = os.path.join(base_dir, "_CURRENT")
-    with open(pointer) as fh:
-        return spark.read.parquet(os.path.join(base_dir, fh.read().strip()))
+    """Read the current version published by :func:`parquet_cdc_merge_writer`
+    or :func:`parquet_incremental_agg_writer` (resolves ``_CURRENT``)."""
+    path, _ = _VersionedParquet(base_dir).current()
+    if path is None:
+        raise FileNotFoundError(f"no published version under {base_dir}")
+    return spark.read.parquet(path)
+
+
+def parquet_incremental_agg_writer(
+    base_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+):
+    """foreachBatch writer maintaining a streaming materialized view of
+    mergeable per-key aggregates (count / sum / min / max): each micro-batch
+    is partially aggregated, then merged with the previous view —
+    ``new = old ⊕ partial`` — exactly the map-side-combine algebra Spark
+    uses inside a shuffle, applied across batches.
+
+    Sums accumulate as DECIMAL(38,10), so the incremental result is
+    bit-identical to a one-shot batch aggregation over all input (no
+    float-order drift). Unlike the CDC merge, aggregate merge is NOT
+    replay-idempotent, so the epoch recorded with the published version
+    gates replays exactly (see :class:`_VersionedParquet`).
+
+    Scale: state is the aggregate table (O(keys)), each batch costs one
+    partial agg + a co-partitioned merge — never a rescan of history. The
+    100 TB shape for always-on dashboards over unbounded streams.
+    """
+    from ..operators.signal_pipeline import DEC
+
+    sum_cols = sum_cols or []
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+    store = _VersionedParquet(base_dir)
+
+    def _partial(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        aggs += [F.sum(F.col(c).cast(DEC)).alias(f"sum_{c}") for c in sum_cols]
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        return df.groupBy(*key_cols).agg(*aggs)
+
+    def _merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        aggs = [F.sum("n").cast("long").alias("n")]
+        aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+        aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+        return a.unionByName(b).groupBy(*key_cols).agg(*aggs)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur, last_epoch = store.current()
+        if epoch_id <= last_epoch:  # replay: merging again would double-count
+            return
+        view = _partial(batch_df)
+        if cur:
+            view = _merge(spark.read.parquet(cur), view)
+        store.publish(view, epoch_id)
+
+    return write

@@ -206,3 +206,52 @@ def test_parquet_cdc_merge_writer_maintains_snapshot(spark, tmp_path):
     write(b2, 2)  # replayed epoch: idempotent
     again = {(r.id, r.val) for r in read_cdc_snapshot(spark, base).collect()}
     assert again == expected
+
+
+def test_parquet_incremental_agg_writer_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming materialized view: incremental count/sum/min/max merge over
+    two batches == one-shot batch aggregation (decimal-exact sums), and a
+    replayed epoch is skipped (aggregate merge is not naturally idempotent)."""
+    from pyspark.sql import functions as F
+
+    from futures_eos_cdc_spark.operators.signal_pipeline import DEC
+    from futures_eos_cdc_spark.sources.tables import load_table
+    from futures_eos_cdc_spark.streaming.outbox import (
+        parquet_incremental_agg_writer,
+        read_cdc_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    base = str(tmp_path / "agg_view")
+    import os
+
+    os.makedirs(base)
+    write = parquet_incremental_agg_writer(
+        base, ["o_orderpriority"],
+        sum_cols=["o_totalprice"], min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    write(b1, 1)
+    write(b2, 2)
+    write(b2, 2)  # replayed epoch must be skipped, not double-counted
+
+    got = {
+        r.o_orderpriority: (r.n, float(r.sum_o_totalprice),
+                            r.min_o_totalprice, r.max_o_totalprice)
+        for r in read_cdc_snapshot(spark, base).collect()
+    }
+    want = {
+        r.o_orderpriority: (r.n, float(r.s), r.mn, r.mx)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 3
