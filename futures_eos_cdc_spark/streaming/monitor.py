@@ -1,0 +1,95 @@
+"""Operational monitoring for streaming queries: the reference's eos-monitor
+loop as an engine component.
+
+The reference watches its pipeline from the outside — consumer-lag /
+throughput / duplicate probes in a monitor pod (deploy/eos-monitor.yaml:29-44,
+scripts/verify-eos.sh:100-112). Spark exposes the same signals in-process
+through ``StreamingQueryListener`` progress events; this module records them
+and answers the reference's operational questions (is it keeping up? how many
+rows per trigger? is state growing without bound?) without any external
+infrastructure.
+
+At scale this is the hook where progress rows would ship to a metrics sink
+(one listener per session, negligible overhead — events arrive on the driver
+already); locally the recorder keeps them in memory for assertions.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Records per-trigger progress for all queries on the session.
+
+    Captured per micro-batch: query name, batch id, input row count,
+    processed rows/sec, event-time watermark, and total state rows across
+    stateful operators — the fields the reference's monitor derives from
+    consumer groups and topic inspection.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.progress: list[dict] = []
+
+    # StreamingQueryListener interface -------------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        state_rows = sum(
+            (op.numRowsTotal or 0) for op in (p.stateOperators or [])
+        )
+        row = {
+            "name": p.name,
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "rows_per_sec": p.processedRowsPerSecond,
+            "watermark": (p.eventTime or {}).get("watermark"),
+            "state_rows": state_rows,
+        }
+        with self._lock:
+            self.progress.append(row)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # Reporting -------------------------------------------------------------
+    def report(self, spark: SparkSession) -> DataFrame:
+        """Progress rows as a DataFrame (queryable like any engine table)."""
+        with self._lock:
+            rows = list(self.progress)
+        return spark.createDataFrame(
+            rows or [],
+            "name string, batch_id long, num_input_rows long, "
+            "rows_per_sec double, watermark string, state_rows long",
+        )
+
+    def totals(self) -> dict:
+        """The monitor's headline numbers: total input rows, peak state rows,
+        max processed-rows/sec over all recorded triggers."""
+        with self._lock:
+            rows = list(self.progress)
+        return {
+            "n_triggers": len(rows),
+            "total_input_rows": sum(r["num_input_rows"] or 0 for r in rows),
+            "peak_state_rows": max((r["state_rows"] for r in rows), default=0),
+            "peak_rows_per_sec": max(
+                (r["rows_per_sec"] or 0.0 for r in rows), default=0.0
+            ),
+        }
+
+
+def attach_progress_recorder(spark: SparkSession) -> ProgressRecorder:
+    """Attach a fresh recorder to the session's listener bus; returns it.
+    Detach with ``spark.streams.removeListener(recorder)`` when done."""
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    return rec
