@@ -704,3 +704,73 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean.cast("binary")).alias("clean_md5"),
     )
+
+
+def _ann_lsh_oracle_sql(
+    n_tables: int = 10, bits: int = 5, seed: int = 42, dim: int = 64, k: int = 3
+) -> str:
+    """Generate the DuckDB oracle for q_ann_lsh by embedding the SAME seeded
+    hyperplane literals the Spark plan uses (operators.similarity
+    _hyperplanes), with every dot product as the same left fold
+    (list_reduce ≡ F.aggregate) — so buckets, candidates, cosines, and
+    ranks reproduce bit-for-bit and the "approximate" query is exactly
+    checkable. ~60 KB of SQL, built once at import."""
+    from ..operators.similarity import _hyperplanes
+
+    def dot(vec_sql: str, plane: list[float]) -> str:
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, len({vec_sql}) + 1), "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * ({lits}::DOUBLE[])[j]), "
+            "(x, y) -> x + y)"
+        )
+
+    def self_dot(vec_sql: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({vec_sql}) + 1), "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * CAST({vec_sql}[j] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    unions = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN {dot('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        unions.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM e")
+    buckets_sql = "\n  UNION ALL ".join(unions)
+    # pairwise dot uses the two vectors, not a literal plane:
+    pair_dot = (
+        "list_reduce(list_transform(range(1, len(qe.embedding) + 1), "
+        "j -> CAST(qe.embedding[j] AS DOUBLE) * CAST(ce.embedding[j] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+  FROM buckets qb JOIN buckets cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+    {pair_dot} / (sqrt({self_dot('qe.embedding')}) * sqrt({self_dot('ce.embedding')})) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.q_id
+  JOIN e ce ON ce.vec_id = cand.c_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_LSH_ORACLE = _ann_lsh_oracle_sql()

@@ -474,8 +474,11 @@ QUERIES["simhash_buckets"] = _bind(_dp.q_simhash)
 ORACLES["simhash_buckets"] = _dp.SIMHASH_ORACLE
 QUERIES["cosine_topk_bruteforce"] = _bind(_dp.q_cosine_topk)
 ORACLES["cosine_topk_bruteforce"] = _dp.COSINE_TOPK_ORACLE
-# Engine-specific (xxhash-free LSH probing / Arrow-batched decode): rows-only
+# ann_cosine_lsh: the oracle replays the SAME seeded hyperplane literals and
+# left-fold dots in DuckDB, so the approximate query is exactly checkable
 QUERIES["ann_cosine_lsh"] = _bind(_dp.q_ann_lsh)
+ORACLES["ann_cosine_lsh"] = _dp.ANN_LSH_ORACLE
+# Engine-specific (k-means training / Arrow-batched decode): rows-only
 QUERIES["ann_cosine_ivf"] = _bind(_dp.q_ann_ivf)
 QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
 QUERIES["multimodal_features"] = _bind(_dp.q_multimodal_features)
