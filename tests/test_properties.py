@@ -102,3 +102,62 @@ def test_jaccard_expr_matches_python_sets(spark_prop, pairs):
     got = [r.j for r in df.select(jaccard_expr(F.col("a"), F.col("b")).alias("j")).collect()]
     want = [len(a & b) / len(a | b) for a, b in pairs]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervals: per key, versions tile the timeline — ordered, non-
+# overlapping, adjacent (each valid_to equals the next change's ts), exactly
+# one open current version unless the key ends deleted
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.sampled_from(["c", "u", "u", "d"]),   # op (update-heavy)
+            st.integers(min_value=1, max_value=8),   # coarse ts (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_scd2_intervals_tile_the_timeline(spark_prop, changes):
+    from futures_eos_cdc_spark.operators.order_pipeline import cdc_scd2_history
+
+    rows = [
+        (key, op, ts * 100, seq) for seq, (key, op, ts) in enumerate(changes)
+    ]
+    df = spark_prop.createDataFrame(rows, "id long, op string, ts_ms long, seq long")
+    hist = cdc_scd2_history(
+        df, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"]
+    ).collect()
+
+    # pure-Python reference timeline per key over ALL changes (incl. deletes)
+    by_key: dict[int, list] = {}
+    for key, op, ts, seq in ((r[0], r[1], r[2], r[3]) for r in rows):
+        by_key.setdefault(key, []).append((ts, seq, op))
+    got_by_key: dict[int, list] = {}
+    for r in sorted(hist, key=lambda r: (r.id, r.ts_ms, r.seq)):
+        got_by_key.setdefault(r.id, []).append(r)
+
+    for key, log in by_key.items():
+        log.sort()
+        versions = got_by_key.get(key, [])
+        # emitted versions = the non-delete changes, in order
+        assert [(v.ts_ms, v.seq) for v in versions] == [
+            (ts, seq) for ts, seq, op in log if op != "d"
+        ]
+        # adjacency: valid_to of each emitted version == ts of the NEXT
+        # change (any op) for that key; the last change's version is open
+        for v in versions:
+            later = [e for e in log if (e[0], e[1]) > (v.ts_ms, v.seq)]
+            if later:
+                assert v.valid_to == later[0][0], (key, v, later[0])
+                assert v.is_current is False
+            else:
+                assert v.valid_to is None
+                assert v.is_current is True
+        # at most one current version; none if the key's last change is 'd'
+        currents = [v for v in versions if v.is_current]
+        last_op = log[-1][2]
+        assert len(currents) == (0 if last_op == "d" else 1)
