@@ -429,6 +429,8 @@ QUERIES["window_functions"] = _bind(_rel.q_window_functions)
 ORACLES["window_functions"] = _rel.WINDOW_FUNCS_ORACLE
 QUERIES["moving_aggregates"] = _bind(_rel.q_moving_aggregates)
 ORACLES["moving_aggregates"] = _rel.MOVING_AGG_ORACLE
+QUERIES["full_outer_reconciliation"] = _bind(_rel.q_full_outer_reconciliation)
+ORACLES["full_outer_reconciliation"] = _rel.FULL_OUTER_ORACLE
 QUERIES["topk_per_group"] = _bind(_rel.q_topk_per_group)
 ORACLES["topk_per_group"] = _rel.TOPK_ORACLE
 QUERIES["rollup_subtotals"] = _bind(_rel.q_rollup)
@@ -653,6 +655,8 @@ _WALK_FIRST = [
     "doc_repetition_stats",
     "pii_scrub",
     "moving_aggregates",
+    "full_outer_reconciliation",
+    "ann_cosine_lsh",  # first round with an exact oracle — needs a hash row
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -678,3 +678,60 @@ def q_moving_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.cume_dist().over(wo).alias("cume_d"),
         F.count(F.lit(1)).over(wr).cast("long").alias("n_last_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join: two-sided reconciliation (the join type the rest of the
+# suite doesn't exercise — semi/anti/inner/left are covered elsewhere)
+# ---------------------------------------------------------------------------
+FULL_OUTER_ORACLE = """
+WITH wealthy AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0
+),
+open_orders AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_open
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+)
+SELECT
+  coalesce(w.c_custkey, o.o_custkey) AS custkey,
+  w.c_acctbal,
+  coalesce(o.n_open, 0) AS n_open,
+  CASE WHEN w.c_custkey IS NULL THEN 'orders_only'
+       WHEN o.o_custkey IS NULL THEN 'customer_only'
+       ELSE 'both' END AS presence
+FROM wealthy w FULL OUTER JOIN open_orders o ON w.c_custkey = o.o_custkey
+"""
+
+
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """FULL OUTER reconciliation of two derived sets (wealthy customers vs
+    customers with open orders): rows surviving on either side, null-filled
+    on the other, tagged by presence.
+
+    Scale shape: full-outer cannot broadcast (both sides must see unmatched
+    rows), so this is the one deliberately shuffle-both-sides join in the
+    suite — a sort-merge join on the key with the aggregate pre-reducing
+    the orders side before the exchange (partial agg → |customers| rows,
+    not |orders|).
+    """
+    w = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_open"))
+    )
+    joined = w.join(o, w.c_custkey == o.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        F.coalesce("n_open", F.lit(0)).cast("long").alias("n_open"),
+        F.when(F.col("c_custkey").isNull(), "orders_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
