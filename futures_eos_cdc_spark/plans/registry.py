@@ -431,6 +431,8 @@ QUERIES["moving_aggregates"] = _bind(_rel.q_moving_aggregates)
 ORACLES["moving_aggregates"] = _rel.MOVING_AGG_ORACLE
 QUERIES["full_outer_reconciliation"] = _bind(_rel.q_full_outer_reconciliation)
 ORACLES["full_outer_reconciliation"] = _rel.FULL_OUTER_ORACLE
+QUERIES["skew_salted_aggregate"] = _bind(_rel.q_skew_salted_aggregate)
+ORACLES["skew_salted_aggregate"] = _rel.SKEW_SALTED_ORACLE
 QUERIES["topk_per_group"] = _bind(_rel.q_topk_per_group)
 ORACLES["topk_per_group"] = _rel.TOPK_ORACLE
 QUERIES["rollup_subtotals"] = _bind(_rel.q_rollup)
@@ -657,6 +659,7 @@ _WALK_FIRST = [
     "moving_aggregates",
     "full_outer_reconciliation",
     "ann_cosine_lsh",  # first round with an exact oracle — needs a hash row
+    "skew_salted_aggregate",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -735,3 +735,47 @@ def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str, _t) -> DataFra
         .otherwise("both")
         .alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation surfaced as a checked query: the two-stage plan
+# must produce results identical to the plain aggregate
+# ---------------------------------------------------------------------------
+SKEW_SALTED_ORACLE = """
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_skew_salted_aggregate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The hot-key mitigation (operators.skew.salted_aggregate) as an
+    oracle-checked query: group lineitem by the 3-value l_returnflag — a
+    deliberately skewed key where every group is hot — through the
+    two-stage salted plan (stage 1 spreads each key over 16 salts, stage 2
+    merges ≤16 partials per key). Results must be identical to the plain
+    single-stage aggregate, which the oracle is.
+
+    All four algebraic ops ride along with hash-exact types: count and a
+    BIGINT sum (integer-exact through any partial order), min/max (order-
+    free selections). Scale: the first shuffle carries (key, salt) groups —
+    1000 reducers stay busy on a 3-key groupBy instead of 3.
+    """
+    from ..operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("*", "count"),
+            "sum_okey": ("l_orderkey", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
