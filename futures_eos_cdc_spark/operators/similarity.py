@@ -261,9 +261,14 @@ def ivf_train(
         exploded = assigned.select(
             "cell", F.posexplode(F.col("vec")).alias("dim_idx", "val")
         )
+        # DECIMAL(38,10) partial sums: float addition is order-sensitive and
+        # shuffle partial order is not deterministic, so double sums would
+        # make retrained centroids differ run-to-run (and across task
+        # retries). Decimal accumulation is exact → training is reproducible
+        # under any partitioning.
         dim_sums = (
             exploded.groupBy("cell", "dim_idx")
-            .agg(F.sum(F.col("val").cast("double")).alias("s"))
+            .agg(F.sum(F.col("val").cast("decimal(38,10)")).alias("s"))
             .collect()
         )
         counts = {
@@ -272,7 +277,8 @@ def ivf_train(
         }
         new = [list(c) for c in centroids]
         for row in dim_sums:
-            new[row["cell"]][row["dim_idx"]] = row["s"] / counts[row["cell"]]
+            # one float division of the exact decimal sum — deterministic
+            new[row["cell"]][row["dim_idx"]] = float(row["s"]) / counts[row["cell"]]
         centroids = new
     return centroids
 

@@ -187,3 +187,16 @@ def test_embedding_near_dup_skipped_bucket_accumulator(spark, sf_dir):
     assert uncapped.count() > n_pairs
     uncapped.count()
     assert uncapped.skipped_buckets.value == 0
+
+
+def test_ivf_training_deterministic_under_repartitioning(spark, sf_dir):
+    """Centroid training must be partitioning-proof: decimal partial sums
+    make the Lloyd steps exact, so retraining on a differently-partitioned
+    (or retried) input yields bit-identical centroids — reproducible ANN."""
+    from futures_eos_cdc_spark.operators.similarity import ivf_train
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = ivf_train(e.repartition(1), n_cells=8, iters=2)
+    c2 = ivf_train(e.repartition(13), n_cells=8, iters=2)
+    assert c1 == c2  # bit-identical, not approximately equal
