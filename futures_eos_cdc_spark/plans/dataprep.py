@@ -774,3 +774,58 @@ FROM ranked WHERE rank <= {k}
 
 
 ANN_LSH_ORACLE = _ann_lsh_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (embedding / training prep)
+# ---------------------------------------------------------------------------
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+DOC_CHUNKS_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+    CAST(start AS BIGINT) AS start_tok,
+    list_slice(arr, start, start + {CHUNK_SIZE - 1}) AS chunk
+  FROM arrs, unnest(generate_series(1, len(arr), {CHUNK_STRIDE})) AS t(start)
+)
+SELECT doc_id, chunk_idx, start_tok,
+  CAST(len(chunk) AS BIGINT) AS n_tokens,
+  md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Sliding-window chunking: split each document into {size}-token
+    windows every {stride} tokens (8-token overlap) — the standard prep
+    step before embedding or packing training sequences. Emits the chunk
+    md5 so the oracle compare proves byte-identical chunk text.
+
+    All-JVM: tokenize once, `sequence(1, n, stride)` generates the window
+    starts, posexplode + slice + array_join materialize each chunk — a pure
+    map-side pipeline (no shuffle at all; chunks stream out of the scan
+    partition-parallel). At 100 TB chunking is embarrassingly parallel and
+    this plan keeps it that way.
+    """
+    ws = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    exploded = ws.select(
+        "doc_id",
+        "arr",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("arr"), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("arr"), F.col("start_tok"), CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )

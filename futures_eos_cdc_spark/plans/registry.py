@@ -468,6 +468,8 @@ QUERIES["doc_repetition_stats"] = _bind(_dp.q_repetition_stats)
 ORACLES["doc_repetition_stats"] = _dp.REPETITION_STATS_ORACLE
 QUERIES["pii_scrub"] = _bind(_dp.q_pii_scrub)
 ORACLES["pii_scrub"] = _dp.PII_SCRUB_ORACLE
+QUERIES["doc_chunks"] = _bind(_dp.q_doc_chunks)
+ORACLES["doc_chunks"] = _dp.DOC_CHUNKS_ORACLE
 QUERIES["corpus_clean_funnel"] = _bind(_dp.q_corpus_funnel)
 ORACLES["corpus_clean_funnel"] = _dp.CORPUS_FUNNEL_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
@@ -660,6 +662,7 @@ _WALK_FIRST = [
     "full_outer_reconciliation",
     "ann_cosine_lsh",  # first round with an exact oracle — needs a hash row
     "skew_salted_aggregate",
+    "doc_chunks",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
