@@ -10,7 +10,7 @@ order so float dot products are bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.common import spread
@@ -828,4 +828,78 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.col("start_tok").cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-stream block packing (GPT-style: concatenate the corpus stream and
+# slice at fixed token-budget boundaries)
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 256
+
+TOKEN_BLOCKS_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS arr
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+    CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+    CAST(len(list_slice(arr, start, start + {CHUNK_SIZE - 1})) AS BIGINT) AS n_tokens
+  FROM arrs, unnest(generate_series(1, len(arr), {CHUNK_STRIDE})) AS t(start)
+),
+offsets AS (
+  SELECT doc_id, lang, chunk_idx, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      ORDER BY doc_id, chunk_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS stream_offset
+  FROM chunks
+)
+SELECT doc_id, lang, chunk_idx, n_tokens, stream_offset,
+  CAST(stream_offset // {PACK_BUDGET} AS BIGINT) AS block_id
+FROM offsets
+"""
+
+
+def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Pack the chunk stream into fixed {budget}-token training blocks the
+    way GPT-style pretraining does: concatenate chunks in a deterministic
+    per-language order and slice at token-offset boundaries (block_id =
+    stream_offset div budget) — no bin-packing search, one prefix-sum pass.
+
+    Scale shape: the running offset is a window prefix sum PARTITIONED BY
+    the shard key (lang) — packing is per-shard, so no global single-
+    partition bottleneck; each shard streams with O(1) window state.
+    Integer-only arithmetic end to end (hash-exact).
+    """
+    ws = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    chunks = ws.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("arr"), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start_tok"),
+        F.size(F.slice(F.col("arr"), F.col("start_tok"), CHUNK_SIZE)).alias(
+            "n_tok"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunks.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        .cast("long")
+        .alias("stream_offset"),
+    )
+    return offsets.withColumn(
+        "block_id", F.expr(f"stream_offset div {PACK_BUDGET}").cast("long")
     )

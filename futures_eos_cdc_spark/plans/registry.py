@@ -470,6 +470,8 @@ QUERIES["pii_scrub"] = _bind(_dp.q_pii_scrub)
 ORACLES["pii_scrub"] = _dp.PII_SCRUB_ORACLE
 QUERIES["doc_chunks"] = _bind(_dp.q_doc_chunks)
 ORACLES["doc_chunks"] = _dp.DOC_CHUNKS_ORACLE
+QUERIES["token_blocks"] = _bind(_dp.q_token_blocks)
+ORACLES["token_blocks"] = _dp.TOKEN_BLOCKS_ORACLE
 QUERIES["corpus_clean_funnel"] = _bind(_dp.q_corpus_funnel)
 ORACLES["corpus_clean_funnel"] = _dp.CORPUS_FUNNEL_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
@@ -663,6 +665,7 @@ _WALK_FIRST = [
     "ann_cosine_lsh",  # first round with an exact oracle — needs a hash row
     "skew_salted_aggregate",
     "doc_chunks",
+    "token_blocks",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
