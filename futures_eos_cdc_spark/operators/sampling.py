@@ -83,3 +83,41 @@ def deterministic_sample(
     return hash_split(
         df, id_col, {"keep": fraction, "drop": 1.0 - fraction}, salt
     ).filter(F.col("split") == "keep").drop("split")
+
+
+def group_keep_expr(
+    id_col: Column, group_col: Column, fractions: dict[str, float], salt: str = "mix"
+) -> Column:
+    """Content-stable per-group keep predicate for mixture resampling:
+    keep iff the first hex byte of md5(salt|id) falls under the GROUP's
+    fraction threshold (same /256 bucket rule as hash_split, so oracles
+    reproduce the selection exactly; fractions snap to 1/256 granularity
+    identically in every engine). Groups absent from ``fractions`` drop.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 2
+    )
+    expr = None
+    for g, frac in fractions.items():
+        b = round(frac * 256)
+        ub = "zz" if b >= 256 else format(b, "02x")
+        cond = (group_col == F.lit(g)) & (bucket < F.lit(ub))
+        expr = cond if expr is None else expr | cond
+    return F.lit(False) if expr is None else expr
+
+
+def weighted_group_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture resampling: keep each group at its own fraction
+    (e.g. downsample over-represented languages to target proportions).
+    Pure projection + filter — no shuffle, append-safe, rerun-stable —
+    the way corpus mixing must work when the corpus is 100 TB and the
+    mixture spec changes weekly."""
+    return df.filter(
+        group_keep_expr(F.col(id_col), F.col(group_col), fractions, salt)
+    )

@@ -903,3 +903,38 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return offsets.withColumn(
         "block_id", F.expr(f"stream_offset div {PACK_BUDGET}").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling: per-language keep fractions
+# ---------------------------------------------------------------------------
+_MIX = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.125}
+
+
+def _mix_keep_sql() -> str:
+    terms = []
+    for g, frac in _MIX.items():
+        b = round(frac * 256)
+        ub = "zz" if b >= 256 else format(b, "02x")
+        terms.append(
+            f"(lang = '{g}' AND substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) < '{ub}')"
+        )
+    return " OR ".join(terms)
+
+
+MIXTURE_RESAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_mix_keep_sql()}
+"""
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Corpus mixture control: resample each language at its target
+    fraction (en 1.0 / de 0.5 / es 0.25 / fr 0.125) with the content-stable
+    md5-bucket rule — deterministic, append-safe, and exactly reproducible
+    by the oracle. Shuffle-free filter over the scan."""
+    from ..operators.sampling import weighted_group_sample
+
+    return weighted_group_sample(
+        _t(spark, sf_dir, "documents"), "lang", _MIX, "doc_id"
+    ).select("doc_id", "lang")

@@ -472,6 +472,8 @@ QUERIES["doc_chunks"] = _bind(_dp.q_doc_chunks)
 ORACLES["doc_chunks"] = _dp.DOC_CHUNKS_ORACLE
 QUERIES["token_blocks"] = _bind(_dp.q_token_blocks)
 ORACLES["token_blocks"] = _dp.TOKEN_BLOCKS_ORACLE
+QUERIES["mixture_resample"] = _bind(_dp.q_mixture_resample)
+ORACLES["mixture_resample"] = _dp.MIXTURE_RESAMPLE_ORACLE
 QUERIES["corpus_clean_funnel"] = _bind(_dp.q_corpus_funnel)
 ORACLES["corpus_clean_funnel"] = _dp.CORPUS_FUNNEL_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
@@ -666,6 +668,7 @@ _WALK_FIRST = [
     "skew_salted_aggregate",
     "doc_chunks",
     "token_blocks",
+    "mixture_resample",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
