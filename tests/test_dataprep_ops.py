@@ -200,3 +200,33 @@ def test_ivf_training_deterministic_under_repartitioning(spark, sf_dir):
     c1 = ivf_train(e.repartition(1), n_cells=8, iters=2)
     c2 = ivf_train(e.repartition(13), n_cells=8, iters=2)
     assert c1 == c2  # bit-identical, not approximately equal
+
+
+def test_weighted_group_sample_append_safe_and_partitioning_proof(spark, sf_dir):
+    """Mixture resampling must commute with ingestion: sampling the union
+    of two corpus slices equals the union of sampling each slice (so daily
+    appends never change earlier keep decisions), and repartitioning the
+    input changes nothing."""
+    from futures_eos_cdc_spark.operators.sampling import weighted_group_sample
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    frac = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.125}
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+
+    whole = {r.doc_id for r in weighted_group_sample(docs, "lang", frac, "doc_id").collect()}
+    parts = {
+        r.doc_id
+        for df in (a, b)
+        for r in weighted_group_sample(df, "lang", frac, "doc_id").collect()
+    }
+    assert whole == parts and len(whole) > 0
+
+    repart = {
+        r.doc_id
+        for r in weighted_group_sample(
+            docs.repartition(17), "lang", frac, "doc_id"
+        ).collect()
+    }
+    assert repart == whole
