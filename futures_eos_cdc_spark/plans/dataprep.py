@@ -787,7 +787,7 @@ WITH arrs AS (
 ),
 chunks AS (
   SELECT doc_id,
-    CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+    CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
     CAST(start AS BIGINT) AS start_tok,
     list_slice(arr, start, start + {CHUNK_SIZE - 1}) AS chunk
   FROM arrs, unnest(generate_series(1, len(arr), {CHUNK_STRIDE})) AS t(start)
@@ -844,7 +844,7 @@ WITH arrs AS (
 ),
 chunks AS (
   SELECT doc_id, lang,
-    CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+    CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
     CAST(len(list_slice(arr, start, start + {CHUNK_SIZE - 1})) AS BIGINT) AS n_tokens
   FROM arrs, unnest(generate_series(1, len(arr), {CHUNK_STRIDE})) AS t(start)
 ),
@@ -862,16 +862,34 @@ FROM offsets
 """
 
 
+PACK_SHARD_DOCS = 64  # docs per packing shard — bounds any one task's sort
+
+
 def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     """Pack the chunk stream into fixed {budget}-token training blocks the
     way GPT-style pretraining does: concatenate chunks in a deterministic
     per-language order and slice at token-offset boundaries (block_id =
-    stream_offset div budget) — no bin-packing search, one prefix-sum pass.
+    stream_offset div budget) — no bin-packing search, one prefix sum.
 
-    Scale shape: the running offset is a window prefix sum PARTITIONED BY
-    the shard key (lang) — packing is per-shard, so no global single-
-    partition bottleneck; each shard streams with O(1) window state.
-    Integer-only arithmetic end to end (hash-exact).
+    Scale shape — a distributed prefix sum, NOT one window per language (a
+    real pretraining corpus is majority one language, so partitioning by
+    lang alone funnels ~half the corpus through a single reducer):
+
+    1. shard = doc_id div {PACK_SHARD_DOCS}: each (lang, shard) holds a
+       bounded number of documents, so the per-shard window sort is O(shard)
+       regardless of corpus skew;
+    2. local prefix sum within (lang, shard) — thousands of parallel tasks;
+    3. per-shard token totals (one map-side-combined aggregation, output is
+       n_shards rows) get their own prefix sum over `shard` within lang —
+       driver-scale data, trivially cheap;
+    4. broadcast the per-shard base offsets back and stitch:
+       stream_offset = shard_base + local_offset.
+
+    Both passes are parallel; the only data-sized shuffle is the hash
+    exchange on (lang, shard). Integer-only arithmetic end to end, so the
+    stitched result is bit-identical to the global per-language prefix sum —
+    which is exactly what the (unsharded) DuckDB oracle computes, proving
+    the re-shard preserves semantics.
     """
     ws = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
@@ -879,6 +897,7 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     chunks = ws.select(
         "doc_id",
         "lang",
+        F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
         F.posexplode(
             F.sequence(F.lit(1), F.size("arr"), F.lit(CHUNK_STRIDE))
         ).alias("chunk_idx", "start_tok"),
@@ -886,17 +905,35 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             "n_tok"
         ),
     )
-    w = (
-        Window.partitionBy("lang")
+    w_local = (
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = chunks.select(
+    local = chunks.withColumn(
+        "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
+    )
+    totals = chunks.groupBy("lang", "shard").agg(
+        F.sum("n_tok").alias("shard_total")
+    )
+    w_shard = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "lang",
+        "shard",
+        F.coalesce(F.sum("shard_total").over(w_shard), F.lit(0)).alias(
+            "shard_base"
+        ),
+    )
+    offsets = local.join(F.broadcast(bases), ["lang", "shard"]).select(
         "doc_id",
         "lang",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("n_tok").cast("long").alias("n_tokens"),
-        F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        (F.col("shard_base") + F.col("local_off"))
         .cast("long")
         .alias("stream_offset"),
     )

@@ -134,6 +134,24 @@ def test_repetition_stats_all_jvm_with_partial_aggs(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan or plan.count("HashAggregate") >= 4
 
 
+def test_token_blocks_prefix_sum_is_sharded(spark, sf_dir):
+    # The packing prefix sum must NOT run as one window per language (a real
+    # corpus is majority one language → single-reducer sort of ~half the
+    # data). Every window that orders the chunk stream (chunk_idx in its
+    # spec) must also partition by the doc-shard key; the only lang-only
+    # window allowed is the tiny stitch pass over per-shard totals.
+    plan = _plan(spark, sf_dir, "token_blocks")
+    window_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert window_lines, "expected window operators in token_blocks plan"
+    for line in window_lines:
+        if "chunk_idx" in line:
+            assert "shard" in line, f"chunk-stream window not sharded: {line}"
+    # and the stitch comes back as a broadcast join, not another shuffle
+    assert "BroadcastHashJoin" in plan
+
+
 def test_scd2_single_key_exchange(spark, sf_dir):
     # one hash exchange on the key, then a streaming window pass — lead()
     # must not introduce extra shuffles
