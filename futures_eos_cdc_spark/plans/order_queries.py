@@ -51,3 +51,41 @@ SELECT
 FROM w
 LEFT JOIN mp ON w.symbol = mp.symbol
 """
+
+# S8 EventRouter oracle: rebuild the Spark-side `to_json(struct(...))`
+# payload BYTE-equal by string concatenation (fixed field order, no spaces —
+# Jackson's compact layout). Doubles (qty/price/confidence) render via
+# DuckDB's double→VARCHAR, which is shortest-roundtrip decimal exactly like
+# Java's Double.toString in the plain-notation range these values occupy
+# (qty ∈ [1,10] 2dp, price ∈ {dim values, 100.0}, confidence ∈ [0.65, 1.2))
+# — verified byte-for-byte by the driver's hash compare. String fields are
+# sha-hex / fixed enums / symbols: nothing needs JSON escaping.
+OUTBOX_ROUTER_ORACLE_SQL = f"""
+WITH ord AS ({ORDERS_ORACLE_SQL}),
+outbox AS (
+  SELECT
+    sha256(concat_ws('|', 'outbox', id)) AS event_id,
+    'ORDER' AS aggregate_type,
+    id AS aggregate_id,
+    'ORDER_CREATED' AS type,
+    '{{"orderId":"' || id
+      || '","clientOrderId":"' || client_order_id
+      || '","symbol":"' || symbol
+      || '","side":"' || side
+      || '","qty":' || CAST(qty AS VARCHAR)
+      || ',"price":' || CAST(price AS VARCHAR)
+      || ',"status":"' || status
+      || '","confidence":' || CAST(confidence AS VARCHAR)
+      || '}}' AS payload,
+    CAST(created_at_s * 1000 AS BIGINT) AS occurred_at_ms
+  FROM ord
+)
+SELECT
+  aggregate_id AS key,
+  payload AS value,
+  'trading.' || lower(aggregate_type) || 's' AS topic,
+  event_id AS header_event_id,
+  type AS header_event_type,
+  occurred_at_ms AS header_occurred_at_ms
+FROM outbox
+"""

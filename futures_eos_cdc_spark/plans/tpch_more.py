@@ -396,14 +396,81 @@ def q_strength_histogram(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates (rows-only: sketch internals differ across engines;
-# accuracy is asserted against exact values in tests/test_relational_extra.py)
+# Approximate aggregates, self-verifying: sketch internals differ across
+# engines, so instead of emitting raw sketch outputs (unverifiable), the
+# query emits the EXACT aggregates plus booleans asserting the sketches
+# landed inside their documented error bounds. The oracle reproduces the
+# exact columns and expects every bound flag TRUE — a sketch drifting out
+# of tolerance turns the driver row red instead of being invisible.
 # ---------------------------------------------------------------------------
+APPROX_AGG_ORACLE = """
+SELECT
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+  TRUE AS parts_err_ok,
+  TRUE AS orders_err_ok,
+  TRUE AS median_rank_ok,
+  TRUE AS p99_rank_ok
+FROM lineitem
+"""
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """HLL++ distinct counts and quantile sketches, checked in-query.
+
+    approx_count_distinct (default rsd 5%) must land within 15% (3σ) of the
+    exact count; percentile_approx's result must sit at the right RANK —
+    the fraction of rows ≤ the approx median must be 0.5 ± 0.05 (p99:
+    0.99 ± 0.005+floor slack) — rank is the sketch's actual contract and is
+    integer-robust, unlike comparing interpolated values across engines.
+
+    Plan shape: one pass builds the four sketches, the 1-row result
+    broadcasts back over the scan (BroadcastNestedLoopJoin on a single
+    row costs nothing), and a second pass computes exact distincts + rank
+    fractions. Two scans total, both whole-stage-codegen'd; the two
+    count_distincts share one Expand (×2 row multiplier pre-aggregation) —
+    the standard exact-distinct cost, paid once at the reducer.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    sk = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+    j = li.join(F.broadcast(sk))
+    agg = j.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.first("approx_parts").alias("approx_parts"),
+        F.first("approx_orders").alias("approx_orders"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.col("approx_median_price"), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("median_rank_frac"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.col("approx_p99_price"), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("p99_rank_frac"),
+    )
+    rel_err = lambda a, e: F.abs(a.cast("double") / e.cast("double") - 1.0)  # noqa: E731
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (rel_err(F.col("approx_parts"), F.col("exact_parts")) <= 0.15).alias(
+            "parts_err_ok"
+        ),
+        (rel_err(F.col("approx_orders"), F.col("exact_orders")) <= 0.15).alias(
+            "orders_err_ok"
+        ),
+        F.col("median_rank_frac").between(0.45, 0.55).alias("median_rank_ok"),
+        F.col("p99_rank_frac").between(0.985, 1.0).alias("p99_rank_ok"),
     )

@@ -10,17 +10,15 @@ from futures_eos_cdc_spark.sources.generator import generate_signals
 from futures_eos_cdc_spark.sources.jdbc import recent_orders
 
 
-def test_approx_count_distinct_accuracy(spark, sf_dir):
+def test_approx_aggregates_self_verifying(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact_parts = li.select(F.count_distinct("l_partkey")).collect()[0][0]
     row = QUERIES["approx_aggregates"](spark, sf_dir).collect()[0]
-    # HLL++ default rsd = 5%
-    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.1
-    lo, hi = (
-        li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
-    )
-    assert lo <= row.approx_median_price <= hi
-    assert row.approx_median_price <= row.approx_p99_price <= hi
+    # exact columns are truly exact
+    assert row.exact_parts == exact_parts
+    # every in-query sketch error bound holds
+    assert row.parts_err_ok and row.orders_err_ok
+    assert row.median_rank_ok and row.p99_rank_ok
 
 
 def test_generator_deterministic_and_in_range(spark):
