@@ -17,9 +17,11 @@ shuffles; convergence is O(log n) rounds on real near-dup graphs (dup
 clusters are dense and shallow). Compare label-propagation-to-fixpoint,
 which needs diameter rounds (a 10k-long chain = 10k shuffles).
 
-Each round materializes via ``localCheckpoint`` — without it the lineage
-doubles per iteration and Catalyst re-analyzes an exponentially growing
-plan (the classic iterative-DataFrame trap).
+Each round materializes via a checkpoint — without it the lineage doubles
+per iteration and Catalyst re-analyzes an exponentially growing plan (the
+classic iterative-DataFrame trap). On a cluster pass ``checkpoint_dir`` so
+rounds use RELIABLE ``checkpoint()`` (executor-loss-safe); the default
+``localCheckpoint`` is for local/test runs only.
 """
 
 from __future__ import annotations
@@ -63,6 +65,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve pair edges into components: (id, component) with component =
     the minimum member id — the canonical "keep-doc" per dup cluster.
@@ -71,18 +74,36 @@ def connected_components(
     directly at its component root), checkpointing each round. At 100 TB
     each round is a pair of ids-only hash aggregations; the convergence
     check reuses the just-materialized round (a count, not a join).
+
+    ``checkpoint_dir``: when set, rounds materialize via RELIABLE
+    ``df.checkpoint()`` into that (HDFS/object-store) path. Local
+    checkpoints store blocks on executors — fine on local[N], but on a real
+    cluster one executor loss after round k truncates unrecoverable lineage
+    and kills the job; with 20 rounds over a 100 TB edge set an executor
+    loss is expected, so production runs should always pass a reliable dir.
+    Default (None) keeps ``localCheckpoint`` for local/test use.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint()
     )
     prev = None
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
-        edges = _star_round(edges).localCheckpoint()
+        edges = _ckpt(_star_round(edges))
         # Cheap signature (rows + endpoint sum) as a FAST PRE-FILTER only:
         # distinct edge sets can collide on it, so equality is confirmed with
         # an exact exceptAll on the two checkpointed rounds (both deduped and
@@ -110,11 +131,14 @@ def connected_components(
 
 
 def dedup_keep_representatives(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drop every doc that belongs to a near-dup cluster but is not its
     minimum-id representative — the final stage of a near-dup funnel."""
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

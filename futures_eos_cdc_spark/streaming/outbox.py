@@ -168,13 +168,20 @@ def parquet_cdc_merge_writer(
     garbage-collected best-effort after the pointer swap.
     """
     store = _VersionedParquet(base_dir)
+    run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.order_pipeline import cdc_latest_snapshot
 
         spark = batch_df.sparkSession
-        cur, last_epoch = store.current()
-        if epoch_id <= last_epoch:  # replayed epoch: already applied
+        cur, last_epoch, last_run = store.current()
+        # Replay gate: batch ids are only comparable within one query run.
+        # A restart with a FRESH checkpointLocation restarts epochs at 0 —
+        # under an epoch-only gate every new batch would be silently dropped
+        # until the id caught up (data loss). Skip only when the run that
+        # published last is THIS run; a foreign run's batches re-apply,
+        # which latest-wins merging makes idempotent.
+        if epoch_id <= last_epoch and last_run == run_id:
             return
         changes = batch_df
         if cur:
@@ -183,7 +190,7 @@ def parquet_cdc_merge_writer(
             changes, key_cols, ts_col=ts_col, op_col=op_col,
             tiebreak_cols=tiebreak_cols,
         )
-        store.publish(merged, epoch_id)
+        store.publish(merged, epoch_id, run_id)
 
     return write
 
@@ -192,41 +199,50 @@ class _VersionedParquet:
     """Versioned parquet publication behind an atomic pointer file.
 
     Each publish writes a fresh ``snapshot_epoch*`` directory, then swaps a
-    one-line ``_CURRENT`` pointer (``<version-dir> <epoch>``) via
+    one-line ``_CURRENT`` pointer (``<version-dir> <epoch> <run-id>``) via
     ``os.replace`` (atomic on POSIX) — readers always see a complete
-    version. The recorded epoch makes foreachBatch replay detection exact:
-    a writer skips epochs ≤ the last published one (the standard
-    batchId-with-output transactional pattern). Superseded versions are
-    garbage-collected best-effort after the swap.
+    version. The recorded (epoch, run-id) pair makes foreachBatch replay
+    detection exact WITHIN a query run: batch ids restart at 0 on a fresh
+    checkpoint, so writers must skip only same-run replays.
+
+    GC retains the immediately superseded version (N-1): a reader that
+    resolved ``_CURRENT`` just before the swap can still finish scanning
+    the previous snapshot; only versions at least two publishes old are
+    deleted.
     """
 
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
         self.pointer = os.path.join(base_dir, "_CURRENT")
 
-    def current(self) -> tuple[str | None, int]:
+    def current(self) -> tuple[str | None, int, str]:
         if os.path.exists(self.pointer):
             with open(self.pointer) as fh:
-                vname, _, epoch = fh.read().strip().partition(" ")
-            return os.path.join(self.base_dir, vname), int(epoch or -1)
-        return None, -1
+                parts = fh.read().strip().split(" ")
+            vname = parts[0]
+            epoch = int(parts[1]) if len(parts) > 1 and parts[1] else -1
+            run_id = parts[2] if len(parts) > 2 else ""
+            return os.path.join(self.base_dir, vname), epoch, run_id
+        return None, -1, ""
 
-    def publish(self, df: DataFrame, epoch_id: int) -> None:
+    def publish(self, df: DataFrame, epoch_id: int, run_id: str = "") -> None:
+        prev_path, _, _ = self.current()
+        prev = os.path.basename(prev_path) if prev_path else None
         vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.base_dir, vname))
         tmp = f"{self.pointer}.tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
-            fh.write(f"{vname} {epoch_id}")
+            fh.write(f"{vname} {epoch_id} {run_id}")
         os.replace(tmp, self.pointer)
         for d in os.listdir(self.base_dir):
-            if d.startswith("snapshot_") and d != vname:
+            if d.startswith("snapshot_") and d not in (vname, prev):
                 shutil.rmtree(os.path.join(self.base_dir, d), ignore_errors=True)
 
 
 def read_cdc_snapshot(spark, base_dir: str) -> DataFrame:
     """Read the current version published by :func:`parquet_cdc_merge_writer`
     or :func:`parquet_incremental_agg_writer` (resolves ``_CURRENT``)."""
-    path, _ = _VersionedParquet(base_dir).current()
+    path, _, _ = _VersionedParquet(base_dir).current()
     if path is None:
         raise FileNotFoundError(f"no published version under {base_dir}")
     return spark.read.parquet(path)
@@ -261,6 +277,7 @@ def parquet_incremental_agg_writer(
     min_cols = min_cols or []
     max_cols = max_cols or []
     store = _VersionedParquet(base_dir)
+    run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
 
     def _partial(df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias("n")]
@@ -278,12 +295,24 @@ def parquet_incremental_agg_writer(
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        cur, last_epoch = store.current()
-        if epoch_id <= last_epoch:  # replay: merging again would double-count
-            return
+        cur, last_epoch, last_run = store.current()
+        if epoch_id <= last_epoch:
+            if last_run in ("", run_id):
+                return  # same-run replay: merging again would double-count
+            # Foreign run with regressed batch ids: a fresh checkpoint is
+            # re-reading the source against a view that already counted it.
+            # ⊕-merge is NOT idempotent, so neither skipping (silent data
+            # loss) nor merging (double-count) is safe — fail loudly.
+            raise RuntimeError(
+                f"{base_dir}: incompatible state — batch {epoch_id} from a "
+                f"new query run, but the view was published at batch "
+                f"{last_epoch} by a previous run. Reset base_dir together "
+                "with checkpointLocation (aggregate merge cannot replay "
+                "across runs)."
+            )
         view = _partial(batch_df)
         if cur:
             view = _merge(spark.read.parquet(cur), view)
-        store.publish(view, epoch_id)
+        store.publish(view, epoch_id, run_id)
 
     return write

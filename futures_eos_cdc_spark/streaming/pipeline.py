@@ -575,6 +575,12 @@ def _make_bounded_update(window_seconds: int, keep: int):
                 pdf["ts_us"], pdf["signal_id"], pdf["side"], pdf["qty"],
                 pdf["price"], pdf["timeframe"],
             ):
+                if tf not in _TFS:
+                    # Unknown timeframe on the wire (well-formed JSON, bad
+                    # enum): drop the row, matching the windowed-agg path's
+                    # silent tolerance. Raising here would make one poison
+                    # message crash the query on every checkpoint restart.
+                    continue
                 j = _TFS.index(tf)
                 counters[2 * j] += 1
                 counters[2 * j + 1] += 1 if s == "BUY" else -1

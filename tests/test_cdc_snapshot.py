@@ -208,6 +208,80 @@ def test_parquet_cdc_merge_writer_maintains_snapshot(spark, tmp_path):
     assert again == expected
 
 
+def test_cdc_writer_fresh_checkpoint_new_run_not_dropped(spark, tmp_path):
+    """A restart with a fresh checkpointLocation restarts batch ids at 0.
+    The replay gate must be per-run: a NEW writer instance's batch 0 against
+    an existing base_dir must merge (latest-wins makes it idempotent), not
+    be silently dropped until the id catches up."""
+    import os
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        parquet_cdc_merge_writer,
+        read_cdc_snapshot,
+    )
+
+    schema = "id long, op string, ts_ms long, seq long, val string"
+    b1 = spark.createDataFrame([(1, "c", 100, 1, "v1a")], schema)
+    b2 = spark.createDataFrame([(1, "u", 200, 2, "v1b"), (2, "c", 200, 3, "v2a")], schema)
+    base = str(tmp_path / "cdc_rerun")
+    os.makedirs(base)
+    run1 = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    run1(b1, 5)  # first run got to batch 5
+    # fresh checkpoint → new query run → batch ids restart at 0
+    run2 = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    run2(b2, 0)
+    got = {r.id: r.val for r in read_cdc_snapshot(spark, base).collect()}
+    assert got == {1: "v1b", 2: "v2a"}  # batch 0 applied, not dropped
+    # same-run replay still skips
+    run2(b2, 0)
+    assert {r.id: r.val for r in read_cdc_snapshot(spark, base).collect()} == got
+
+
+def test_agg_writer_cross_run_regression_fails_loudly(spark, tmp_path):
+    """⊕-merge cannot replay across runs: a new run's regressed batch id
+    against an existing view must raise (not silently drop, not
+    double-count)."""
+    import os
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        parquet_incremental_agg_writer,
+    )
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    base = str(tmp_path / "agg_rerun")
+    os.makedirs(base)
+    run1 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
+    run1(df, 3)
+    run2 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
+    with pytest.raises(RuntimeError, match="Reset base_dir"):
+        run2(df, 0)
+    # a normal restart (same checkpoint → ids continue) still works
+    run2(df, 4)
+
+
+def test_versioned_publish_retains_previous_snapshot(spark, tmp_path):
+    """GC keeps version N-1 so an in-flight reader of the just-superseded
+    snapshot can finish its scan; older versions are deleted."""
+    import os
+
+    from futures_eos_cdc_spark.streaming.outbox import _VersionedParquet
+
+    base = str(tmp_path / "versions")
+    os.makedirs(base)
+    store = _VersionedParquet(base)
+    df = spark.createDataFrame([(1,)], "x long")
+    store.publish(df, 1, "r")
+    v1 = os.path.basename(store.current()[0])
+    store.publish(df, 2, "r")
+    dirs = {d for d in os.listdir(base) if d.startswith("snapshot_")}
+    assert v1 in dirs and len(dirs) == 2  # N and N-1 both present
+    store.publish(df, 3, "r")
+    dirs = {d for d in os.listdir(base) if d.startswith("snapshot_")}
+    assert v1 not in dirs and len(dirs) == 2  # oldest GC'd, N-1 kept
+
+
 def test_parquet_incremental_agg_writer_matches_batch(spark, sf_dir, tmp_path):
     """Streaming materialized view: incremental count/sum/min/max merge over
     two batches == one-shot batch aggregation (decimal-exact sums), and a

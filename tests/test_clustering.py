@@ -45,6 +45,28 @@ def test_matches_union_find_on_random_graphs(spark):
         assert got == {x: truth[x] for x in nodes}
 
 
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches rounds to reliable df.checkpoint() (the
+    # executor-loss-safe mode a cluster run must use); results must be
+    # identical to the localCheckpoint default, and the checkpoint files
+    # must actually land in the given directory.
+    random.seed(23)
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (tuple(random.sample(range(80), 2)) for _ in range(120))})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {r.id: r.component for r in connected_components(df).collect()}
+    reliable = {
+        r.id: r.component
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local
+    import os
+
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
 def test_chain_converges_in_log_rounds(spark):
     # A 300-long chain needs 300 rounds under naive propagation; star
     # rounds converge logarithmically (max_rounds=20 would fail otherwise).

@@ -686,6 +686,66 @@ def test_bounded_state_trims_under_flood(spark, tmp_path):
     assert abs(g.confidence - w.confidence) <= 1e-5
 
 
+def test_bounded_state_tolerates_unknown_timeframe(spark, tmp_path):
+    """A well-formed message with an out-of-enum timeframe must NOT crash
+    the bounded-state query (pre-fix, `_TFS.index(tf)` raised ValueError —
+    a poison pill that re-crashed on every checkpoint restart). Unknown-tf
+    rows are dropped, matching the windowed path's tolerance: the output
+    must equal batch `decide` over the valid rows alone."""
+    from futures_eos_cdc_spark.operators.signal_pipeline import WINDOW_SECONDS
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        read_signal_stream_files,
+        streaming_decide_bounded,
+    )
+
+    base_us = 1_700_000_000 * 1_000_000
+    valid = [
+        (i, "PPILL", "BUY" if i % 2 else "SELL", 0.5, 100.0 + i,
+         ["1m", "5m", "15m"][i % 3],
+         base_us + (i * 1000) % (WINDOW_SECONDS * 1_000_000 - 1))
+        for i in range(30)
+    ]
+    poison = [
+        (1000 + i, "PPILL", "BUY", 0.5, 100.0, tf,
+         base_us + 5_000_000 + i)
+        for i, tf in enumerate(["2h", "", "1d", "junk"])
+    ]
+    rows = valid + poison
+    rows.append((999_999_999, "SENTINEL", "BUY", 0.1, 1.0, "1m", SENTINEL_TS_US))
+    schema = (
+        "signal_id long, symbol string, side string, qty double, price double,"
+        " timeframe string, ts_us long"
+    )
+    sig = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "ppill_in")
+    sig.coalesce(1).write.mode("overwrite").parquet(path)
+
+    q = (
+        streaming_decide_bounded(read_signal_stream_files(spark, path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bounded_ppill")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM bounded_ppill")
+        .filter(F.col("symbol") != "SENTINEL")
+        .collect()
+    )
+    valid_df = spark.createDataFrame(valid, schema)
+    want = decide(valid_df).collect()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert (g.symbol, g.window_start_s) == (w.symbol, w.window_start_s)
+    assert g.n_signals == w.n_signals
+    assert g.balance == w.balance
+    assert g.action == w.action and g.reason == w.reason
+
+
 def test_bounded_state_checkpoint_restart(spark, sf_dir, tmp_path):
     """Checkpoint-restart recovery for the CUSTOM stateful operator: the
     applyInPandasWithState buffers+counters must reload from the state store
