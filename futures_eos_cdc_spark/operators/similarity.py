@@ -375,13 +375,18 @@ def embedding_near_dup(
     kernel computes in row-chunks so its memory is O(chunk x bucket), not
     O(bucket^2).
 
-    Skips are NOT silent: the returned DataFrame carries a
-    ``skipped_buckets`` Spark accumulator (attribute on the returned
-    DataFrame) — read ``.value`` after an action to see how many
-    (table, bucket) groups were dropped by the cap, so a 100 TB run can
-    observe recall loss and respond (raise ``bits_per_table`` or
-    ``max_bucket``). Task retries may over-count (accumulator semantics);
-    treat it as a recall-loss alarm, not an exact tally.
+    Skips are NOT silent: the cap counter is a Spark accumulator registered
+    with ``streaming.monitor`` under ``embedding_near_dup.skipped_buckets``
+    — after any action, ``monitor.operator_counters()`` (and
+    ``ProgressRecorder.totals()``) report how many (table, bucket) groups
+    the cap dropped, so a 100 TB run observes recall loss through the
+    standard monitoring surface and responds (raise ``bits_per_table`` or
+    ``max_bucket``). The same accumulator is also attached to the returned
+    DataFrame as ``.skipped_buckets`` for direct callers — but derived
+    DataFrames (any ``.filter``/``.select``) lose the attribute, which is
+    why the registry is the production path. Task retries may over-count
+    (accumulator semantics); treat it as a recall-loss alarm, not an exact
+    tally.
 
     Rows-only at the driver (the hyperplane LCG is engine-specific);
     correctness is pinned by the brute-force recall pytest.
@@ -468,4 +473,7 @@ def embedding_near_dup(
     )
     result = pairs.dropDuplicates(["id_a", "id_b"])
     result.skipped_buckets = skipped
+    from ..streaming.monitor import register_operator_counter
+
+    register_operator_counter("embedding_near_dup.skipped_buckets", skipped)
     return result

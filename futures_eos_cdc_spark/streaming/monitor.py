@@ -22,6 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+# ---------------------------------------------------------------------------
+# Named operator counters: batch operators (e.g. embedding_near_dup's
+# bucket-cap skip counter) register their Spark accumulators here so
+# recall-loss and similar operational signals are observable through the
+# SAME monitoring surface as streaming progress — not only by callers who
+# know about a DataFrame attribute (which any .filter() would lose).
+# ---------------------------------------------------------------------------
+_OPERATOR_COUNTERS: dict = {}
+_OP_LOCK = threading.Lock()
+
+
+def register_operator_counter(name: str, accumulator) -> None:
+    """Expose a named Spark accumulator to monitoring; the latest
+    registration per name wins (each operator invocation starts fresh)."""
+    with _OP_LOCK:
+        _OPERATOR_COUNTERS[name] = accumulator
+
+
+def operator_counters() -> dict[str, int]:
+    """Current value of every registered operator counter (read after an
+    action — accumulators only populate when tasks run)."""
+    with _OP_LOCK:
+        return {k: v.value for k, v in _OPERATOR_COUNTERS.items()}
+
+
 class ProgressRecorder(StreamingQueryListener):
     """Records per-trigger progress for all queries on the session.
 
@@ -84,6 +109,8 @@ class ProgressRecorder(StreamingQueryListener):
             "peak_rows_per_sec": max(
                 (r["rows_per_sec"] or 0.0 for r in rows), default=0.0
             ),
+            # batch-operator signals (recall-loss counters etc.) ride along
+            "operator_counters": operator_counters(),
         }
 
 

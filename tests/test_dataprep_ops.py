@@ -174,12 +174,26 @@ def test_embedding_near_dup_skipped_bucket_accumulator(spark, sf_dir):
     # the cap is a recall-loss alarm, never a silent truncation.
     from futures_eos_cdc_spark.operators.similarity import embedding_near_dup
 
+    from futures_eos_cdc_spark.streaming.monitor import (
+        ProgressRecorder,
+        operator_counters,
+    )
+
     e = _emb(spark, sf_dir).limit(50)
     capped = embedding_near_dup(
         e, threshold=0.3, n_tables=2, bits_per_table=1, max_bucket=3
     )
     n_pairs = capped.count()  # action: accumulator updates flow back
     assert capped.skipped_buckets.value > 0, "cap hit but no skip recorded"
+    # ...and the count is observable through the monitoring surface (the
+    # DataFrame attribute is lost by any .filter(); the registry is not)
+    skips = operator_counters()["embedding_near_dup.skipped_buckets"]
+    assert skips == capped.skipped_buckets.value
+    totals = ProgressRecorder().totals()
+    assert (
+        totals["operator_counters"]["embedding_near_dup.skipped_buckets"]
+        == skips
+    )
 
     uncapped = embedding_near_dup(
         e, threshold=0.3, n_tables=2, bits_per_table=1, max_bucket=None
