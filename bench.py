@@ -51,14 +51,24 @@ def main() -> None:
         # record the error and keep going (lesson of round 1).
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-            # Drop cached intermediates so the timed run measures the query's
-            # own computation (operators may persist() shared subplans WITHIN
-            # a query — that stays; cross-run cache reuse would not be honest).
-            spark.catalog.clearCache()
-            df = fn(spark, sf_dir)  # fresh plan, warm codegen/broadcast caches
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # min of two timed runs: JVM JIT keeps compiling through the
+            # first post-warm-up execution on expression-heavy plans
+            # (text_stats: 6.7 → 0.9 → 0.5 s across identical fresh plans),
+            # and a single sample sometimes lands on that slope. The min is
+            # the steady-state figure — the one that scales with data.
+            best = None
+            for _ in range(2):
+                # Drop cached intermediates so each timed run measures the
+                # query's own computation (operators may persist() shared
+                # subplans WITHIN a query — that stays; cross-run cache
+                # reuse would not be honest).
+                spark.catalog.clearCache()
+                df = fn(spark, sf_dir)  # fresh plan, warm codegen caches
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             spark.catalog.clearCache()
@@ -93,9 +103,13 @@ def main() -> None:
         duck: dict[str, float] = {}
         for name, sql in sorted(ORACLES.items()):
             con.execute(sql).fetchall()  # warm-up (buffer pool)
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            duck[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):  # min-of-2, symmetric with the Spark side
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            duck[name] = round(best, 3)
         result["duckdb_queries"] = duck
         result["duckdb_total"] = round(sum(duck.values()), 3)
         # Apples-to-apples: both totals over the SAME key set — queries that

@@ -19,7 +19,7 @@ def con(sf_dir):
 # needs actionable decisions, which only appear at denser SFs — the driver's
 # sf0.01 check always has rows; tests/verify cover that via
 # SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01).
-MAY_BE_EMPTY_AT_TINY_SF = {"orders_from_decisions"}
+MAY_BE_EMPTY_AT_TINY_SF = {"orders_from_decisions", "outbox_event_router"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
