@@ -5,11 +5,18 @@ metadata struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched Pandas functions over ``mapInPandas`` — the ONLY place the
 engine leaves the JVM, and it does so in columnar batches.
 
-The actual media decode is STUBBED (image/audio libs are not in this
-container): ``decode_features`` computes deterministic fake features from the
-raw bytes so the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signature — is real and testable. Swap ``_fake_decode`` for a PIL/ffmpeg
-call in production; everything else stays.
+Decode is REAL for the formats that need no external libraries:
+
+- ``image/ppm`` (binary P6): header parse + raw RGB plane via numpy —
+  ``decode_ppm`` / ``encode_ppm`` / nearest-neighbor ``resize_ppm``;
+- ``audio/wav`` (PCM16): stdlib ``wave`` + numpy ``frombuffer`` —
+  ``decode_wav`` / ``encode_wav``.
+
+Compressed formats (JPEG/PNG/MP3/video) DO need PIL/librosa/ffmpeg, which
+this container deliberately lacks — ``decode_media_features`` rejects them
+with an actionable error naming the missing library; a production build
+adds the handler in ``_DECODERS`` and nothing else changes. The original
+hash-based ``decode_features`` stand-in is kept for plumbing tests.
 
 Scale notes: binary payloads never shuffle here (mapInPandas is
 partition-local); at 100 TB keep payloads in their own column family /
@@ -88,6 +95,238 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs for library-free formats
+# ---------------------------------------------------------------------------
+WAV_RATE = 16000
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) → (h, w, 3) uint8 numpy array. Real parse: header
+    tokenization (whitespace-separated magic/width/height/maxval) then the
+    raw RGB plane."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = 4 whitespace-separated tokens; the pixel plane starts one
+    # byte after the maxval token
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    plane = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
+    return plane.reshape(h, w, 3)
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize of a PPM payload (decode → index-map →
+    re-encode). Pure numpy; the production swap-in for bilinear/Lanczos is
+    this function only."""
+    import numpy as np
+
+    img = decode_ppm(payload)
+    h, w, _ = img.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_ppm(np.ascontiguousarray(img[rows][:, cols]))
+
+
+def encode_wav(samples, rate: int = WAV_RATE) -> bytes:
+    """int16 numpy array → mono PCM16 WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """WAV bytes → (int16 sample array, framerate). Real decode via the
+    stdlib ``wave`` reader (header validation included)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise ValueError("only mono PCM16 supported by this decoder")
+        data = f.readframes(f.getnframes())
+        return np.frombuffer(data, dtype="<i2"), f.getframerate()
+
+
+def attach_synthetic_media(docs: DataFrame) -> DataFrame:
+    """Build a real multimodal table from ``documents``: even doc_ids carry a
+    binary-PPM image, odd doc_ids a PCM16 WAV clip — payload bytes are a
+    deterministic function of doc_id alone (LCG-style), so an external
+    engine can reconstruct them bit-for-bit and the decode pipeline is
+    hash-checkable end to end.
+
+    Encoding runs in the same Arrow ``mapInPandas`` shape a real ingest
+    (fetch/transcode) would use; payloads stay partition-local.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        def ppm(doc_id: int) -> bytes:
+            w, h = 16 + doc_id % 16, 12 + doc_id % 12
+            k = _np.arange(w * h * 3, dtype=_np.int64)
+            plane = ((doc_id * 2654435761 + k * 40503) % 256).astype(_np.uint8)
+            return f"P6\n{w} {h}\n255\n".encode() + plane.tobytes()
+
+        def wav(doc_id: int) -> bytes:
+            n = 256 + doc_id % 128
+            k = _np.arange(n, dtype=_np.int64)
+            s = ((doc_id * 1103515245 + k * 12345) % 65536 - 32768).astype("<i2")
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(WAV_RATE)
+                f.writeframes(s.tobytes())
+            return buf.getvalue()
+
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "format": [
+                        "image/ppm" if i % 2 == 0 else "audio/wav" for i in ids
+                    ],
+                    "payload": [
+                        ppm(int(i)) if i % 2 == 0 else wav(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id long, format string, n_bytes long, width long, height long, "
+    "f1 double, f2 double, f3 double, content_sum long"
+)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction per format, Arrow-batched.
+
+    - image/ppm → parse header + RGB plane; f1/f2/f3 = per-channel means,
+      ``content_sum`` = Σ byte_i·(i+1) over the FULL payload (header
+      included) — a position-weighted checksum that is integer-exact in
+      SQL, so an engine reconstructing the payload independently proves
+      byte-level parity;
+    - audio/wav → stdlib wave decode; width = n_samples, height = 1,
+      f1 = RMS, f2 = mean |amplitude|, f3 = zero-crossing count,
+      ``content_sum`` over the PCM region only (container headers vary by
+      writer);
+    - anything else → ValueError naming the library a production image
+      (PIL / librosa / ffmpeg) must add — never a silent skip.
+
+    All sums are exact (byte·position products stay far below 2^53), and
+    channel/sample means divide exact integer sums — bit-identical across
+    engines.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        def wsum(raw: bytes) -> int:
+            b = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.int64)
+            return int((b * _np.arange(1, len(b) + 1)).sum())
+
+        def decode_one(fmt: str, payload: bytes):
+            if fmt == "image/ppm":
+                tokens, pos = [], 2
+                while len(tokens) < 3:
+                    while payload[pos : pos + 1].isspace():
+                        pos += 1
+                    start = pos
+                    while not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    tokens.append(int(payload[start:pos]))
+                w, h, _maxval = tokens
+                plane = _np.frombuffer(
+                    payload, dtype=_np.uint8, count=w * h * 3, offset=pos + 1
+                ).astype(_np.float64)
+                return (
+                    len(payload), w, h,
+                    float(plane[0::3].mean()),
+                    float(plane[1::3].mean()),
+                    float(plane[2::3].mean()),
+                    wsum(payload),
+                )
+            if fmt == "audio/wav":
+                with _wave.open(_io.BytesIO(payload), "rb") as f:
+                    pcm = f.readframes(f.getnframes())
+                s = _np.frombuffer(pcm, dtype="<i2").astype(_np.float64)
+                zc = int(_np.count_nonzero(s[1:] * s[:-1] < 0))
+                return (
+                    len(payload), len(s), 1,
+                    float(_np.sqrt((s * s).mean())),
+                    float(_np.abs(s).mean()),
+                    float(zc),
+                    wsum(pcm),
+                )
+            raise ValueError(
+                f"no decoder for {fmt!r} in this build — compressed formats "
+                "need PIL (images) / librosa (audio) / ffmpeg (video); add "
+                "the handler in decode_media_features and redeploy"
+            )
+
+        for pdf in it:
+            rows = [
+                (int(i), f, *decode_one(f, bytes(p)))
+                for i, f, p in zip(pdf["doc_id"], pdf["format"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "n_bytes", "width", "height",
+                    "f1", "f2", "f3", "content_sum",
+                ],
+            )
+
+    return media.mapInPandas(batches, MEDIA_FEATURES_SCHEMA)
 
 
 def resize_stub(multimodal: DataFrame, width: int, height: int) -> DataFrame:

@@ -20,7 +20,6 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from ..operators.multimodal import attach_binary, decode_features
 from ..operators.similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
@@ -372,12 +371,91 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal: REAL decode (binary-PPM images + PCM16 WAV audio — the
+# library-free formats), hash-checked end to end. The payload bytes are a
+# deterministic function of doc_id (see attach_synthetic_media), so the
+# oracle reconstructs every pixel/sample ANALYTICALLY in SQL and recomputes
+# the features + a position-weighted byte checksum — byte-level proof that
+# Spark's encode → (shuffle-free) mapInPandas decode pipeline parses real
+# container bytes correctly. (Compressed formats still require PIL/ffmpeg,
+# absent here by design; decode_media_features rejects them loudly.)
+# ---------------------------------------------------------------------------
+MULTIMODAL_ORACLE = """
+WITH ids AS (SELECT doc_id FROM documents),
+img_hdr AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 12 AS h,
+    'P6' || chr(10) || CAST(16 + doc_id % 16 AS VARCHAR) || ' '
+         || CAST(12 + doc_id % 12 AS VARCHAR) || chr(10) || '255' || chr(10)
+      AS header
+  FROM ids WHERE doc_id % 2 = 0
+),
+img_hsum AS (
+  SELECT doc_id, length(header) AS hl,
+    sum(ord(substr(header, i, 1)) * i) AS hsum
+  FROM img_hdr, unnest(generate_series(1, length(header))) AS t(i)
+  GROUP BY doc_id, header
+),
+img_plane AS (
+  SELECT i.doc_id, i.w, i.h, s.hl, s.hsum, t.k,
+    (i.doc_id * 2654435761 + t.k * 40503) % 256 AS byte
+  FROM img_hdr i
+  JOIN img_hsum s USING (doc_id),
+    unnest(generate_series(0, i.w * i.h * 3 - 1)) AS t(k)
+),
+img_feats AS (
+  SELECT doc_id,
+    'image/ppm' AS format,
+    CAST(min(hl) + count(*) AS BIGINT) AS n_bytes,
+    CAST(min(w) AS BIGINT) AS width,
+    CAST(min(h) AS BIGINT) AS height,
+    CAST(sum(byte) FILTER (WHERE k % 3 = 0) AS DOUBLE) / (min(w) * min(h)) AS f1,
+    CAST(sum(byte) FILTER (WHERE k % 3 = 1) AS DOUBLE) / (min(w) * min(h)) AS f2,
+    CAST(sum(byte) FILTER (WHERE k % 3 = 2) AS DOUBLE) / (min(w) * min(h)) AS f3,
+    CAST(min(hsum) + sum(byte * (hl + k + 1)) AS BIGINT) AS content_sum
+  FROM img_plane
+  GROUP BY doc_id
+),
+aud_samples AS (
+  SELECT a.doc_id, 256 + a.doc_id % 128 AS n, t.k,
+    (a.doc_id * 1103515245 + t.k * 12345) % 65536 AS u
+  FROM (SELECT doc_id FROM ids WHERE doc_id % 2 = 1) a,
+    unnest(generate_series(0, 256 + a.doc_id % 128 - 1)) AS t(k)
+),
+aud_lag AS (
+  SELECT *, u - 32768 AS s,
+    lag(u - 32768) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+  FROM aud_samples
+),
+aud_feats AS (
+  SELECT doc_id,
+    'audio/wav' AS format,
+    CAST(44 + 2 * min(n) AS BIGINT) AS n_bytes,
+    CAST(min(n) AS BIGINT) AS width,
+    CAST(1 AS BIGINT) AS height,
+    sqrt(CAST(sum(s * s) AS DOUBLE) / min(n)) AS f1,
+    CAST(sum(abs(s)) AS DOUBLE) / min(n) AS f2,
+    CAST(count(*) FILTER (WHERE prev IS NOT NULL AND s * prev < 0) AS DOUBLE) AS f3,
+    CAST(sum((u % 256) * (2 * k + 1)
+             + ((u // 256 + 128) % 256) * (2 * k + 2)) AS BIGINT)
+      AS content_sum
+  FROM aud_lag
+  GROUP BY doc_id
+)
+SELECT * FROM img_feats
+UNION ALL
+SELECT * FROM aud_feats
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    # The driver canonicalizer hashes result cells; serialize the
-    # array<double> feature vector to JSON so every column is scalar.
+    from ..operators.multimodal import (
+        attach_synthetic_media,
+        decode_media_features,
+    )
+
     docs = spread(_t(spark, sf_dir, "documents"))
-    feats = decode_features(attach_binary(docs))
-    return feats.withColumn("features", F.to_json(F.col("features")))
+    return decode_media_features(attach_synthetic_media(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -493,10 +493,13 @@ ORACLES["cosine_topk_bruteforce"] = _dp.COSINE_TOPK_ORACLE
 # left-fold dots in DuckDB, so the approximate query is exactly checkable
 QUERIES["ann_cosine_lsh"] = _bind(_dp.q_ann_lsh)
 ORACLES["ann_cosine_lsh"] = _dp.ANN_LSH_ORACLE
-# Engine-specific (k-means training / Arrow-batched decode): rows-only
+# Engine-specific (k-means training / LSH bucket internals): rows-only
 QUERIES["ann_cosine_ivf"] = _bind(_dp.q_ann_ivf)
 QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
+# Real PPM/WAV decode; payloads deterministic from doc_id → the oracle
+# reconstructs every pixel/sample analytically, so decode is hash-matched
 QUERIES["multimodal_features"] = _bind(_dp.q_multimodal_features)
+ORACLES["multimodal_features"] = _dp.MULTIMODAL_ORACLE
 
 # ---------------------------------------------------------------------------
 # More TPC-H-shaped joins + remaining §2 items — see plans.tpch_more

@@ -136,6 +136,49 @@ def test_multimodal_resize_and_frame_sample_shapes(spark, sf_dir):
     assert "frame_payload" in frames.columns
 
 
+def test_real_codecs_roundtrip_and_resize():
+    import numpy as np
+    import pytest
+
+    from futures_eos_cdc_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        resize_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)  # lossless
+
+    # nearest-neighbor resize: exact pixel correspondence, not interpolation
+    small = decode_ppm(resize_ppm(encode_ppm(img), 8, 6))
+    assert small.shape == (6, 8, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+    assert np.array_equal(small[5, 7], img[(5 * 12) // 6, (7 * 16) // 8])
+
+    samples = rng.integers(-32768, 32768, size=300).astype("<i2")
+    out, rate = decode_wav(encode_wav(samples))
+    assert rate == 16000 and np.array_equal(out, samples)
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"JFIF....")
+
+
+def test_media_decode_rejects_compressed_formats(spark):
+    import pytest
+
+    from futures_eos_cdc_spark.operators.multimodal import decode_media_features
+
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(b"\xff\xd8\xff"))],
+        "doc_id long, format string, payload binary",
+    )
+    with pytest.raises(Exception, match="PIL"):
+        decode_media_features(df).collect()
+
+
 def test_embedding_near_dup_recall_and_precision(spark, sf_dir):
     # The Arrow-kernel LSH path: every emitted pair must truly clear the
     # threshold (zero false positives — pairs are verified with exact cosine
