@@ -372,6 +372,70 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark contamination check: n-gram collision against an eval set —
+# the decontamination pass every serious pretraining pipeline runs (cf.
+# GPT-3 appendix C / PaLM: 8-13 gram overlap with benchmark text). The
+# fixture has no external benchmark, so the eval set is a deterministic
+# slice of the corpus itself (doc_id % 17 = 0), which also guarantees
+# non-empty overlap via the fixture's planted near-duplicates.
+# ---------------------------------------------------------------------------
+CONTAM_K = 8
+
+CONTAMINATION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {CONTAM_K - 1}), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t) - {CONTAM_K - 1})) AS u(i)
+  WHERE len(t) >= {CONTAM_K}
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_overlap_grams
+FROM grams c JOIN eval_g e USING (g)
+WHERE c.doc_id % 17 <> 0
+GROUP BY c.doc_id
+"""
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Corpus docs sharing ≥1 {k}-token n-gram with the eval slice, with the
+    distinct-overlapping-gram count per document (drop or flag these before
+    training; the count grades severity).
+
+    Scale shape — the decisive property is that BENCHMARKS ARE TINY next to
+    a 100 TB corpus: the distinct eval-gram set builds once and BROADCASTS,
+    so the corpus side is a map-side explode + broadcast semi-join-shaped
+    probe (no corpus-sized shuffle for the match). The only exchange is the
+    per-doc distinct-count aggregation on doc_id, whose input is already
+    filtered to actual collisions (≪ corpus size). Gram explosion is
+    partition-local; nothing quadratic anywhere.
+    """
+    from ..operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("t")
+    ).filter(F.size("t") >= CONTAM_K)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (CONTAM_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, CONTAM_K)),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_overlap_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: REAL decode (binary-PPM images + PCM16 WAV audio — the
 # library-free formats), hash-checked end to end. The payload bytes are a
 # deterministic function of doc_id (see attach_synthetic_media), so the

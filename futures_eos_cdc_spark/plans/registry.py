@@ -481,6 +481,8 @@ QUERIES["mixture_resample"] = _bind(_dp.q_mixture_resample)
 ORACLES["mixture_resample"] = _dp.MIXTURE_RESAMPLE_ORACLE
 QUERIES["corpus_clean_funnel"] = _bind(_dp.q_corpus_funnel)
 ORACLES["corpus_clean_funnel"] = _dp.CORPUS_FUNNEL_ORACLE
+QUERIES["benchmark_contamination"] = _bind(_dp.q_benchmark_contamination)
+ORACLES["benchmark_contamination"] = _dp.CONTAMINATION_ORACLE
 QUERIES["minhash_lsh_near_dup"] = _bind(_dp.q_minhash_lsh)
 ORACLES["minhash_lsh_near_dup"] = _dp.MINHASH_ORACLE
 QUERIES["ngram_jaccard_near_dup"] = _bind(_dp.q_ngram_jaccard)
@@ -655,10 +657,12 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # changed this round: re-sharded prefix sum / newly oracle-backed
+    # new this round / changed implementation or oracle — need fresh rows
+    "benchmark_contamination",
     "token_blocks",
     "outbox_event_router",
     "approx_aggregates",
+    "multimodal_features",  # promoted rows-only → hash-matched (real decode)
     # no r03 row — rotate forward so r3∪r4 covers everything
     "q3_shipping_priority",
     "q4_order_priority",
@@ -682,7 +686,6 @@ _WALK_FIRST = [
     "cosine_topk_bruteforce",
     "ann_cosine_ivf",
     "embedding_near_dup",
-    "multimodal_features",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
