@@ -1021,17 +1021,20 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
        bounded number of documents, so the per-shard window sort is O(shard)
        regardless of corpus skew;
     2. local prefix sum within (lang, shard) — thousands of parallel tasks;
-    3. per-shard token totals (one map-side-combined aggregation, output is
-       n_shards rows) get their own prefix sum over `shard` within lang —
-       driver-scale data, trivially cheap;
+    3. per-shard token totals come from a CHEAP second pass: the per-doc
+       chunk-token total has a closed form (Σ min(size, L − stride·i) over
+       an integer sequence — an `aggregate` fold, no explode, map-side
+       partial agg), so this pass never materializes the chunk stream;
+       output is n_shards rows, whose own prefix sum over `shard` within
+       lang is driver-scale;
     4. broadcast the per-shard base offsets back and stitch:
        stream_offset = shard_base + local_offset.
 
-    Both passes are parallel; the only data-sized shuffle is the hash
-    exchange on (lang, shard). Integer-only arithmetic end to end, so the
-    stitched result is bit-identical to the global per-language prefix sum —
-    which is exactly what the (unsharded) DuckDB oracle computes, proving
-    the re-shard preserves semantics.
+    The expensive work (posexplode + windowed sort) happens ONCE; the only
+    data-sized shuffle is the hash exchange on (lang, shard). Integer-only
+    arithmetic end to end, so the stitched result is bit-identical to the
+    global per-language prefix sum — which is exactly what the (unsharded)
+    DuckDB oracle computes, proving the re-shard preserves semantics.
     """
     ws = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
@@ -1055,8 +1058,27 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     local = chunks.withColumn(
         "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
     )
-    totals = chunks.groupBy("lang", "shard").agg(
-        F.sum("n_tok").alias("shard_total")
+    # Per-doc chunk-token total in closed form: chunk i holds
+    # min(CHUNK_SIZE, L - CHUNK_STRIDE*i) tokens — an integer fold over the
+    # chunk indices, no posexplode and nothing row-multiplied, so this pass
+    # is a plain scan + map-side-combined aggregation.
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    last_chunk = F.floor((n_words - F.lit(1)) / F.lit(CHUNK_STRIDE)).cast("int")
+    doc_total = F.aggregate(
+        F.sequence(F.lit(0), last_chunk),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.least(F.lit(CHUNK_SIZE), n_words - F.lit(CHUNK_STRIDE) * i),
+    )
+    totals = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
+            doc_total.alias("doc_total"),
+        )
+        .groupBy("lang", "shard")
+        .agg(F.sum("doc_total").alias("shard_total"))
     )
     w_shard = (
         Window.partitionBy("lang")
