@@ -82,9 +82,21 @@ def connected_components(
     and kills the job; with 20 rounds over a 100 TB edge set an executor
     loss is expected, so production runs should always pass a reliable dir.
     Default (None) keeps ``localCheckpoint`` for local/test use.
+
+    Two session-level caveats of Spark's checkpoint API (not this
+    function): ``setCheckpointDir`` is a SparkContext-global setting, so
+    the dir passed here becomes the session's checkpoint dir for any later
+    ``checkpoint()`` caller (it is only overridden when it differs from the
+    current value); and checkpoint files outlive the job unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set that on
+    clusters so superseded rounds are GC'd when their RDDs fall out of
+    scope.
     """
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        current = sc._jsc.sc().getCheckpointDir()
+        if not (current.isDefined() and current.get() == checkpoint_dir):
+            sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()

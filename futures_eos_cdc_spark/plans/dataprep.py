@@ -414,7 +414,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str, _t) -> DataFrame
     """
     from ..operators.text import tokens_expr
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", tokens_expr(F.col("text")).alias("t")
     ).filter(F.size("t") >= CONTAM_K)
     grams = docs.select(

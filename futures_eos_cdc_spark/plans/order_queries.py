@@ -60,6 +60,11 @@ LEFT JOIN mp ON w.symbol = mp.symbol
 # (qty ∈ [1,10] 2dp, price ∈ {dim values, 100.0}, confidence ∈ [0.65, 1.2))
 # — verified byte-for-byte by the driver's hash compare. String fields are
 # sha-hex / fixed enums / symbols: nothing needs JSON escaping.
+# Environment note: pre-JDK-19 Double.toString is not shortest-roundtrip for
+# EVERY double (JDK-4511638); the values this pipeline produces render
+# identically on this JDK (empirically hash-matched at both fixture SFs),
+# but a port to another JRE should re-verify or normalize the rendering
+# (e.g. format_number) rather than assume it.
 OUTBOX_ROUTER_ORACLE_SQL = f"""
 WITH ord AS ({ORDERS_ORACLE_SQL}),
 outbox AS (

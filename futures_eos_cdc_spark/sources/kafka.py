@@ -76,14 +76,19 @@ def kafka_txn_decisions_writer(
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if state["producer"] is None:
-            state["producer"] = make(
+            candidate = make(
                 {
                     "bootstrap.servers": brokers,
                     "transactional.id": transactional_id,
                     "enable.idempotence": True,
                 }
             )
-            state["producer"].init_transactions()
+            # Cache only AFTER init_transactions succeeds: caching first
+            # would pin a half-initialized producer and every retried batch
+            # would then fail with a misleading transactional-state error
+            # instead of re-attempting the init.
+            candidate.init_transactions()
+            state["producer"] = candidate
         producer = state["producer"]
         records = decisions_to_kafka_records(batch_df)
         producer.begin_transaction()

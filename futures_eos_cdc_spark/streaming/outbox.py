@@ -296,13 +296,24 @@ def parquet_incremental_agg_writer(
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         cur, last_epoch, last_run = store.current()
+        if epoch_id == last_epoch and last_run not in ("", run_id):
+            # Crash-recovery replay across process restarts: the view was
+            # published for this exact batch id but Spark crashed before
+            # committing the checkpoint, so the restarted query (fresh
+            # writer instance → new run_id) re-delivers the SAME batch.
+            # The published view already contains it — skip. (A fresh
+            # checkpoint whose batch 0 collides with a one-batch-old view
+            # is indistinguishable here; reset base_dir with the
+            # checkpoint, as the error below instructs.)
+            return
         if epoch_id <= last_epoch:
             if last_run in ("", run_id):
                 return  # same-run replay: merging again would double-count
-            # Foreign run with regressed batch ids: a fresh checkpoint is
-            # re-reading the source against a view that already counted it.
-            # ⊕-merge is NOT idempotent, so neither skipping (silent data
-            # loss) nor merging (double-count) is safe — fail loudly.
+            # Foreign run with batch ids BEHIND the view: a fresh
+            # checkpoint is re-reading source data the view already
+            # counted. ⊕-merge is NOT idempotent, so neither skipping
+            # (silent data loss) nor merging (double-count) is safe —
+            # fail loudly.
             raise RuntimeError(
                 f"{base_dir}: incompatible state — batch {epoch_id} from a "
                 f"new query run, but the view was published at batch "

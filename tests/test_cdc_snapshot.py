@@ -257,6 +257,15 @@ def test_agg_writer_cross_run_regression_fails_loudly(spark, tmp_path):
     run2 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
     with pytest.raises(RuntimeError, match="Reset base_dir"):
         run2(df, 0)
+    # crash recovery: the app died after publishing batch 3 but before the
+    # checkpoint committed — the restarted query replays exactly batch 3.
+    # Must be skipped (already in the view), NOT raised, NOT double-counted.
+    from futures_eos_cdc_spark.streaming.outbox import read_cdc_snapshot
+
+    run2(df, 3)
+    assert {(r.k, float(r.sum_v)) for r in read_cdc_snapshot(spark, base).collect()} == {
+        (1, 10.0), (2, 20.0),
+    }
     # a normal restart (same checkpoint → ids continue) still works
     run2(df, 4)
 

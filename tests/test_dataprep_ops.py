@@ -164,6 +164,11 @@ def test_real_codecs_roundtrip_and_resize():
 
     with pytest.raises(ValueError, match="not a binary PPM"):
         decode_ppm(b"JFIF....")
+    # truncated headers/planes must RAISE, not scan past the end (an
+    # unbounded scan would hang the executor task instead of failing it)
+    for bad in (b"P6", b"P6\n16 12\n255", b"P6\n16 12\n255\n\x00\x01"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
 
 
 def test_media_decode_rejects_compressed_formats(spark):
