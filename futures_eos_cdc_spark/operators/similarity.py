@@ -261,14 +261,25 @@ def ivf_train(
         exploded = assigned.select(
             "cell", F.posexplode(F.col("vec")).alias("dim_idx", "val")
         )
-        # DECIMAL(38,10) partial sums: float addition is order-sensitive and
-        # shuffle partial order is not deterministic, so double sums would
-        # make retrained centroids differ run-to-run (and across task
-        # retries). Decimal accumulation is exact → training is reproducible
-        # under any partitioning.
+        # Exact, order-independent partial sums: float addition is
+        # order-sensitive and shuffle partial order is not deterministic, so
+        # double sums would make retrained centroids differ run-to-run (and
+        # across task retries). Each value is quantized onto a 1e-10 grid
+        # with floor() — floor of a double has NO rounding-tie ambiguity
+        # (unlike a decimal cast, whose half-up/half-even boundary behavior
+        # differs between engines) — and the integer grid values accumulate
+        # exactly in DECIMAL(38,0). Training is therefore reproducible under
+        # any partitioning AND bit-replayable in an external SQL engine
+        # (the DuckDB oracle unrolls these same two Lloyd steps).
         dim_sums = (
             exploded.groupBy("cell", "dim_idx")
-            .agg(F.sum(F.col("val").cast("decimal(38,10)")).alias("s"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(1e10)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("s")
+            )
             .collect()
         )
         counts = {
@@ -277,8 +288,10 @@ def ivf_train(
         }
         new = [list(c) for c in centroids]
         for row in dim_sums:
-            # one float division of the exact decimal sum — deterministic
-            new[row["cell"]][row["dim_idx"]] = float(row["s"]) / counts[row["cell"]]
+            # exact-integer sum → one float division chain — deterministic
+            new[row["cell"]][row["dim_idx"]] = (
+                float(row["s"]) / counts[row["cell"]] / 1e10
+            )
         centroids = new
     return centroids
 
@@ -388,8 +401,11 @@ def embedding_near_dup(
     (accumulator semantics); treat it as a recall-loss alarm, not an exact
     tally.
 
-    Rows-only at the driver (the hyperplane LCG is engine-specific);
-    correctness is pinned by the brute-force recall pytest.
+    Exactly oracle-checkable: every float reduction in the kernels (plane
+    dots, norms, pair cosines) runs in left-fold order, so the DuckDB
+    oracle (plans.dataprep.EMBEDDING_NEAR_DUP_ORACLE) replays the seeded
+    hyperplane literals and reproduces buckets, pairs, and cosines
+    bit-for-bit; recall is additionally pinned by the brute-force pytest.
     """
     import numpy as np
 
@@ -410,11 +426,22 @@ def embedding_near_dup(
             if not len(pdf):
                 continue
             x = _np.vstack(pdf[id_col + "_vec_tmp"].to_numpy()).astype(_np.float64)
-            signs = (x @ flat) >= 0.0  # same convention as lsh_bucket_expr
+            # Plane dots and norms accumulate dim-by-dim in a fixed LEFT-FOLD
+            # order (vectorized across rows, sequential across dims) — the
+            # same float op sequence as list_reduce/F.aggregate, so bucket
+            # ids and unit vectors are bit-replayable in the DuckDB oracle.
+            # A matmul (pairwise/SIMD summation) would differ by ULPs and
+            # could flip a sign-bit or a threshold comparison.
+            dots = _np.zeros((len(pdf), flat.shape[1]))
+            sq = _np.zeros(len(pdf))
+            for d in range(dim):
+                dots += x[:, d : d + 1] * flat[d : d + 1, :]
+                sq += x[:, d] * x[:, d]
+            signs = dots >= 0.0  # same convention as lsh_bucket_expr
             buckets = (
                 signs.reshape(len(pdf), n_t, n_b) * bit_weights
             ).sum(axis=2)  # (n, L)
-            nrm = _np.linalg.norm(x, axis=1, keepdims=True)
+            nrm = _np.sqrt(sq)[:, None]
             xn = x / _np.where(nrm == 0.0, 1.0, nrm)
             unit = list(xn)
             for t in range(n_t):
@@ -448,17 +475,30 @@ def embedding_near_dup(
         chunk = 1024
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
+            # matmul is the fast PRE-filter (ULP-accurate); kept pairs are
+            # re-scored with the exact left-fold below, and the threshold is
+            # applied to the fold value — so the emitted pair set and
+            # cosines are bit-identical to the SQL oracle's list_reduce.
             cos = x[lo:hi] @ x.T  # (chunk, n)
-            rows, cols = _np.nonzero(cos >= threshold)
+            rows, cols = _np.nonzero(cos >= threshold - 1e-9)
             keep = lo + rows < cols  # i < j: upper triangle only
-            out_a.append(ids[lo + rows[keep]])
-            out_b.append(ids[cols[keep]])
-            out_c.append(cos[rows[keep], cols[keep]])
+            ia, ib = lo + rows[keep], cols[keep]
+            if not len(ia):
+                continue
+            acc = _np.zeros(len(ia))
+            for d in range(x.shape[1]):
+                acc += x[ia, d] * x[ib, d]
+            final = acc >= threshold
+            out_a.append(ids[ia[final]])
+            out_b.append(ids[ib[final]])
+            out_c.append(acc[final])
+        if not out_a:
+            return empty
         return _pd.DataFrame(
             {
                 "id_a": _np.concatenate(out_a),
                 "id_b": _np.concatenate(out_b),
-                "cosine": _np.round(_np.concatenate(out_c), 6),
+                "cosine": _np.concatenate(out_c),
             }
         )
 
@@ -471,7 +511,9 @@ def embedding_near_dup(
     pairs = sig.groupBy("table", "bucket").applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
-    result = pairs.dropDuplicates(["id_a", "id_b"])
+    result = pairs.dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
     result.skipped_buckets = skipped
     from ..streaming.monitor import register_operator_counter
 

@@ -918,6 +918,212 @@ FROM ranked WHERE rank <= {k}
 ANN_LSH_ORACLE = _ann_lsh_oracle_sql()
 
 
+def _ann_ivf_oracle_sql(
+    n_cells: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    k: int = 3,
+) -> str:
+    """DuckDB oracle for q_ann_ivf: the ENTIRE IVF pipeline — seeded init,
+    `iters` unrolled Lloyd steps, cell assignment, nprobe probing, exact
+    cosine re-rank — replayed in SQL so the "approximate" index is exactly
+    checkable (same pattern as _ann_lsh_oracle_sql).
+
+    Bit-exactness rests on three properties shared with
+    operators.similarity.ivf_train / ann_topk_ivf:
+    - every distance/cosine is the same left fold (list_reduce ≡
+      F.aggregate) over double-cast elements;
+    - per-(cell,dim) sums are floor(v*1e10) integers accumulated in
+      DECIMAL(38,0) — floor has no rounding-tie ambiguity (a decimal cast
+      does: Spark rounds half-up, DuckDB half-even — observed 1/32000
+      fixture values on the boundary), so both engines see identical
+      integers and the centroid double `sum/n/1e10` is bit-identical;
+    - argmin ties break on cell id (array_sort struct order ≡
+      ORDER BY d, cell).
+
+    Empty cells keep their previous centroid (COALESCE ≡ ivf_train's
+    copy-then-overwrite loop).
+    """
+    from ..operators.similarity import _hyperplanes
+
+    init_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_hyperplanes(dim, n_cells, seed))
+    )
+    rng = f"range(1, {dim + 1})"
+
+    def dist2(vec_sql: str, cvec_sql: str) -> str:
+        return (
+            f"list_reduce(list_transform({rng}, "
+            f"j -> (CAST({vec_sql}[j] AS DOUBLE) - {cvec_sql}[j]) "
+            f"* (CAST({vec_sql}[j] AS DOUBLE) - {cvec_sql}[j])), (x, y) -> x + y)"
+        )
+
+    def lloyd_step(prev: str, step: int) -> str:
+        """One Lloyd iteration: assign to argmin cell, recompute centroids."""
+        return f"""d{step} AS (
+  SELECT e.vec_id, {prev}.cell,
+    {dist2('e.embedding', f'{prev}.cvec')} AS d
+  FROM e CROSS JOIN {prev}
+),
+a{step} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d{step}
+  ) WHERE rn = 1
+),
+s{step} AS (
+  SELECT a{step}.cell, j - 1 AS dim_idx,
+    SUM(CAST(CAST(floor(CAST(e.embedding[j] AS DOUBLE) * 1e10) AS BIGINT) AS DECIMAL(38,0))) AS s,
+    COUNT(*) AS n
+  FROM a{step} JOIN e USING (vec_id) CROSS JOIN unnest({rng}) AS t(j)
+  GROUP BY a{step}.cell, j
+),
+u{step} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / n / 1e10 ORDER BY dim_idx) AS cvec
+  FROM s{step} GROUP BY cell
+),
+c{step} AS (
+  SELECT p.cell, COALESCE(u{step}.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN u{step} USING (cell)
+)"""
+
+    steps = ",\n".join(lloyd_step("init" if s == 1 else f"c{s - 1}", s)
+                       for s in range(1, iters + 1))
+    final = f"c{iters}"
+    pair_dot = (
+        f"list_reduce(list_transform({rng}, "
+        "j -> CAST(qe.embedding[j] AS DOUBLE) * CAST(ce.embedding[j] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+    def self_dot(vec_sql: str) -> str:
+        return (
+            f"list_reduce(list_transform({rng}, "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * CAST({vec_sql}[j] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+init AS (SELECT * FROM (VALUES
+    {init_rows}
+) AS t(cell, cvec)),
+{steps},
+dfin AS (
+  SELECT e.vec_id, {final}.cell,
+    {dist2('e.embedding', f'{final}.cvec')} AS d
+  FROM e CROSS JOIN {final}
+),
+cand AS (
+  SELECT vec_id AS c_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dfin
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dfin WHERE vec_id < 5
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT q_id, c_id FROM probes JOIN cand USING (cell) WHERE q_id <> c_id
+),
+scored AS (
+  SELECT pairs.q_id, pairs.c_id,
+    {pair_dot} / (sqrt({self_dot('qe.embedding')}) * sqrt({self_dot('ce.embedding')})) AS cosine
+  FROM pairs
+  JOIN e qe ON qe.vec_id = pairs.q_id
+  JOIN e ce ON ce.vec_id = pairs.c_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_IVF_ORACLE = _ann_ivf_oracle_sql()
+
+
+def _embedding_near_dup_oracle_sql(
+    threshold: float = 0.3,
+    n_tables: int = 12,
+    bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for q_embedding_near_dup: replays the SAME seeded
+    hyperplane literals as operators.similarity.embedding_near_dup; the
+    Arrow kernels there accumulate every reduction (plane dots, norms, pair
+    cosines) in left-fold order precisely so this list_reduce SQL reproduces
+    buckets, the pair set, and cosines bit-for-bit. Defaults mirror
+    q_embedding_near_dup's demo parameters. The bucket cap (max_bucket)
+    is not modeled — it never binds at oracle SFs (buckets ≈ N/2^bits)."""
+    from ..operators.similarity import _hyperplanes
+
+    rng = f"range(1, {dim + 1})"
+
+    def dot(vec_sql: str, plane: list[float]) -> str:
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform({rng}, "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * ({lits}::DOUBLE[])[j]), "
+            "(x, y) -> x + y)"
+        )
+
+    unions = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN {dot('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        unions.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM e")
+    buckets_sql = "\n  UNION ALL ".join(unions)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+nrm AS (
+  SELECT vec_id,
+    sqrt(list_reduce(list_transform({rng},
+      j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
+      (x, y) -> x + y)) AS nrm
+  FROM e
+),
+u AS (
+  SELECT e.vec_id,
+    list_transform({rng},
+      j -> CAST(embedding[j] AS DOUBLE) / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS uv
+  FROM e JOIN nrm USING (vec_id)
+),
+buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    list_reduce(list_transform({rng}, j -> ua.uv[j] * ub.uv[j]), (x, y) -> x + y) AS cosine
+  FROM cand
+  JOIN u ua ON ua.vec_id = cand.id_a
+  JOIN u ub ON ub.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {threshold!r}::DOUBLE
+"""
+
+
+EMBEDDING_NEAR_DUP_ORACLE = _embedding_near_dup_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window document chunking (embedding / training prep)
 # ---------------------------------------------------------------------------

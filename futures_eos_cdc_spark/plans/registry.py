@@ -495,9 +495,13 @@ ORACLES["cosine_topk_bruteforce"] = _dp.COSINE_TOPK_ORACLE
 # left-fold dots in DuckDB, so the approximate query is exactly checkable
 QUERIES["ann_cosine_lsh"] = _bind(_dp.q_ann_lsh)
 ORACLES["ann_cosine_lsh"] = _dp.ANN_LSH_ORACLE
-# Engine-specific (k-means training / LSH bucket internals): rows-only
+# ann_cosine_ivf: the oracle unrolls the ENTIRE seeded-init + 2-step Lloyd
+# training in SQL (floor-quantized integer sums → no rounding-tie ambiguity),
+# so even the trained index is exactly checkable
 QUERIES["ann_cosine_ivf"] = _bind(_dp.q_ann_ivf)
+ORACLES["ann_cosine_ivf"] = _dp.ANN_IVF_ORACLE
 QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
+ORACLES["embedding_near_dup"] = _dp.EMBEDDING_NEAR_DUP_ORACLE
 # Real PPM/WAV decode; payloads deterministic from doc_id → the oracle
 # reconstructs every pixel/sample analytically, so decode is hash-matched
 QUERIES["multimodal_features"] = _bind(_dp.q_multimodal_features)
