@@ -204,6 +204,40 @@ def decode_wav(payload: bytes):
         return np.frombuffer(data, dtype="<i2"), f.getframerate()
 
 
+def _synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch generator for attach_synthetic_media — module-level so the
+    fused single-stage pipeline (synth_and_decode_features) can compose it
+    with _decode_batches inside ONE mapInPandas."""
+    import numpy as _np
+    import pandas as _pd
+
+    def ppm(doc_id: int) -> bytes:
+        w, h = 16 + doc_id % 16, 12 + doc_id % 12
+        k = _np.arange(w * h * 3, dtype=_np.int64)
+        plane = ((doc_id * 2654435761 + k * 40503) % 256).astype(_np.uint8)
+        return encode_ppm(plane.reshape(h, w, 3))
+
+    def wav(doc_id: int) -> bytes:
+        n = 256 + doc_id % 128
+        k = _np.arange(n, dtype=_np.int64)
+        s = ((doc_id * 1103515245 + k * 12345) % 65536 - 32768).astype("<i2")
+        return encode_wav(s)
+
+    for pdf in it:
+        ids = pdf["doc_id"]
+        yield _pd.DataFrame(
+            {
+                "doc_id": ids,
+                "format": [
+                    "image/ppm" if i % 2 == 0 else "audio/wav" for i in ids
+                ],
+                "payload": [
+                    ppm(int(i)) if i % 2 == 0 else wav(int(i)) for i in ids
+                ],
+            }
+        )
+
+
 def attach_synthetic_media(docs: DataFrame) -> DataFrame:
     """Build a real multimodal table from ``documents``: even doc_ids carry a
     binary-PPM image, odd doc_ids a PCM16 WAV clip — payload bytes are a
@@ -216,36 +250,6 @@ def attach_synthetic_media(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import types as T  # noqa: PLC0415
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
-        import pandas as _pd
-
-        def ppm(doc_id: int) -> bytes:
-            w, h = 16 + doc_id % 16, 12 + doc_id % 12
-            k = _np.arange(w * h * 3, dtype=_np.int64)
-            plane = ((doc_id * 2654435761 + k * 40503) % 256).astype(_np.uint8)
-            return encode_ppm(plane.reshape(h, w, 3))
-
-        def wav(doc_id: int) -> bytes:
-            n = 256 + doc_id % 128
-            k = _np.arange(n, dtype=_np.int64)
-            s = ((doc_id * 1103515245 + k * 12345) % 65536 - 32768).astype("<i2")
-            return encode_wav(s)
-
-        for pdf in it:
-            ids = pdf["doc_id"]
-            yield _pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "format": [
-                        "image/ppm" if i % 2 == 0 else "audio/wav" for i in ids
-                    ],
-                    "payload": [
-                        ppm(int(i)) if i % 2 == 0 else wav(int(i)) for i in ids
-                    ],
-                }
-            )
-
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -254,13 +258,69 @@ def attach_synthetic_media(docs: DataFrame) -> DataFrame:
         ]
     )
     _ship_module_by_value()
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return docs.select("doc_id").mapInPandas(_synth_batches, schema)
 
 
 MEDIA_FEATURES_SCHEMA = (
     "doc_id long, format string, n_bytes long, width long, height long, "
     "f1 double, f2 double, f3 double, content_sum long"
 )
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch generator for decode_media_features (module-level for fusion)."""
+    import numpy as _np
+    import pandas as _pd
+
+    def wsum(raw: bytes) -> int:
+        b = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.int64)
+        return int((b * _np.arange(1, len(b) + 1)).sum())
+
+    def decode_one(fmt: str, payload: bytes):
+        # One codec implementation per format (module-level decode_ppm /
+        # decode_wav — shipped to executors with the package); this
+        # dispatcher only derives features from the decoded content.
+        if fmt == "image/ppm":
+            img = decode_ppm(payload)
+            plane = img.reshape(-1).astype(_np.float64)
+            h, w, _ = img.shape
+            return (
+                len(payload), w, h,
+                float(plane[0::3].mean()),
+                float(plane[1::3].mean()),
+                float(plane[2::3].mean()),
+                wsum(payload),
+            )
+        if fmt == "audio/wav":
+            s16, _rate = decode_wav(payload)
+            s = s16.astype(_np.float64)
+            pcm = s16.tobytes()
+            zc = int(_np.count_nonzero(s[1:] * s[:-1] < 0))
+            return (
+                len(payload), len(s), 1,
+                float(_np.sqrt((s * s).mean())),
+                float(_np.abs(s).mean()),
+                float(zc),
+                wsum(pcm),
+            )
+        raise ValueError(
+            f"no decoder for {fmt!r} in this build — compressed formats "
+            "need PIL (images) / librosa (audio) / ffmpeg (video); add "
+            "the handler in decode_media_features and redeploy"
+        )
+
+    for pdf in it:
+        rows = [
+            (int(i), f, *decode_one(f, bytes(p)))
+            for i, f, p in zip(pdf["doc_id"], pdf["format"], pdf["payload"])
+        ]
+        yield _pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "format", "n_bytes", "width", "height",
+                "f1", "f2", "f3", "content_sum",
+            ],
+        )
 
 
 def decode_media_features(media: DataFrame) -> DataFrame:
@@ -282,63 +342,27 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     channel/sample means divide exact integer sums — bit-identical across
     engines.
     """
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
-        import pandas as _pd
-
-        def wsum(raw: bytes) -> int:
-            b = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.int64)
-            return int((b * _np.arange(1, len(b) + 1)).sum())
-
-        def decode_one(fmt: str, payload: bytes):
-            # One codec implementation per format (module-level decode_ppm /
-            # decode_wav — shipped to executors with the package); this
-            # dispatcher only derives features from the decoded content.
-            if fmt == "image/ppm":
-                img = decode_ppm(payload)
-                plane = img.reshape(-1).astype(_np.float64)
-                h, w, _ = img.shape
-                return (
-                    len(payload), w, h,
-                    float(plane[0::3].mean()),
-                    float(plane[1::3].mean()),
-                    float(plane[2::3].mean()),
-                    wsum(payload),
-                )
-            if fmt == "audio/wav":
-                s16, _rate = decode_wav(payload)
-                s = s16.astype(_np.float64)
-                pcm = s16.tobytes()
-                zc = int(_np.count_nonzero(s[1:] * s[:-1] < 0))
-                return (
-                    len(payload), len(s), 1,
-                    float(_np.sqrt((s * s).mean())),
-                    float(_np.abs(s).mean()),
-                    float(zc),
-                    wsum(pcm),
-                )
-            raise ValueError(
-                f"no decoder for {fmt!r} in this build — compressed formats "
-                "need PIL (images) / librosa (audio) / ffmpeg (video); add "
-                "the handler in decode_media_features and redeploy"
-            )
-
-        for pdf in it:
-            rows = [
-                (int(i), f, *decode_one(f, bytes(p)))
-                for i, f, p in zip(pdf["doc_id"], pdf["format"], pdf["payload"])
-            ]
-            yield _pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "format", "n_bytes", "width", "height",
-                    "f1", "f2", "f3", "content_sum",
-                ],
-            )
-
     _ship_module_by_value()
-    return media.mapInPandas(batches, MEDIA_FEATURES_SCHEMA)
+    return media.mapInPandas(_decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+def synth_and_decode_features(docs: DataFrame) -> DataFrame:
+    """Fused synth→decode in ONE mapInPandas stage.
+
+    Chaining ``attach_synthetic_media`` → ``decode_media_features`` costs two
+    Python-worker round-trips, and every payload byte crosses the Arrow
+    boundary twice (serialized out of stage 1, back into stage 2). Composing
+    the same two batch generators inside a single stage means payloads are
+    born and consumed in the same worker and never serialize at all —
+    identical rows (same generators, same order-insensitive output), half
+    the Python overhead. The un-fused operators remain the production shape
+    for REAL ingest, where media arrives from storage rather than a
+    generator.
+    """
+    _ship_module_by_value()
+    return docs.select("doc_id").mapInPandas(
+        lambda it: _decode_batches(_synth_batches(it)), MEDIA_FEATURES_SCHEMA
+    )
 
 
 def resize_stub(multimodal: DataFrame, width: int, height: int) -> DataFrame:

@@ -513,13 +513,10 @@ SELECT * FROM aud_feats
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    from ..operators.multimodal import (
-        attach_synthetic_media,
-        decode_media_features,
-    )
+    from ..operators.multimodal import synth_and_decode_features
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    return decode_media_features(attach_synthetic_media(docs))
+    return synth_and_decode_features(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -1242,12 +1239,18 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     global per-language prefix sum — which is exactly what the (unsharded)
     DuckDB oracle computes, proving the re-shard preserves semantics.
     """
+    # lang participates in an equi-join below; NULL langs (legal in the
+    # data model) would silently drop through an inner join, so the join
+    # key is coalesced to a sentinel no real language tag can be (the
+    # output keeps the original, possibly-NULL, lang).
+    _lang_key = F.coalesce(F.col("lang"), F.lit("\u0000")).alias("lang_key")
     ws = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+        "doc_id", "lang", _lang_key, F.split(F.trim(F.col("text")), r"\s+").alias("arr")
     )
     chunks = ws.select(
         "doc_id",
         "lang",
+        "lang_key",
         F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
         F.posexplode(
             F.sequence(F.lit(1), F.size("arr"), F.lit(CHUNK_STRIDE))
@@ -1257,7 +1260,7 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         ),
     )
     w_local = (
-        Window.partitionBy("lang", "shard")
+        Window.partitionBy("lang_key", "shard")
         .orderBy("doc_id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -1279,26 +1282,26 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     totals = (
         _t(spark, sf_dir, "documents")
         .select(
-            "lang",
+            _lang_key,
             F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
             doc_total.alias("doc_total"),
         )
-        .groupBy("lang", "shard")
+        .groupBy("lang_key", "shard")
         .agg(F.sum("doc_total").alias("shard_total"))
     )
     w_shard = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang_key")
         .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = totals.select(
-        "lang",
+        "lang_key",
         "shard",
         F.coalesce(F.sum("shard_total").over(w_shard), F.lit(0)).alias(
             "shard_base"
         ),
     )
-    offsets = local.join(F.broadcast(bases), ["lang", "shard"]).select(
+    offsets = local.join(F.broadcast(bases), ["lang_key", "shard"]).select(
         "doc_id",
         "lang",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),

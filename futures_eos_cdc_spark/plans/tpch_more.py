@@ -424,12 +424,15 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     0.99 ± 0.005+floor slack) — rank is the sketch's actual contract and is
     integer-robust, unlike comparing interpolated values across engines.
 
-    Plan shape: one pass builds the four sketches, the 1-row result
-    broadcasts back over the scan (BroadcastNestedLoopJoin on a single
-    row costs nothing), and a second pass computes exact distincts + rank
-    fractions. Two scans total, both whole-stage-codegen'd; the two
-    count_distincts share one Expand (×2 row multiplier pre-aggregation) —
-    the standard exact-distinct cost, paid once at the reducer.
+    Plan shape — three independent 1-row pipelines cross-joined at the end
+    (broadcasts of single rows), chosen by measurement: (1) the sketch
+    pass; (2) exact distinct counts ALONE — a solo two-distinct agg plans
+    as a clean Expand ×2 (~30 ms at sf0.1), whereas fusing it with the
+    broadcast-joined rank pass made Expand run over the join output and
+    tripled the query (1.23 s → 0.83 s after the split); (3) the rank
+    fractions, which are the only pass that genuinely needs the sketch row
+    joined onto the scan. Three cheap column-pruned scans beat two
+    entangled ones here.
     """
     li = _t(spark, sf_dir, "lineitem")
     sk = li.agg(
@@ -438,10 +441,11 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
     )
-    j = li.join(F.broadcast(sk))
-    agg = j.agg(
+    exact = li.agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    fracs = li.join(F.broadcast(sk)).agg(
         F.first("approx_parts").alias("approx_parts"),
         F.first("approx_orders").alias("approx_orders"),
         (
@@ -461,6 +465,7 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("p99_rank_frac"),
     )
+    agg = exact.join(F.broadcast(fracs))
     rel_err = lambda a, e: F.abs(a.cast("double") / e.cast("double") - 1.0)  # noqa: E731
     return agg.select(
         "exact_parts",

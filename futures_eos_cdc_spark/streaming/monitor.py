@@ -41,10 +41,27 @@ def register_operator_counter(name: str, accumulator) -> None:
 
 
 def operator_counters() -> dict[str, int]:
-    """Current value of every registered operator counter (read after an
-    action — accumulators only populate when tasks run)."""
+    """Current value of every LIVE registered operator counter (read after
+    an action — accumulators only populate when tasks run).
+
+    An accumulator belongs to the SparkContext that created it: after that
+    context stops (common across test sessions / app restarts), reading
+    ``.value`` raises from inside the monitoring path and the registry
+    would otherwise pin dead entries forever. Dead counters are dropped
+    from the registry on read instead — monitoring never throws because an
+    old session went away, and the dict cannot grow without bound across
+    context restarts.
+    """
     with _OP_LOCK:
-        return {k: v.value for k, v in _OPERATOR_COUNTERS.items()}
+        out, dead = {}, []
+        for k, v in _OPERATOR_COUNTERS.items():
+            try:
+                out[k] = v.value
+            except Exception:
+                dead.append(k)
+        for k in dead:
+            del _OPERATOR_COUNTERS[k]
+        return out
 
 
 class ProgressRecorder(StreamingQueryListener):

@@ -174,7 +174,7 @@ def parquet_cdc_merge_writer(
         from ..operators.order_pipeline import cdc_latest_snapshot
 
         spark = batch_df.sparkSession
-        cur, last_epoch, last_run = store.current()
+        cur, last_epoch, last_run, _ = store.current()
         # Replay gate: batch ids are only comparable within one query run.
         # A restart with a FRESH checkpointLocation restarts epochs at 0 —
         # under an epoch-only gate every new batch would be silently dropped
@@ -215,24 +215,27 @@ class _VersionedParquet:
         self.base_dir = base_dir
         self.pointer = os.path.join(base_dir, "_CURRENT")
 
-    def current(self) -> tuple[str | None, int, str]:
+    def current(self) -> tuple[str | None, int, str, str]:
         if os.path.exists(self.pointer):
             with open(self.pointer) as fh:
                 parts = fh.read().strip().split(" ")
             vname = parts[0]
             epoch = int(parts[1]) if len(parts) > 1 and parts[1] else -1
             run_id = parts[2] if len(parts) > 2 else ""
-            return os.path.join(self.base_dir, vname), epoch, run_id
-        return None, -1, ""
+            fingerprint = parts[3] if len(parts) > 3 else ""
+            return os.path.join(self.base_dir, vname), epoch, run_id, fingerprint
+        return None, -1, "", ""
 
-    def publish(self, df: DataFrame, epoch_id: int, run_id: str = "") -> None:
-        prev_path, _, _ = self.current()
+    def publish(
+        self, df: DataFrame, epoch_id: int, run_id: str = "", fingerprint: str = ""
+    ) -> None:
+        prev_path, _, _, _ = self.current()
         prev = os.path.basename(prev_path) if prev_path else None
         vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.base_dir, vname))
         tmp = f"{self.pointer}.tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
-            fh.write(f"{vname} {epoch_id} {run_id}")
+            fh.write(f"{vname} {epoch_id} {run_id} {fingerprint}")
         os.replace(tmp, self.pointer)
         for d in os.listdir(self.base_dir):
             if d.startswith("snapshot_") and d not in (vname, prev):
@@ -242,7 +245,7 @@ class _VersionedParquet:
 def read_cdc_snapshot(spark, base_dir: str) -> DataFrame:
     """Read the current version published by :func:`parquet_cdc_merge_writer`
     or :func:`parquet_incremental_agg_writer` (resolves ``_CURRENT``)."""
-    path, _, _ = _VersionedParquet(base_dir).current()
+    path, _, _, _ = _VersionedParquet(base_dir).current()
     if path is None:
         raise FileNotFoundError(f"no published version under {base_dir}")
     return spark.read.parquet(path)
@@ -254,6 +257,7 @@ def parquet_incremental_agg_writer(
     sum_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    checkpoint_fingerprint: str | None = None,
 ):
     """foreachBatch writer maintaining a streaming materialized view of
     mergeable per-key aggregates (count / sum / min / max): each micro-batch
@@ -270,6 +274,11 @@ def parquet_incremental_agg_writer(
     Scale: state is the aggregate table (O(keys)), each batch costs one
     partial agg + a co-partitioned merge — never a rescan of history. The
     100 TB shape for always-on dashboards over unbounded streams.
+
+    Pass ``checkpoint_fingerprint`` (any stable identifier of the query's
+    checkpointLocation — e.g. the path itself) to make the crash-recovery
+    skip exact: a same-batch-id delivery from a DIFFERENT checkpoint is new
+    data, not a replay, and raises instead of silently skipping.
     """
     from ..operators.signal_pipeline import DEC
 
@@ -295,16 +304,31 @@ def parquet_incremental_agg_writer(
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        cur, last_epoch, last_run = store.current()
+        cur, last_epoch, last_run, last_fp = store.current()
         if epoch_id == last_epoch and last_run not in ("", run_id):
             # Crash-recovery replay across process restarts: the view was
             # published for this exact batch id but Spark crashed before
             # committing the checkpoint, so the restarted query (fresh
             # writer instance → new run_id) re-delivers the SAME batch.
-            # The published view already contains it — skip. (A fresh
-            # checkpoint whose batch 0 collides with a one-batch-old view
-            # is indistinguishable here; reset base_dir with the
-            # checkpoint, as the error below instructs.)
+            # The published view already contains it — skip. One corner is
+            # NOT a replay: a brand-new checkpoint whose first batch id
+            # happens to equal the published epoch carries genuinely new
+            # data — skipping would silently lose it. When both sides
+            # recorded a checkpoint fingerprint, that corner is detectable
+            # and raises; without fingerprints it remains indistinguishable
+            # (documented: reset base_dir together with the checkpoint).
+            if (
+                checkpoint_fingerprint
+                and last_fp
+                and checkpoint_fingerprint != last_fp
+            ):
+                raise RuntimeError(
+                    f"{base_dir}: batch {epoch_id} arrived from checkpoint "
+                    f"{checkpoint_fingerprint!r} but the view at the same "
+                    f"batch id was published from {last_fp!r} — this is new "
+                    "data colliding with a stale view, not a crash replay. "
+                    "Reset base_dir together with checkpointLocation."
+                )
             return
         if epoch_id <= last_epoch:
             if last_run in ("", run_id):
@@ -324,6 +348,6 @@ def parquet_incremental_agg_writer(
         view = _partial(batch_df)
         if cur:
             view = _merge(spark.read.parquet(cur), view)
-        store.publish(view, epoch_id, run_id)
+        store.publish(view, epoch_id, run_id, checkpoint_fingerprint or "")
 
     return write

@@ -338,3 +338,37 @@ def test_parquet_incremental_agg_writer_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_agg_writer_fingerprint_detects_foreign_checkpoint_collision(spark, tmp_path):
+    """ADVICE corner: view published at batch N by run A; a NEW checkpoint's
+    batch N (genuinely new data) must raise when fingerprints are recorded —
+    and a true crash replay (same fingerprint, new run) must still skip."""
+    import os
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        parquet_incremental_agg_writer,
+        read_cdc_snapshot,
+    )
+
+    df = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    base = str(tmp_path / "agg_fp")
+    os.makedirs(base)
+    run_a = parquet_incremental_agg_writer(
+        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/A"
+    )
+    run_a(df, 0)
+    # crash replay: new writer instance, SAME checkpoint → skip, no double count
+    run_a2 = parquet_incremental_agg_writer(
+        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/A"
+    )
+    run_a2(df, 0)
+    assert [(r.k, float(r.sum_v)) for r in read_cdc_snapshot(spark, base).collect()] == [(1, 10.0)]
+    # foreign checkpoint, colliding batch id → loud failure, not silent drop
+    run_b = parquet_incremental_agg_writer(
+        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/B"
+    )
+    with pytest.raises(RuntimeError, match="not a crash replay"):
+        run_b(df, 0)

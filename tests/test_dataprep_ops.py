@@ -292,3 +292,21 @@ def test_weighted_group_sample_append_safe_and_partitioning_proof(spark, sf_dir)
         ).collect()
     }
     assert repart == whole
+
+
+def test_token_blocks_keeps_null_lang_docs(spark):
+    """ADVICE regression: the (lang, shard) stitch join must be null-safe —
+    NULL-lang documents pack like any other language group."""
+    import futures_eos_cdc_spark.plans.dataprep as dp
+
+    docs = spark.createDataFrame(
+        [(1, None, "a b c d e f"), (2, "en", "g h i"), (40001, None, "x y z")],
+        "doc_id long, lang string, text string",
+    )
+    out = dp.q_token_blocks(spark, "ignored", lambda *_: docs).collect()
+    assert {r.doc_id for r in out} == {1, 2, 40001}
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[1].lang is None  # sentinel never leaks into output
+    # NULL-lang group is packed contiguously: doc 40001 (2nd null shard)
+    # starts at doc 1's total token count
+    assert by_doc[40001].stream_offset == 6
