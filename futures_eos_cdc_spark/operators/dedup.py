@@ -86,6 +86,35 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def dedup_keep_rows(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Full-row exact dedup: the kept (lowest-``id_col``) row per identical
+    content, with its duplicate count — the convenience ``exact_dedup``
+    deliberately does not provide (it returns only the digest→keep_id map).
+
+    Single-shuffle formulation: one hash exchange on md5(content), then a
+    row_number + count window within each hash partition. At 100 TB this
+    shuffles each surviving row's payload exactly once (unavoidable — the
+    output *is* the payload); the digest key keeps the exchange's
+    partitioning width constant regardless of document size, and identical
+    contents land in one partition so the window state per key is the tiny
+    duplicate group, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    wc = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def _salted_md5(salt: str):
     # NB: a plain `lambda s, i=i: ...` would be treated by PySpark as a
     # TWO-argument higher-order lambda — the array index silently overrides

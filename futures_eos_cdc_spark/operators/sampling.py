@@ -106,6 +106,55 @@ def group_keep_expr(
     return F.lit(False) if expr is None else expr
 
 
+def shard_assign_exprs(
+    id_col: Column, n_shards: int, salt: str = "shard"
+) -> tuple[Column, Column]:
+    """(shard_id, shuffle_key) for a deterministic global shuffle.
+
+    shard_id = first 4 md5 hex chars (16 bits) mod n_shards — content-stable,
+    so re-runs and incremental appends keep every row in its shard;
+    shuffle_key = the full digest, giving a pseudorandom but reproducible
+    intra-shard order (the "global shuffle" training loaders need, computed
+    without any global sort).
+    """
+    h = F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).alias(
+        "shard_id"
+    )
+    return shard, h
+
+
+def global_shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training-data writes.
+
+    Adds ``shard_id`` (which output shard the row belongs to) and
+    ``pos_in_shard`` (its position inside the shard). The classic
+    formulation is ORDER BY rand() — a full global sort whose assignment
+    changes every run. This one is content-stable and needs ONE exchange:
+    hash-partition by shard_id, then a per-shard window sorts only that
+    shard's rows by digest. At 100 TB, pick n_shards so a shard fits an
+    executor (e.g. 100k shards of ~1 GB); shard sizes concentrate tightly
+    around N/n_shards (binomial), and the per-shard sort is the only
+    super-linear work — bounded by shard size, not corpus size.
+    ``repartition(shard_id)`` before the window would be a no-op: the
+    window's partitionBy already installs exactly that exchange.
+    """
+    from pyspark.sql import Window
+
+    shard, h = shard_assign_exprs(F.col(id_col), n_shards, salt)
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("_shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("shard_id", shard)
+        .withColumn("_shuffle_key", h)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("_shuffle_key")
+    )
+
+
 def weighted_group_sample(
     df: DataFrame,
     group_col: str,

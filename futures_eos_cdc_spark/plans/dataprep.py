@@ -555,6 +555,72 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full-row exact dedup (kept rows, not just the digest map)
+# ---------------------------------------------------------------------------
+DEDUP_KEEP_ROWS_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars, content_hash,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM h WHERE rn = 1
+"""
+
+
+def q_dedup_keep_rows(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The surviving row (lowest doc_id) per distinct text, with duplicate
+    count — the one-join/one-window convenience VERDICT r4 asked for so
+    users stop re-deriving it from ``exact_dedup``'s digest map. One hash
+    exchange on the content digest; window state per key is the duplicate
+    group only. See operators/dedup.py:dedup_keep_rows for the 100 TB
+    shape."""
+    from ..operators.dedup import dedup_keep_rows
+
+    return dedup_keep_rows(
+        spread(_t(spark, sf_dir, "documents")), ["text"], "doc_id"
+    ).select("doc_id", "lang", "source", "n_chars", "content_hash", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + training-shard layout
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+
+GLOBAL_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         md5('shard|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, hh,
+         CAST(('0x' || substr(hh, 1, 4))::INT % {_N_SHARDS} AS INT) AS shard_id
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hh, doc_id)
+            AS INT) AS pos_in_shard
+FROM s
+"""
+
+
+def q_global_shuffle_shards(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Content-stable global shuffle into {_N_SHARDS} training shards:
+    (shard_id, pos_in_shard) per document, reproducible across runs and
+    engines (md5-derived, no rand()). One exchange on shard_id + a
+    per-shard sort — the scalable replacement for ORDER BY rand(). See
+    operators/sampling.py:global_shuffle_shards."""
+    from ..operators.sampling import global_shuffle_shards
+
+    return global_shuffle_shards(
+        spread(_t(spark, sf_dir, "documents")), "doc_id", _N_SHARDS
+    ).select("doc_id", "lang", "shard_id", "pos_in_shard")
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document (corpus statistics pipeline)
 # ---------------------------------------------------------------------------
 TFIDF_ORACLE = """

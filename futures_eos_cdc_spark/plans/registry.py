@@ -467,6 +467,10 @@ from . import dataprep as _dp  # noqa: E402
 
 QUERIES["exact_dedup_keep_first"] = _bind(_dp.q_exact_dedup)
 ORACLES["exact_dedup_keep_first"] = _dp.EXACT_DEDUP_ORACLE
+QUERIES["dedup_keep_rows"] = _bind(_dp.q_dedup_keep_rows)
+ORACLES["dedup_keep_rows"] = _dp.DEDUP_KEEP_ROWS_ORACLE
+QUERIES["global_shuffle_shards"] = _bind(_dp.q_global_shuffle_shards)
+ORACLES["global_shuffle_shards"] = _dp.GLOBAL_SHUFFLE_ORACLE
 QUERIES["text_stats"] = _bind(_dp.q_text_stats)
 ORACLES["text_stats"] = _dp.TEXT_STATS_ORACLE
 QUERIES["doc_repetition_stats"] = _bind(_dp.q_repetition_stats)
@@ -661,35 +665,41 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # new this round / changed implementation or oracle — need fresh rows
-    "benchmark_contamination",
-    "token_blocks",
-    "outbox_event_router",
-    "approx_aggregates",
-    "multimodal_features",  # promoted rows-only → hash-matched (real decode)
-    # no r03 row — rotate forward so r3∪r4 covers everything
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    "above_brand_avg_parts",
-    "distinct_aggregates",
-    "sessionize_events",
-    "asof_join_purchases",
-    "cube_order_stats",
-    "sliding_window_events",
-    "exact_dedup_keep_first",
-    "text_stats",
-    "corpus_clean_funnel",
-    "minhash_lsh_near_dup",
-    "ngram_jaccard_near_dup",
-    "simhash_buckets",
-    "cosine_topk_bruteforce",
-    "ann_cosine_ivf",
-    "embedding_near_dup",
+    # new this round (r5) or implementation/oracle changed since the last
+    # driver check — need fresh green rows under the NEW definition
+    "dedup_keep_rows",
+    "global_shuffle_shards",
+    "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
+    "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
+    "multimodal_features",  # fused synth+decode into one mapInPandas stage
+    "token_blocks",  # null-safe (lang, shard) stitch join
+    "approx_aggregates",  # exact-distinct pass split out of sketch path
+    # no r04 row — rotate forward so r4∪r5 covers every query; doc_chunks
+    # leads because its oracle changed in r4 without a driver re-check
+    "doc_chunks",
+    "topk_per_group",
+    "rollup_subtotals",
+    "pivot_by_status",
+    "set_ops_priority_customers",
+    "customers_without_orders",
+    "doc_repetition_stats",
+    "pii_scrub",
+    "mixture_resample",
+    "ann_cosine_lsh",
+    "signal_strength_histogram",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "cdc_customer_snapshot",
+    "scd2_customer_history",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -294,6 +294,50 @@ def test_weighted_group_sample_append_safe_and_partitioning_proof(spark, sf_dir)
     assert repart == whole
 
 
+def test_dedup_keep_rows_survivors_and_counts(spark):
+    """Injected duplicates: the survivor is the lowest id per content, its
+    n_copies counts the whole duplicate group, and every distinct content
+    survives exactly once."""
+    from futures_eos_cdc_spark.operators.dedup import dedup_keep_rows
+
+    rows = [
+        (10, "alpha"), (3, "alpha"), (7, "alpha"),
+        (2, "beta"), (5, "beta"),
+        (1, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING").repartition(5)
+    out = {
+        r.text: (r.doc_id, r.n_copies)
+        for r in dedup_keep_rows(df, ["text"], "doc_id").collect()
+    }
+    assert out == {"alpha": (3, 3), "beta": (2, 2), "gamma": (1, 1)}
+
+
+def test_global_shuffle_shards_stable_and_contiguous(spark, sf_dir):
+    """Shard assignment is content-stable (repartition/append invariant)
+    and pos_in_shard is a contiguous 1..size ordering within each shard."""
+    from futures_eos_cdc_spark.operators.sampling import global_shuffle_shards
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = global_shuffle_shards(docs, "doc_id", 8).collect()
+    b = global_shuffle_shards(docs.repartition(13), "doc_id", 8).collect()
+    key = lambda rs: sorted((r.doc_id, r.shard_id, r.pos_in_shard) for r in rs)
+    assert key(a) == key(b) and len(a) == docs.count()
+
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    # append-safety: shard_id of a subset matches the full corpus run
+    sub = global_shuffle_shards(docs.filter("doc_id % 2 = 0"), "doc_id", 8).collect()
+    full_shard = {r.doc_id: r.shard_id for r in a}
+    assert all(full_shard[r.doc_id] == r.shard_id for r in sub)
+
+
 def test_token_blocks_keeps_null_lang_docs(spark):
     """ADVICE regression: the (lang, shard) stitch join must be null-safe —
     NULL-lang documents pack like any other language group."""

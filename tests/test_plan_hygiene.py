@@ -152,6 +152,23 @@ def test_token_blocks_prefix_sum_is_sharded(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dedup_keep_rows_single_exchange(spark, sf_dir):
+    # one hash exchange on the content digest feeds BOTH window functions
+    # (row_number + group count share the partitioning); a second exchange
+    # would mean the count window re-shuffled or a join crept in
+    plan = _plan(spark, sf_dir, "dedup_keep_rows")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_global_shuffle_shards_single_exchange(spark, sf_dir):
+    # the deterministic global shuffle is ONE exchange on shard_id + a
+    # per-shard sort — no global sort (no rangepartitioning) anywhere
+    plan = _plan(spark, sf_dir, "global_shuffle_shards")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
 def test_scd2_single_key_exchange(spark, sf_dir):
     # one hash exchange on the key, then a streaming window pass — lead()
     # must not introduce extra shuffles
