@@ -130,7 +130,104 @@ def main() -> None:
                 3,
             )
 
+    # sf1 section: the 5 heaviest queries on a deterministic 10× corpus —
+    # the data-dominated regime the sf0.1 totals can't show (most queries
+    # there sit on the ~0.3-0.6 s task-scheduling floor). Gated to the
+    # driver's default sf0.1 run; SPARK_GRAFT_BENCH_SF1=0 disables.
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1":
+        try:
+            result["sf1"] = bench_sf1(spark, sf_dir, cpus)
+        except Exception as exc:  # noqa: BLE001 — sf1 is additive evidence
+            result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     emit(result)
+
+
+# Heaviest data-dominated queries, cheapest DuckDB side first so a budget
+# stop keeps the most comparisons.
+SF1_QUERIES = [
+    "dedup_clusters",
+    "token_blocks",
+    "minhash_lsh_near_dup",
+    "ann_cosine_lsh",
+    "ngram_jaccard_near_dup",
+]
+# Measured on this box (probe, 32 threads): Spark warm+timed ≈ 60 s for all
+# five; DuckDB 57+1+16+90+151 ≈ 315 s. Budget 420 s admits the full duck
+# pass with headroom; the per-oracle interrupt caps any one regression.
+SF1_BUDGET_SEC = 420.0  # stop STARTING new work past this
+SF1_DUCK_TIMEOUT_SEC = 170.0  # per-oracle interrupt
+
+
+def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
+    """Spark vs DuckDB on the synthesized 10× corpus (see
+    sources/scale_synth.py: replica texts are token-permuted so near-dup
+    density scales linearly — a faithful 10× workload, not an N² pair
+    explosion). Spark: warm-up + one timed run (data-dominated, so the
+    min-of-2 JIT guard matters less and the budget buys more queries).
+    DuckDB: one run per oracle under an interrupt timeout."""
+    import threading
+
+    from futures_eos_cdc_spark.plans import ORACLES
+    from futures_eos_cdc_spark.sources.scale_synth import ensure_scaled_dir
+
+    t_section = time.perf_counter()
+    sf1_dir = ensure_scaled_dir(sf_dir, factor=10)
+    out: dict = {"dir": sf1_dir, "factor": 10, "spark": {}, "duckdb": {}}
+
+    for name in SF1_QUERIES:
+        if time.perf_counter() - t_section > SF1_BUDGET_SEC:
+            out.setdefault("skipped", []).append(name)
+            continue
+        try:
+            fn = QUERIES[name]
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            df = fn(spark, sf1_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            out["spark"][name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            out.setdefault("errors", {})[name] = (
+                f"spark {type(exc).__name__}: {exc}"[:200]
+            )
+            spark.catalog.clearCache()
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {cpus}")
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf1_dir}/{t}.parquet')"
+        )
+    for name in SF1_QUERIES:
+        if name not in out["spark"]:
+            continue
+        if time.perf_counter() - t_section > SF1_BUDGET_SEC:
+            out.setdefault("skipped", []).append(f"duckdb:{name}")
+            continue
+        timer = threading.Timer(SF1_DUCK_TIMEOUT_SEC, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(ORACLES[name]).fetchall()
+            out["duckdb"][name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — interrupt lands as an error
+            out.setdefault("duck_timeouts", {})[name] = round(
+                time.perf_counter() - t0, 1
+            )
+            _ = exc
+        finally:
+            timer.cancel()
+    con.close()
+
+    matched = set(out["spark"]) & set(out["duckdb"])
+    out["spark_total"] = round(sum(out["spark"][k] for k in matched), 3)
+    out["duckdb_total"] = round(sum(out["duckdb"][k] for k in matched), 3)
+    if out["duckdb_total"] > 0:
+        out["ratio"] = round(out["spark_total"] / out["duckdb_total"], 3)
+    return out
 
 
 # The driver records only the LAST 2000 characters of stdout and parses the
@@ -166,6 +263,19 @@ def emit(result: dict) -> None:
     ):
         if k in result:
             slim[k] = result[k]
+    sf1 = result.get("sf1")
+    if isinstance(sf1, dict) and "spark" in sf1:
+        # compact per-query evidence of the data-dominated regime; full
+        # detail (dir, skips, timeouts) stays in BENCH_FULL.json
+        slim["sf1"] = {
+            "spark": {k: round(v, 2) for k, v in sf1["spark"].items()},
+            "duckdb": {k: round(v, 2) for k, v in sf1["duckdb"].items()},
+        }
+        for k in ("spark_total", "duckdb_total", "ratio"):
+            if k in sf1:
+                slim["sf1"][k] = sf1[k]
+    elif isinstance(sf1, dict) and "error" in sf1:
+        slim["sf1"] = {"error": sf1["error"][:120]}
     if result.get("errors"):
         slim["errors_count"] = len(result["errors"])
     timings = result.get("queries", {})

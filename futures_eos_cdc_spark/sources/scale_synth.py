@@ -1,0 +1,176 @@
+"""Deterministic corpus up-scaling for data-dominated benchmarking.
+
+The driver's fixtures stop at sf0.1, where most queries sit on the per-query
+task-scheduling floor (~0.3-0.6 s) and engine ratios say little. To measure
+the data-dominated regime, this module synthesizes an N× corpus from an
+existing fixture dir — deterministically (seeded/content-derived) and with
+**linear** workload scaling, which requires care:
+
+Naive row replication is wrong twice over. Replicated texts are exact/near
+duplicates of their source, so every doc gains N-1 high-similarity partners
+and near-dup candidate pairs explode ~N². Even *permuting* each replica's
+tokens fails: the fixture's vocabulary is tiny (~30 words, ~27k distinct
+3-shingles at sf0.1), so shingle space SATURATES — measured Σ C(df,2) over
+shingle buckets grows 100× for a 10× permuted corpus. Real corpora grow by
+adding new content (new topics, domains, time ranges), so their shingle
+diversity grows with size and near-dup density stays roughly constant.
+
+The faithful model is therefore **disjoint replicas**:
+
+- **documents**: replica k rewrites every token w → "w~k". Within a
+  replica, token order and co-occurrence are untouched, so each replica
+  carries exactly the fixture's own near-dup structure (the natural pairs
+  the dedup family must find — no artificial injection needed); across
+  replicas every shingle string differs, so cross-replica Jaccard is 0.
+  Distinct shingles grow ~N×, Σ C(df,2) grows ~N× — linear, like a corpus
+  that grew by new content.
+- **embeddings**: replica k applies a seeded random orthogonal rotation
+  Q_k (QR of a Gaussian matrix). An isometry preserves every intra-replica
+  cosine exactly — the fixture's cluster and near-dup structure verbatim —
+  while cross-replica cosines concentrate near 0 (random 64-d directions).
+  Query ids (vec_id < 5) keep their original vectors in replica 0.
+- all other tables are copied through unchanged (the heavy scaled-corpus
+  queries only read documents/embeddings).
+
+Generation is driver-local pyarrow/numpy — at bench scale (tens of MB) that
+is the right tool; a real 100 TB upscale would run the same per-replica
+transform as a Spark ``mapInPandas`` over (replica × input-split) tasks,
+embarrassingly parallel because every output row depends on one input row
+plus seeded constants.
+
+Results are cached: a marker file records (src, factor, seed); matching
+markers skip regeneration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+ID_STRIDE = 10_000_000
+SEED = 20260814
+
+
+def _scale_documents(src: str, dst: str, factor: int) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    doc_id = t.column("doc_id").to_pylist()
+    text = t.column("text").to_pylist()
+    lang = t.column("lang").to_pylist()
+    source = t.column("source").to_pylist()
+    n = len(doc_id)
+
+    out_id: list[int] = list(doc_id)
+    out_text: list[str] = list(text)
+    out_lang: list[str] = list(lang)
+    out_src: list[str] = list(source)
+    for k in range(1, factor):
+        tag = f"~{k}"
+        for i in range(n):
+            out_id.append(k * ID_STRIDE + doc_id[i])
+            out_text.append(
+                " ".join(w + tag for w in text[i].split(" "))
+            )
+            out_lang.append(lang[i])
+            out_src.append(source[i])
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+            "source": pa.array(out_src, pa.string()),
+            "n_chars": pa.array([len(s) for s in out_text], pa.int64()),
+        }
+    )
+    pq.write_table(table, dst)
+    return table.num_rows
+
+
+def _scale_embeddings(src: str, dst: str, factor: int, seed: int) -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    vec_id = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    label = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
+    n, dim = emb.shape
+
+    ids = [vec_id]
+    vecs = [emb.astype(np.float32)]
+    labels = [label]
+    for k in range(1, factor):
+        rng = np.random.default_rng(seed * 2000 + k)
+        q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+        q *= np.sign(np.diag(r))  # make the rotation draw sign-canonical
+        v = emb @ q
+        # re-normalize: float rounding off the exact isometry is ~1e-16
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ids.append(k * ID_STRIDE + vec_id)
+        vecs.append(v.astype(np.float32))
+        labels.append(label)
+
+    all_vecs = np.concatenate(vecs)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+            "embedding": pa.array(
+                [row for row in all_vecs.tolist()], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(labels), pa.int32()),
+        }
+    )
+    pq.write_table(table, dst)
+    return table.num_rows
+
+
+def ensure_scaled_dir(
+    src_dir: str,
+    out_dir: str | None = None,
+    factor: int = 10,
+    seed: int = SEED,
+) -> str:
+    """Synthesize (or reuse) a ``factor``× fixture dir derived from
+    ``src_dir``; returns the output dir. Idempotent via a marker file."""
+    if out_dir is None:
+        base = os.path.basename(src_dir.rstrip("/"))
+        out_dir = f"/tmp/spark_graft_scaled/{base}_x{factor}_s{seed}"
+    marker = os.path.join(out_dir, "_SCALED_OK.json")
+    want = {
+        "src": os.path.abspath(src_dir),
+        "factor": factor,
+        "seed": seed,
+        "model": "disjoint-replicas-v2",
+    }
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                have = json.load(f)
+            if {k: have.get(k) for k in want} == want:
+                return out_dir
+        except (OSError, ValueError):
+            pass
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {
+        "documents": _scale_documents(
+            f"{src_dir}/documents.parquet", f"{out_dir}/documents.parquet",
+            factor,
+        ),
+        "embeddings": _scale_embeddings(
+            f"{src_dir}/embeddings.parquet", f"{out_dir}/embeddings.parquet",
+            factor, seed,
+        ),
+    }
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events",
+    ):
+        shutil.copyfile(f"{src_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
+    with open(marker, "w") as f:
+        json.dump({**want, "rows": counts}, f)
+    return out_dir
