@@ -115,6 +115,41 @@ def dedup_keep_rows(
     )
 
 
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Incremental dedup: rows of ``new_df`` whose content is NOT already in
+    ``corpus_df``, deduped within the batch (lowest ``id_col`` survives) —
+    the daily-crawl-vs-existing-corpus pattern.
+
+    Scale shape: the corpus side collapses to DISTINCT 16-byte digests
+    before the anti-join (at 100 TB you'd maintain that digest index as its
+    own table and skip the scan entirely — this operator accepts any
+    DataFrame with the content columns, including such an index via a
+    pre-hashed single column). The anti-join and the intra-batch
+    first-occurrence window both key on the digest, so the join's exchange
+    is reused by the window — batch payloads cross the wire once, corpus
+    payloads never do.
+    """
+    from pyspark.sql import Window
+
+    def h(df: DataFrame) -> Column:
+        return F.md5(F.concat_ws("\x1f", *[df[c] for c in content_cols]))
+
+    corpus_hashes = corpus_df.select(h(corpus_df).alias("content_hash")).distinct()
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        new_df.withColumn("content_hash", h(new_df))
+        .join(corpus_hashes, "content_hash", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def _salted_md5(salt: str):
     # NB: a plain `lambda s, i=i: ...` would be treated by PySpark as a
     # TWO-argument higher-order lambda — the array index silently overrides

@@ -621,6 +621,110 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new crawl batch vs existing corpus
+# ---------------------------------------------------------------------------
+_BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents
+  WHERE source NOT IN {_BATCH_SOURCES}
+), cand AS (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE source IN {_BATCH_SOURCES}
+    AND md5(text) NOT IN (SELECT content_hash FROM corpus)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars, content_hash
+FROM cand WHERE rn = 1
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Daily-crawl ingestion dedup: batch rows (sources src15-19) that are
+    not already in the corpus (the other sources), first-occurrence-only
+    within the batch. The corpus collapses to distinct digests before the
+    anti-join and the window reuses the join's digest partitioning — batch
+    payloads shuffle once, corpus payloads never (operators/dedup.py:
+    dedup_against_corpus; semantics pinned by an injected-overlap pytest —
+    the fixture itself has no exact text collisions at any SF)."""
+    from ..operators.dedup import dedup_against_corpus
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("source").isin(*_BATCH_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*_BATCH_SOURCES))
+    return dedup_against_corpus(batch, corpus, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: DROP eval-overlapping docs (the enforcement twin of the
+# benchmark_contamination report)
+# ---------------------------------------------------------------------------
+DECONTAMINATE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {CONTAM_K - 1}), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t) - {CONTAM_K - 1})) AS u(i)
+  WHERE len(t) >= {CONTAM_K}
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM grams c JOIN eval_g e USING (g)
+  WHERE c.doc_id % 17 <> 0
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 17 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The clean training corpus: non-eval docs with ZERO {CONTAM_K}-gram
+    overlap against the eval slice — benchmark_contamination *reports*
+    severity; this query *enforces* the drop. Same broadcast shape (eval
+    grams are tiny next to any corpus): explode corpus grams, broadcast
+    semi-join to find contaminated doc ids, then a broadcast ANTI join back
+    to the doc table (the contaminated set ≪ corpus). No corpus-sized
+    shuffle anywhere."""
+    from ..operators.text import tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("t")
+    ).filter(F.size("t") >= CONTAM_K)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (CONTAM_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, CONTAM_K)),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(eval_g), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document (corpus statistics pipeline)
 # ---------------------------------------------------------------------------
 TFIDF_ORACLE = """

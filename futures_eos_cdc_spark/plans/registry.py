@@ -469,6 +469,10 @@ QUERIES["exact_dedup_keep_first"] = _bind(_dp.q_exact_dedup)
 ORACLES["exact_dedup_keep_first"] = _dp.EXACT_DEDUP_ORACLE
 QUERIES["dedup_keep_rows"] = _bind(_dp.q_dedup_keep_rows)
 ORACLES["dedup_keep_rows"] = _dp.DEDUP_KEEP_ROWS_ORACLE
+QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
+ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
+QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
+ORACLES["decontaminate_docs"] = _dp.DECONTAMINATE_ORACLE
 QUERIES["global_shuffle_shards"] = _bind(_dp.q_global_shuffle_shards)
 ORACLES["global_shuffle_shards"] = _dp.GLOBAL_SHUFFLE_ORACLE
 QUERIES["text_stats"] = _bind(_dp.q_text_stats)
@@ -669,6 +673,8 @@ _WALK_FIRST = [
     # driver check — need fresh green rows under the NEW definition
     "dedup_keep_rows",
     "global_shuffle_shards",
+    "dedup_incremental_batch",
+    "decontaminate_docs",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
     "multimodal_features",  # fused synth+decode into one mapInPandas stage

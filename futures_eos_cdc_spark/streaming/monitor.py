@@ -19,6 +19,7 @@ from __future__ import annotations
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 
@@ -31,6 +32,37 @@ from pyspark.sql.streaming import StreamingQueryListener
 # ---------------------------------------------------------------------------
 _OPERATOR_COUNTERS: dict = {}
 _OP_LOCK = threading.Lock()
+
+
+def peek(df: DataFrame, name: str, observation=None) -> DataFrame:
+    """S9 observability tap: pass-through row observation, the engine's
+    mapping of the reference's ``.peek { log decision }`` / ``.peek { log
+    signal }`` (SignalTopology.kt:77-80,101-109).
+
+    Kafka Streams peeks by running a side-effect per record — per-row
+    callbacks are exactly the slow path on Spark. The idiomatic equivalent
+    is ``df.observe``: metric expressions evaluated INSIDE the existing
+    plan (no extra action, no caching, no Python round-trip). Batch callers
+    pass a ``pyspark.sql.Observation`` and read ``observation.get`` after
+    the action; streaming callers pass nothing and read the named metrics
+    from every ``StreamingQueryProgress.observedMetrics[name]`` — the same
+    per-trigger cadence the reference's log tap had.
+    """
+    rows = F.count(F.lit(1)).alias("peek_rows")
+    if observation is not None:
+        return df.observe(observation, rows)
+    return df.observe(name, rows)
+
+
+def console_peek_writer(stream_df: DataFrame, num_rows: int = 20):
+    """Dev console sink for a stream (S9's interactive form): truncated,
+    bounded row dump per trigger. Debug only — the console sink collects
+    rows to the driver; production taps use ``peek`` metrics instead."""
+    return (
+        stream_df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", "true")
+    )
 
 
 def register_operator_counter(name: str, accumulator) -> None:

@@ -338,6 +338,31 @@ def test_global_shuffle_shards_stable_and_contiguous(spark, sf_dir):
     assert all(full_shard[r.doc_id] == r.shard_id for r in sub)
 
 
+def test_dedup_against_corpus_injected_overlap(spark):
+    """The fixture has no exact text collisions, so the incremental-dedup
+    semantics are pinned here with injected overlap: batch rows already in
+    the corpus are dropped, intra-batch duplicates keep the lowest id, and
+    genuinely-new content survives."""
+    from futures_eos_cdc_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "old news"), (2, "stale story")], "doc_id INT, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old news"),      # already in corpus → dropped
+            (11, "fresh scoop"),   # new → kept
+            (14, "fresh scoop"),   # intra-batch dup → dropped (11 wins)
+            (12, "another take"),  # new → kept
+        ],
+        "doc_id INT, text STRING",
+    ).repartition(3)
+    out = dedup_against_corpus(batch, corpus, ["text"], "doc_id").collect()
+    assert {(r.doc_id, r.text) for r in out} == {
+        (11, "fresh scoop"), (12, "another take"),
+    }
+
+
 def test_token_blocks_keeps_null_lang_docs(spark):
     """ADVICE regression: the (lang, shard) stitch join must be null-safe —
     NULL-lang documents pack like any other language group."""

@@ -60,3 +60,69 @@ def test_progress_recorder_captures_throughput_and_state(spark, sf_dir, tmp_path
     rows = rec.report(spark).filter(F.col("name") == "monitored")
     assert rows.count() == t["n_triggers"]
     assert rows.filter(F.col("num_input_rows") > 0).count() >= 1
+
+
+def test_peek_batch_observation_counts_rows(spark, sf_dir):
+    """S9 batch form: peek is a pass-through — result unchanged, observed
+    row count delivered through the plan's own action (no extra job)."""
+    from pyspark.sql import Observation
+
+    from futures_eos_cdc_spark.streaming.monitor import peek
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("peek_docs")
+    tapped = peek(docs, "peek_docs", observation=obs)
+    n = tapped.count()
+    assert n == docs.count()
+    assert obs.get["peek_rows"] == n
+
+
+def test_peek_streaming_metrics_per_trigger(spark, sf_dir, tmp_path):
+    """S9 streaming form: the named observe metric shows up in
+    StreamingQueryProgress.observedMetrics — the reference's per-record log
+    tap re-expressed as per-trigger plan-side metrics."""
+    import json
+
+    from futures_eos_cdc_spark.streaming.monitor import peek
+
+    sig = signals_from_events(load_table(spark, sf_dir, "events")).limit(50)
+    n_in = sig.count()
+    path = str(tmp_path / "peek_in")
+    sig.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = read_signal_stream_files(spark, path)
+    q = (
+        peek(stream, "peek_signals")
+        .writeStream.outputMode("append")
+        .format("noop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seen = 0
+        for p in q.recentProgress:
+            prog = json.loads(p.json) if hasattr(p, "json") else p
+            om = prog.get("observedMetrics", {})
+            if "peek_signals" in om:
+                seen += om["peek_signals"]["peek_rows"]
+        assert seen == n_in
+    finally:
+        q.stop()
+
+
+def test_console_peek_writer_runs(spark, sf_dir, tmp_path):
+    """S9 dev console sink: the classic console dump starts, drains the
+    source, and stops cleanly (output goes to JVM stdout — the assertion is
+    that the sink is wired and runnable, matching its debug-tap role)."""
+    from futures_eos_cdc_spark.streaming.monitor import console_peek_writer
+
+    sig = signals_from_events(load_table(spark, sf_dir, "events")).limit(5)
+    path = str(tmp_path / "console_in")
+    sig.coalesce(1).write.mode("overwrite").parquet(path)
+
+    q = console_peek_writer(read_signal_stream_files(spark, path), num_rows=5).start()
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
