@@ -293,6 +293,15 @@ def emit(result: dict) -> None:
         slim["queries"][name] = round(sec, 2)
         used += entry
     line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > _STDOUT_BUDGET and "sf1" in slim and "spark" in slim["sf1"]:
+        # degrade rather than die: keep the sf1 totals/ratio, drop the
+        # per-query detail (it lives in BENCH_FULL.json)
+        slim["sf1"] = {
+            k: slim["sf1"][k]
+            for k in ("spark_total", "duckdb_total", "ratio")
+            if k in slim["sf1"]
+        }
+        line = json.dumps(slim, separators=(",", ":"))
     assert len(line) <= _STDOUT_BUDGET, len(line)
     sys.stdout.flush()
     print(line, flush=True)
