@@ -1414,8 +1414,14 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     # key is coalesced to a sentinel no real language tag can be (the
     # output keeps the original, possibly-NULL, lang).
     _lang_key = F.coalesce(F.col("lang"), F.lit("\u0000")).alias("lang_key")
+    # Only the token COUNT ever matters to packing (chunk text is
+    # doc_chunks' job), and chunk i's length has the closed form
+    # min(size, n_words − start + 1) — so tokenize once down to n_words and
+    # never carry the token array through the explode nor slice it per
+    # chunk. Exploded rows are a handful of ints wide.
     ws = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _lang_key, F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+        "doc_id", "lang", _lang_key,
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
     )
     chunks = ws.select(
         "doc_id",
@@ -1423,11 +1429,11 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         "lang_key",
         F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
         F.posexplode(
-            F.sequence(F.lit(1), F.size("arr"), F.lit(CHUNK_STRIDE))
+            F.sequence(F.lit(1), F.col("n_words"), F.lit(CHUNK_STRIDE))
         ).alias("chunk_idx", "start_tok"),
-        F.size(F.slice(F.col("arr"), F.col("start_tok"), CHUNK_SIZE)).alias(
-            "n_tok"
-        ),
+        F.least(
+            F.lit(CHUNK_SIZE), F.col("n_words") - F.col("start_tok") + 1
+        ).alias("n_tok"),
     )
     w_local = (
         Window.partitionBy("lang_key", "shard")
@@ -1437,24 +1443,37 @@ def q_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     local = chunks.withColumn(
         "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
     )
-    # Per-doc chunk-token total in closed form: chunk i holds
-    # min(CHUNK_SIZE, L - CHUNK_STRIDE*i) tokens — an integer fold over the
-    # chunk indices, no posexplode and nothing row-multiplied, so this pass
-    # is a plain scan + map-side-combined aggregation.
-    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    last_chunk = F.floor((n_words - F.lit(1)) / F.lit(CHUNK_STRIDE)).cast("int")
-    doc_total = F.aggregate(
-        F.sequence(F.lit(0), last_chunk),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.least(F.lit(CHUNK_SIZE), n_words - F.lit(CHUNK_STRIDE) * i),
-    )
+    # Per-doc chunk-token total in FULLY closed form: chunk i holds
+    # min(S, L − s·i) tokens over i = 0..m (m = (L−1) div s). The first
+    # c = (L−S) div s + 1 chunks (when L ≥ S) are full S-token chunks; the
+    # rest telescope to (m−c+1)·L − s·(Σ c..m) with Σ a difference of
+    # triangular numbers. Pure integer arithmetic — no array, no
+    # higher-order fold (the previous `aggregate` fold was interpreted
+    # per-element and dominated this query's cost at 10× SF), and exactly
+    # equal to summing the exploded chunk stream (property-tested for every
+    # length 1..4999).
+    S, s = CHUNK_SIZE, CHUNK_STRIDE
     totals = (
         _t(spark, sf_dir, "documents")
         .select(
             _lang_key,
             F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
-            doc_total.alias("doc_total"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nw"),
+        )
+        .withColumn("m", F.expr(f"(nw - 1) div {s}"))
+        .withColumn(
+            "c",
+            F.when(
+                F.col("nw") >= S,
+                F.least(F.expr(f"(nw - {S}) div {s} + 1"), F.col("m") + 1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "doc_total",
+            F.col("c") * S
+            + (F.col("m") - F.col("c") + 1) * F.col("nw")
+            - s
+            * F.expr("(m * (m + 1)) div 2 - ((c - 1) * c) div 2"),
         )
         .groupBy("lang_key", "shard")
         .agg(F.sum("doc_total").alias("shard_total"))
