@@ -213,6 +213,11 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
+    # NB (perf, measured at 10× SF): an explode + partial-agg-min rewrite of
+    # this projection — md5 inside whole-stage codegen instead of the
+    # interpreted array-transform HOF — A/B'd at parity (4.05 vs 4.21 s);
+    # the cost lives in shingle materialization and the candidate joins,
+    # not here, so the shuffle-free projection stays.
     sig = shingle_sets.select(
         id_col, *minhash_signature_exprs(F.col("shingles"))
     )
