@@ -63,9 +63,15 @@ def main() -> None:
                 # subplans WITHIN a query — that stays; cross-run cache
                 # reuse would not be honest).
                 spark.catalog.clearCache()
-                df = fn(spark, sf_dir)  # fresh plan, warm codegen caches
+                # Plan CONSTRUCTION is inside the timed window: iterative
+                # operators (connected_components' checkpointed rounds)
+                # legitimately execute jobs while building their result —
+                # timing only the final action would hide their real cost
+                # (dedup_clusters measured 0.1 s construction-excluded vs
+                # ~4 s honest at 10× SF). For ordinary lazy queries this
+                # adds only Catalyst analysis, a few ms.
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
@@ -183,9 +189,10 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
             fn = QUERIES[name]
             fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
-            df = fn(spark, sf1_dir)
+            # construction inside the window — same honesty rule as the
+            # main loop (eager iterative operators)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
             out["spark"][name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             out.setdefault("errors", {})[name] = (

