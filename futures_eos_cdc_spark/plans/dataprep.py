@@ -621,6 +621,68 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-relative token statistics (rare-token quality signal)
+# ---------------------------------------------------------------------------
+_RARE_DF = 3  # a token is "rare" if it appears in fewer than this many docs
+
+CORPUS_TOKEN_STATS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+joined AS (
+  SELECT t.doc_id, v.df FROM toks t JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(*) FILTER (WHERE df < {_RARE_DF}) AS BIGINT) AS n_rare,
+  CAST(count(*) FILTER (WHERE df < {_RARE_DF}) AS DOUBLE)
+    / count(*) AS rare_ratio,
+  CAST(CAST(sum(df) AS DOUBLE) / count(*) AS DOUBLE) AS avg_tok_df,
+  CAST(min(df) AS BIGINT) AS min_df,
+  CAST(max(df) AS BIGINT) AS max_df
+FROM joined GROUP BY doc_id
+"""
+
+
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Corpus-RELATIVE quality signal per document: how rare are its tokens
+    across the whole corpus (document frequency), summarized as rare-token
+    count/ratio and df min/avg/max. Unlike ``text_stats`` (pure per-doc
+    heuristics), this is the signal that *needs* a distributed engine — a
+    global vocabulary pass joined back to the token stream, the shape of
+    CCNet-style statistical quality filters.
+
+    Scale: one explode, one vocab aggregation (map-side-combined on token),
+    one token-keyed join (AQE broadcasts the vocab when it is small; at
+    100 TB a 100M-row vocab shuffles on token with the stream), one per-doc
+    aggregation. All quantities are INTEGER until the two final divisions
+    (int/int → correctly-rounded double in any engine), so the oracle is
+    bit-exact without decimal scaffolding — deliberately no log-based
+    surprisal here: log2 ULP behavior differs across engines and would
+    break replayability.
+    """
+    docs = spread(_t(spark, sf_dir, "documents"))
+    from ..operators.text import tokens_expr
+
+    toks = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    joined = toks.join(vocab, "tok")
+    rare = F.sum(F.when(F.col("df") < _RARE_DF, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rare.alias("n_rare"),
+        (rare.cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+        (F.sum("df").cast("double") / F.count(F.lit(1))).alias("avg_tok_df"),
+        F.min("df").alias("min_df"),
+        F.max("df").alias("max_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new crawl batch vs existing corpus
 # ---------------------------------------------------------------------------
 _BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")

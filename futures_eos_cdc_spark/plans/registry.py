@@ -469,6 +469,8 @@ QUERIES["exact_dedup_keep_first"] = _bind(_dp.q_exact_dedup)
 ORACLES["exact_dedup_keep_first"] = _dp.EXACT_DEDUP_ORACLE
 QUERIES["dedup_keep_rows"] = _bind(_dp.q_dedup_keep_rows)
 ORACLES["dedup_keep_rows"] = _dp.DEDUP_KEEP_ROWS_ORACLE
+QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
+ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
 ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
 QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
@@ -675,6 +677,7 @@ _WALK_FIRST = [
     "global_shuffle_shards",
     "dedup_incremental_batch",
     "decontaminate_docs",
+    "corpus_token_stats",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
     "multimodal_features",  # fused synth+decode into one mapInPandas stage

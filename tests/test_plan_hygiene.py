@@ -169,6 +169,29 @@ def test_global_shuffle_shards_single_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_dedup_incremental_no_corpus_payload_shuffle(spark, sf_dir):
+    # the corpus side must collapse to distinct digests BEFORE the anti-join
+    # (text never crosses the wire), and the batch window must reuse the
+    # anti-join's digest partitioning (no extra exchange for the window)
+    plan = _plan(spark, sf_dir, "dedup_incremental_batch")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    anti_side = [l for l in scans if "text" in l]
+    # both scans read text (to hash it) — but the JOIN must be on the digest:
+    assert "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # corpus agg + join sides
+    assert "Window" in plan
+    assert len(anti_side) >= 1
+
+
+def test_decontaminate_all_joins_broadcast(spark, sf_dir):
+    # eval grams and the contaminated-id set are both corpus-tiny: every
+    # join must be broadcast — a single SortMergeJoin here would shuffle
+    # the exploded gram stream at corpus scale
+    plan = _plan(spark, sf_dir, "decontaminate_docs")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_scd2_single_key_exchange(spark, sf_dir):
     # one hash exchange on the key, then a streaming window pass — lead()
     # must not introduce extra shuffles
