@@ -148,6 +148,31 @@ def dedup_signals(signals: DataFrame, ts_col: str = "event_time") -> DataFrame:
     )
 
 
+def stream_dedup_against_corpus(
+    stream: DataFrame, corpus: DataFrame, content_cols: list[str]
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_against_corpus``: each
+    micro-batch keeps only rows whose content digest is absent from the
+    STATIC corpus — the continuous form of daily-crawl ingestion dedup
+    (combine with ``dropDuplicatesWithinWatermark`` for intra-stream
+    duplicates).
+
+    Stream-static LEFT ANTI joins are natively supported by Structured
+    Streaming: the static side plans once per micro-batch with no state
+    store at all (nothing to watermark — the corpus is not a stream). At
+    100 TB the corpus side should be its maintained digest-index table
+    (16-byte digests, bucketed by digest) so each micro-batch's anti-join
+    probes a sorted bucket, not the raw corpus.
+    """
+    def h(df: DataFrame) -> Column:
+        return F.md5(F.concat_ws("\x1f", *[df[c] for c in content_cols]))
+
+    corpus_hashes = corpus.select(h(corpus).alias("content_hash")).distinct()
+    return stream.withColumn("content_hash", h(stream)).join(
+        corpus_hashes, "content_hash", "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # The streaming decision aggregate
 # ---------------------------------------------------------------------------

@@ -813,3 +813,46 @@ def test_bounded_state_checkpoint_restart(spark, sf_dir, tmp_path):
     # windows straddling the outage prove state recovery: phase-2-only data
     # could not reproduce their batch n_signals/balance
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static anti-join dedup: the streaming operator admits exactly
+    the rows the batch operator keeps (corpus content filtered out, new
+    content passes), with no state store involved."""
+    from futures_eos_cdc_spark.operators.dedup import dedup_against_corpus
+    from futures_eos_cdc_spark.sources.tables import load_table
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        stream_dedup_against_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 4 != 0")
+    # the arriving batch: genuinely-new docs plus replays of corpus content
+    replays = corpus.limit(20).selectExpr("doc_id + 1000000 AS doc_id", "text")
+    batch = docs.filter("doc_id % 4 = 0").unionByName(replays)
+    in_path = str(tmp_path / "stream_in")
+    batch.coalesce(1).write.mode("overwrite").parquet(in_path)
+
+    expected = {
+        r.doc_id
+        for r in dedup_against_corpus(batch, corpus, ["text"], "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    # every replayed row must be filtered, every new row kept
+    assert expected == {r.doc_id for r in docs.filter("doc_id % 4 = 0").collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_path)
+    q = (
+        stream_dedup_against_corpus(stream, corpus, ["text"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM stream_dedup").collect()}
+    assert got == expected
