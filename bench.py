@@ -152,15 +152,18 @@ def main() -> None:
 # Heaviest data-dominated queries, cheapest DuckDB side first so a budget
 # stop keeps the most comparisons.
 SF1_QUERIES = [
-    "dedup_clusters",
     "token_blocks",
+    "corpus_token_stats",
+    "text_stats",
     "minhash_lsh_near_dup",
+    "dedup_clusters",
     "ann_cosine_lsh",
     "ngram_jaccard_near_dup",
 ]
-# Measured on this box (probe, 32 threads): Spark warm+timed ≈ 60 s for all
-# five; DuckDB 57+1+16+90+151 ≈ 315 s. Budget 420 s admits the full duck
-# pass with headroom; the per-oracle interrupt caps any one regression.
+# Measured on this box (32 threads): Spark warm+timed ≈ 50 s for all
+# seven; DuckDB 1+2.4+7.4+12.6+43+79+129 ≈ 275 s. Budget 420 s admits the
+# full duck pass with headroom; the per-oracle interrupt caps any one
+# regression.
 SF1_BUDGET_SEC = 420.0  # stop STARTING new work past this
 SF1_DUCK_TIMEOUT_SEC = 170.0  # per-oracle interrupt
 
