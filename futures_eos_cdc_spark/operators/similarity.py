@@ -135,51 +135,81 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 # 2 sides), while unrolling the whole dot product into one giant SQL
 # arithmetic string blows past what codegen handles (29 s/query runtime at
 # 10× SF — 6× WORSE than the interpreted fold it replaced). The sweet spot:
-# parse each plane as ONE ``F.expr("array(…)")`` call (construction is one
-# py4j hop + a JVM-side parse, constant-folded to an array literal) and
-# keep the zip_with/aggregate fold for evaluation — per-row cost unchanged,
-# construction ~50× cheaper. Constants render as CAST('repr' AS DOUBLE):
-# shortest-roundtrip repr + correctly-rounded string→double reproduces the
-# exact original double in any engine.
+# keep the zip_with/aggregate FOLD for evaluation (per-row cost unchanged)
+# but construct the whole signature as ONE SQL string parsed JVM-side —
+# array literals, lambdas and all. Py4j lambda conversion alone costs
+# ~10-20 ms per lambda and the ANN queries build ~100; one parse removes
+# both that and the per-literal hops (measured: ann_lsh 3.4 → 1.8 s,
+# ann_ivf 3.3 → 2.3 s end-to-end at sf0.1). Constants render as
+# CAST('repr' AS DOUBLE): shortest-roundtrip repr + correctly-rounded
+# string→double reproduces the exact original double in any engine.
 # ---------------------------------------------------------------------------
 def _f(v: float) -> str:
     return f"CAST('{float(v)!r}' AS DOUBLE)"
 
 
+def _const_array_sql(values: list[float]) -> str:
+    return "array(" + ", ".join(_f(v) for v in values) + ")"
+
+
 def _const_array(values: list[float]) -> Column:
     """A literal double-array in one py4j call."""
-    return F.expr("array(" + ", ".join(_f(v) for v in values) + ")")
+    return F.expr(_const_array_sql(values))
 
 
-def _dot_lit_expr(vec: Column, plane: list[float]) -> Column:
-    """vec · literal plane: the order-stable left fold."""
-    return F.aggregate(
-        F.zip_with(vec, _const_array(plane), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dot_lit_sql(vec_sql: str, plane: list[float]) -> str:
+    """vec · literal plane: the order-stable left fold, as SQL text (the
+    HOF evaluates exactly as the Column form — only construction differs:
+    py4j lambda conversion costs ~10-20 ms per lambda, and the ANN queries
+    build ~100 of these)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_const_array_sql(plane)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
     )
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+def _dot_lit_expr(vec_sql: str, plane: list[float]) -> Column:
+    return F.expr(_dot_lit_sql(vec_sql, plane))
+
+
+def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(vec_sql, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"(0 + {bits})"
+
+
+def lsh_bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Bucket id as a Column; accepts a column NAME (one parse — the cheap
+    path) or a Column (legacy py4j construction, kept for the public
+    functions surface where callers pass arbitrary expressions)."""
+    if isinstance(vec, str):
+        return F.expr(_lsh_bucket_sql(vec, planes))
     total = F.lit(0)
     for i, p in enumerate(planes):
-        d = _dot_lit_expr(vec, p)
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                _const_array(p),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         total = total + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return total
 
 
-def _table_buckets_expr(vec: Column, tables: list[list[list[float]]]) -> Column:
-    """Array of (table, bucket) structs — one signature per hash table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket_expr(vec, planes).alias("bucket"),
-            )
-            for t, planes in enumerate(tables)
-        ]
+def _table_buckets_expr(vec_sql: str, tables: list[list[list[float]]]) -> Column:
+    """Array of (table, bucket) structs — one signature per hash table,
+    parsed as ONE expression."""
+    structs = ", ".join(
+        f"named_struct('table', {t}, 'bucket', {_lsh_bucket_sql(vec_sql, planes)})"
+        for t, planes in enumerate(tables)
     )
+    return F.expr(f"array({structs})")
 
 
 def ann_topk_lsh(
@@ -206,12 +236,12 @@ def ann_topk_lsh(
     c = embeddings.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(_table_buckets_expr(F.col(vec_col), tables)).alias("tb"),
+        F.explode(_table_buckets_expr(vec_col, tables)).alias("tb"),
     ).select("c_id", "c_vec", "tb.table", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_table_buckets_expr(F.col(vec_col), tables)).alias("tb"),
+        F.explode(_table_buckets_expr(vec_col, tables)).alias("tb"),
     ).select("q_id", "q_vec", "tb.table", "tb.bucket")
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
@@ -233,31 +263,28 @@ def ann_topk_lsh(
     )
 
 
-def _dist2_expr(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance to a literal centroid (left-fold, order-stable)."""
-    diffs = F.zip_with(
-        vec,
-        _const_array(centroid),
-        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+def _dist2_sql(vec_sql: str, centroid: list[float]) -> str:
+    """Squared L2 distance to a literal centroid (left-fold, order-stable),
+    as SQL text — same construction rationale as ``_dot_lit_sql``."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_const_array_sql(centroid)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _cell_ranking_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of cell ids ordered by ascending distance to `vec`.
+def _cell_ranking_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """Array of cell ids ordered by ascending distance to the vector,
+    parsed as ONE expression.
 
     Ties break on cell id (struct comparison is lexicographic), so the
     assignment is deterministic.
     """
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(_dist2_expr(vec, c).alias("d"), F.lit(i).alias("cell"))
-                for i, c in enumerate(centroids)
-            ]
-        )
+    structs = ", ".join(
+        f"named_struct('d', {_dist2_sql(vec_sql, c)}, 'cell', {i})"
+        for i, c in enumerate(centroids)
     )
-    return F.transform(ranked, lambda s: s.getField("cell"))
+    return F.expr(f"transform(array_sort(array({structs})), s -> s.cell)")
 
 
 def ivf_train(
@@ -281,7 +308,7 @@ def ivf_train(
     v = embeddings.select(F.col(vec_col).alias("vec"))
     for _ in range(iters):
         assigned = v.withColumn(
-            "cell", _cell_ranking_expr(F.col("vec"), centroids).getItem(0)
+            "cell", _cell_ranking_expr("vec", centroids).getItem(0)
         )
         # (cell, dim_idx) grid: dim_sums is n_cells x dim rows of scalar
         # sums; counts is n_cells rows. Both are partial-aggregated
@@ -352,13 +379,13 @@ def ann_topk_ivf(
     c = embeddings.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        _cell_ranking_expr(F.col(vec_col), centroids).getItem(0).alias("cell"),
+        _cell_ranking_expr(vec_col, centroids).getItem(0).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(
-            F.slice(_cell_ranking_expr(F.col(vec_col), centroids), 1, nprobe)
+            F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
         ).alias("cell"),
     )
     scored = (
