@@ -155,14 +155,20 @@ def ensure_scaled_dir(
                 return out_dir
         except (OSError, ValueError):
             pass
-    os.makedirs(out_dir, exist_ok=True)
+    # Generate into a staging dir, then atomically rename into place: two
+    # processes racing on the same cache path (e.g. a bench run and a test
+    # session) must never interleave half-written parquet under a dir the
+    # other is reading. The loser of the rename race just uses the winner's
+    # output.
+    stage = f"{out_dir}.stage.{os.getpid()}"
+    os.makedirs(stage, exist_ok=True)
     counts = {
         "documents": _scale_documents(
-            f"{src_dir}/documents.parquet", f"{out_dir}/documents.parquet",
+            f"{src_dir}/documents.parquet", f"{stage}/documents.parquet",
             factor,
         ),
         "embeddings": _scale_embeddings(
-            f"{src_dir}/embeddings.parquet", f"{out_dir}/embeddings.parquet",
+            f"{src_dir}/embeddings.parquet", f"{stage}/embeddings.parquet",
             factor, seed,
         ),
     }
@@ -170,7 +176,23 @@ def ensure_scaled_dir(
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events",
     ):
-        shutil.copyfile(f"{src_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
-    with open(marker, "w") as f:
+        shutil.copyfile(f"{src_dir}/{name}.parquet", f"{stage}/{name}.parquet")
+    with open(os.path.join(stage, "_SCALED_OK.json"), "w") as f:
         json.dump({**want, "rows": counts}, f)
+    try:
+        os.rename(stage, out_dir)
+    except OSError:
+        # a concurrent generator won the race (or a stale dir exists):
+        # keep theirs if valid, else replace it with ours
+        try:
+            with open(marker) as f:
+                have = json.load(f)
+            valid = {k: have.get(k) for k in want} == want
+        except (OSError, ValueError):
+            valid = False
+        if valid:
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.rename(stage, out_dir)
     return out_dir
