@@ -155,6 +155,35 @@ def global_shuffle_shards(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    path: str,
+    salt: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the global-shuffle layout as one parquet directory per
+    shard (``shard_id=K/``), rows stored in their in-shard order.
+
+    Layout contract training loaders rely on: directory pruning selects any
+    shard subset without touching the rest; within a shard, row order on
+    disk IS ``pos_in_shard`` order (sortWithinPartitions after a 1-file-
+    per-shard repartition), so a sequential reader streams the shard in its
+    deterministic shuffled order with no further sort. At 100 TB use
+    n_shards large enough that one shard fits a loader worker (~1 GB); the
+    single exchange is the repartition on shard_id.
+    """
+    (
+        global_shuffle_shards(df, id_col, n_shards, salt)
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "pos_in_shard")
+        .write.partitionBy("shard_id")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def weighted_group_sample(
     df: DataFrame,
     group_col: str,

@@ -338,6 +338,38 @@ def test_global_shuffle_shards_stable_and_contiguous(spark, sf_dir):
     assert all(full_shard[r.doc_id] == r.shard_id for r in sub)
 
 
+def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
+    """Shard export: one shard_id=K directory per shard, rows stored in
+    pos_in_shard order, and shard subsets read with partition pruning."""
+    import os
+
+    from futures_eos_cdc_spark.operators.sampling import (
+        global_shuffle_shards,
+        write_training_shards,
+    )
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, "doc_id", 8, out)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    expect = {
+        f"shard_id={r.shard_id}"
+        for r in global_shuffle_shards(docs, "doc_id", 8)
+        .select("shard_id").distinct().collect()
+    }
+    assert set(dirs) == expect
+
+    one = spark.read.parquet(f"{out}/shard_id=3")
+    positions = [r.pos_in_shard for r in one.collect()]
+    assert positions == sorted(positions)  # on-disk order IS shard order
+
+    pruned = spark.read.parquet(out).filter("shard_id = 3")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard_id" in plan
+
+
 def test_dedup_against_corpus_injected_overlap(spark):
     """The fixture has no exact text collisions, so the incremental-dedup
     semantics are pinned here with injected overlap: batch rows already in
