@@ -353,6 +353,22 @@ def ivf_train(
     return centroids
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) hard assignment to trained centroids — k-means cluster
+    membership as a pure projection (ties on cell id, deterministic).
+    The IVF index's partitioning step, exposed for corpus-curation use
+    (cluster sizes, cluster-balanced sampling, semantic dedup)."""
+    return embeddings.select(
+        F.col(id_col),
+        _cell_ranking_expr(vec_col, centroids).getItem(0).alias("cell"),
+    )
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1154,6 +1154,7 @@ def _ann_ivf_oracle_sql(
     seed: int = 42,
     dim: int = 64,
     k: int = 3,
+    tail: str = "ann",
 ) -> str:
     """DuckDB oracle for q_ann_ivf: the ENTIRE IVF pipeline — seeded init,
     `iters` unrolled Lloyd steps, cell assignment, nprobe probing, exact
@@ -1235,7 +1236,7 @@ c{step} AS (
             "(x, y) -> x + y)"
         )
 
-    return f"""
+    prefix = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 init AS (SELECT * FROM (VALUES
     {init_rows}
@@ -1251,7 +1252,10 @@ cand AS (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
     FROM dfin
   ) WHERE rn = 1
-),
+)"""
+    if tail == "assign":
+        return prefix
+    return prefix + f""",
 probes AS (
   SELECT vec_id AS q_id, cell FROM (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
@@ -1278,6 +1282,67 @@ FROM ranked WHERE rank <= {k}
 
 
 ANN_IVF_ORACLE = _ann_ivf_oracle_sql()
+
+# ---------------------------------------------------------------------------
+# K-means corpus clustering + cluster-balanced sampling (SemDeDup-shaped
+# curation: partition the embedding space, then cap each cluster's
+# contribution so over-dense regions don't dominate the training mix)
+# ---------------------------------------------------------------------------
+_CLUSTER_CAP = 64
+
+KMEANS_CLUSTERS_ORACLE = (
+    _ann_ivf_oracle_sql(tail="assign")
+    + f""",
+sized AS (
+  SELECT c_id AS vec_id, cell,
+    count(*) OVER (PARTITION BY cell) AS cluster_size,
+    row_number() OVER (
+      PARTITION BY cell
+      ORDER BY md5('bal|' || CAST(c_id AS VARCHAR)), c_id
+    ) AS sample_rank
+  FROM cand
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS INT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(sample_rank AS INT) AS sample_rank,
+       sample_rank <= {_CLUSTER_CAP} AS kept
+FROM sized
+"""
+)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """K-means cluster membership per embedding (the IVF index's trained
+    cells, reused for curation) with cluster size and a content-stable
+    balanced-sample rank: ``kept`` caps every cluster at {cap} members, so
+    over-dense semantic regions stop dominating the mix — the
+    cluster-then-cap shape of SemDeDup-style curation.
+
+    Scale: training is the documented offline pass (O(cells×dim) to the
+    driver); assignment is a pure projection; ONE exchange on cluster_id
+    feeds both windows (size + rank share the partitioning). The sample
+    rank hashes the id (content-stable) so re-runs and appends keep prior
+    decisions. Oracle replays training bit-exactly (floor-grid integer
+    Lloyd steps) and the same md5 rank order."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign, ivf_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(e, n_cells=16, iters=2, seed=42)
+    assigned = ivf_assign(e, centroids)
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    w_size = Window.partitionBy("cell")
+    return assigned.select(
+        "vec_id",
+        F.col("cell").alias("cluster_id"),
+        F.count(F.lit(1)).over(w_size).alias("cluster_size"),
+        F.row_number().over(w_rank).alias("sample_rank"),
+    ).withColumn("kept", F.col("sample_rank") <= _CLUSTER_CAP)
 
 
 def _embedding_near_dup_oracle_sql(

@@ -471,6 +471,8 @@ QUERIES["dedup_keep_rows"] = _bind(_dp.q_dedup_keep_rows)
 ORACLES["dedup_keep_rows"] = _dp.DEDUP_KEEP_ROWS_ORACLE
 QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
+QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
+ORACLES["embedding_kmeans_clusters"] = _dp.KMEANS_CLUSTERS_ORACLE
 QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
 ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
 QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
@@ -678,6 +680,7 @@ _WALK_FIRST = [
     "dedup_incremental_batch",
     "decontaminate_docs",
     "corpus_token_stats",
+    "embedding_kmeans_clusters",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
     "multimodal_features",  # fused synth+decode into one mapInPandas stage

@@ -192,6 +192,14 @@ def test_decontaminate_all_joins_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_kmeans_clusters_single_exchange_for_both_windows(spark, sf_dir):
+    # cluster size + balanced-sample rank share the cluster partitioning:
+    # exactly one hash exchange; assignment itself is a pure projection
+    plan = _plan(spark, sf_dir, "embedding_kmeans_clusters")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_scd2_single_key_exchange(spark, sf_dir):
     # one hash exchange on the key, then a streaming window pass — lead()
     # must not introduce extra shuffles
