@@ -621,6 +621,50 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout key (multi-column file-skipping; sources/bucketing.py)
+# ---------------------------------------------------------------------------
+# Bucket formulas use only IEEE +,-,/ and floor — deterministic and
+# identical across engines (unlike transcendentals); ranges are literal and
+# SF-independent (p_retailprice ∈ [900, 1000), p_size ∈ [1, 50]).
+_ZO_PRICE = "least(255, greatest(0, CAST(floor((p_retailprice - 900) / 0.4) AS INT)))"
+_ZO_SIZE = "least(255, (p_size - 1) * 5)"
+
+
+def _zorder_oracle_sql() -> str:
+    from ..sources.bucketing import zorder_key_sql
+
+    return f"""
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST({_ZO_PRICE} AS INT) AS price_bucket,
+       CAST({_ZO_SIZE} AS INT) AS size_bucket,
+       CAST({zorder_key_sql(_ZO_PRICE, _ZO_SIZE, 8, div_op="//")} AS BIGINT)
+         AS zkey
+FROM part
+"""
+
+
+ZORDER_ORACLE = _zorder_oracle_sql()
+
+
+def q_zorder_layout_key(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Morton (z-order) layout key per part row: price and size bucketized
+    onto 8-bit grids, bits interleaved — the multi-column clustering key a
+    lakehouse OPTIMIZE ZORDER writes by, exposed as a projection so any
+    table can be re-laid-out with repartitionByRange(zkey). Pure integer
+    div/mod arithmetic after two IEEE-exact bucketizations; the oracle runs
+    the same formula. Skipping-power (files touched under single-column
+    predicates vs a one-column sort) is pinned by the layout pytest."""
+    from ..sources.bucketing import zorder_key_expr
+
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.expr(_ZO_PRICE).alias("price_bucket"),
+        F.expr(_ZO_SIZE).alias("size_bucket"),
+        zorder_key_expr(_ZO_PRICE, _ZO_SIZE, 8).cast("long").alias("zkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-relative token statistics (rare-token quality signal)
 # ---------------------------------------------------------------------------
 _RARE_DF = 3  # a token is "rare" if it appears in fewer than this many docs

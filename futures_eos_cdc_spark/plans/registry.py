@@ -473,6 +473,8 @@ QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
 ORACLES["embedding_kmeans_clusters"] = _dp.KMEANS_CLUSTERS_ORACLE
+QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
+ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
 ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
 QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
@@ -681,6 +683,7 @@ _WALK_FIRST = [
     "decontaminate_docs",
     "corpus_token_stats",
     "embedding_kmeans_clusters",
+    "zorder_layout_key",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
     "multimodal_features",  # fused synth+decode into one mapInPandas stage

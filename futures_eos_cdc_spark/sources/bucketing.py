@@ -101,3 +101,37 @@ def read_partition_pruned(
     regular columns and equality/range predicates on them prune directories
     at planning time (no file listing beyond the matching partitions)."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-column file skipping
+# ---------------------------------------------------------------------------
+def zorder_key_sql(a_sql: str, b_sql: str, bits: int = 8, div_op: str = "div") -> str:
+    """Morton interleave of two bucket ids (each in [0, 2^bits)) as portable
+    integer arithmetic — bit i of `a` lands at position 2i, bit i of `b` at
+    2i+1. Pure div/mod/multiply so the SAME formula runs in Spark SQL
+    (``div_op='div'``) and DuckDB (``div_op='//'``), making the layout key
+    oracle-replayable. Unrolled (bits terms) — constant-folded into one
+    codegen expression.
+
+    Why z-order at 100 TB: sorting by ONE column gives perfect file-level
+    min/max pruning on that column and none on any other; interleaving
+    bits gives useful pruning on BOTH (each file covers a small rectangle
+    of the value space instead of a full-width stripe) — the layout behind
+    lakehouse OPTIMIZE ZORDER. Write with repartitionByRange(zkey) +
+    sortWithinPartitions(zkey) so each file owns a contiguous key range.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"((({a_sql}) {div_op} {1 << i}) % 2) * {1 << (2 * i)}"
+            f" + ((({b_sql}) {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_expr(a_sql: str, b_sql: str, bits: int = 8):
+    """Spark Column form of ``zorder_key_sql`` (one parsed expression)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(zorder_key_sql(a_sql, b_sql, bits, div_op="div"))

@@ -113,3 +113,51 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
             )
     assert counts and all(1 <= c <= 2 for c in counts)
     assert max(counts) == 2
+
+
+def test_zorder_layout_beats_single_column_sort_for_skipping(spark, sf_dir, tmp_path):
+    """The point of z-order: with files holding contiguous zkey ranges,
+    file-level min/max prune usefully on BOTH interleaved columns, while a
+    single-column sort prunes perfectly on one and not at all on the other.
+    Measured as files whose [min,max] intersect each predicate's range."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from futures_eos_cdc_spark.plans import QUERIES
+
+    keyed = QUERIES["zorder_layout_key"](spark, sf_dir)
+
+    def write_sorted(df, col, out):
+        (df.repartitionByRange(16, col).sortWithinPartitions(col)
+           .write.mode("overwrite").parquet(out))
+
+    def files_touched(out, col, lo, hi):
+        touched = 0
+        for f in os.listdir(out):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                mins.append(st.min); maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                touched += 1
+        return touched
+
+    zo, ps = str(tmp_path / "zo"), str(tmp_path / "ps")
+    write_sorted(keyed, "zkey", zo)
+    write_sorted(keyed, "price_bucket", ps)
+
+    # one selective predicate per dimension (1/16th of each value range)
+    cost = {}
+    for name, out in (("zorder", zo), ("price_sorted", ps)):
+        cost[name] = (
+            files_touched(out, "price_bucket", 64, 79)
+            + files_touched(out, "size_bucket", 100, 115)
+        )
+    # price-sorted: ~1 file for the price slice but ALL files for the size
+    # slice; z-order pays a few files on each — strictly fewer in total
+    assert cost["zorder"] < cost["price_sorted"], cost
