@@ -395,6 +395,24 @@ def test_dedup_against_corpus_injected_overlap(spark):
     }
 
 
+def test_token_totals_closed_form_equals_fold():
+    """The pure-integer closed form in q_token_blocks' totals pass must
+    equal the literal per-chunk sum for every document length (the fold it
+    replaced) — checked exhaustively across the lengths where every branch
+    boundary lives (L < stride, L < size, exact multiples, off-by-ones)."""
+    from futures_eos_cdc_spark.plans.dataprep import CHUNK_SIZE, CHUNK_STRIDE
+
+    S, s = CHUNK_SIZE, CHUNK_STRIDE
+    for L in range(1, 5000):
+        m = (L - 1) // s
+        fold = sum(min(S, L - s * i) for i in range(m + 1))
+        c = min((L - S) // s + 1 if L >= S else 0, m + 1)
+        closed = c * S + (m - c + 1) * L - s * (
+            m * (m + 1) // 2 - (c - 1) * c // 2
+        )
+        assert closed == fold, L
+
+
 def test_token_blocks_keeps_null_lang_docs(spark):
     """ADVICE regression: the (lang, shard) stitch join must be null-safe —
     NULL-lang documents pack like any other language group."""
