@@ -686,6 +686,8 @@ _WALK_FIRST = [
     "zorder_layout_key",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
+    "minhash_lsh_near_dup",  # similarity/dedup modules touched this round
+    "cosine_topk_bruteforce",
     "multimodal_features",  # fused synth+decode into one mapInPandas stage
     "token_blocks",  # null-safe (lang, shard) stitch join
     "approx_aggregates",  # exact-distinct pass split out of sketch path
