@@ -351,9 +351,33 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return ann_topk_lsh(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
+# Trained-centroid cache, keyed by (session, fixture dir): ivf_train is
+# deterministic by design (floor-grid integer Lloyd steps), so the trained
+# model is a pure function of its inputs and the two consumers
+# (ann_cosine_ivf's probe index, embedding_kmeans_clusters' curation
+# clusters) share one training pass — the "train once offline, reuse
+# everywhere" deployment the operator docstring prescribes, in miniature.
+_IVF_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> list[list[float]]:
+    from ..operators.similarity import ivf_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_CENTROIDS.get(key)
+    if got is None:
+        got = _IVF_CENTROIDS[key] = ivf_train(e, n_cells=16, iters=2, seed=42)
+    return got
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     e = spread(_t(spark, sf_dir, "embeddings"))
-    return ann_topk_ivf(e, e.filter(F.col("vec_id") < 5), k=3)
+    return ann_topk_ivf(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        k=3,
+        centroids=_trained_centroids(spark, sf_dir, e),
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
@@ -1371,11 +1395,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     Lloyd steps) and the same md5 rank order."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import ivf_assign, ivf_train
+    from ..operators.similarity import ivf_assign
 
     e = _t(spark, sf_dir, "embeddings")
-    centroids = ivf_train(e, n_cells=16, iters=2, seed=42)
-    assigned = ivf_assign(e, centroids)
+    assigned = ivf_assign(e, _trained_centroids(spark, sf_dir, e))
     w_rank = Window.partitionBy("cell").orderBy(
         F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))),
         F.col("vec_id"),
