@@ -161,3 +161,74 @@ def test_scd2_intervals_tile_the_timeline(spark_prop, changes):
         currents = [v for v in versions if v.is_current]
         last_op = log[-1][2]
         assert len(currents) == (0 if last_op == "d" else 1)
+
+
+# ---------------------------------------------------------------------------
+# Z-order interleave: bijective on the 2^bits x 2^bits grid, range-monotone
+# ---------------------------------------------------------------------------
+def _morton_ref(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_zorder_key_matches_bitwise_reference(spark_prop, pts):
+    """The portable div/mod formula equals the literal bit interleave, and
+    distinct (a, b) points get distinct keys (bijectivity is what makes a
+    zkey sort a space-filling layout rather than a lossy hash)."""
+    from futures_eos_cdc_spark.sources.bucketing import zorder_key_expr
+
+    df = spark_prop.createDataFrame(pts, "a INT, b INT")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_key_expr("a", "b", 8)).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _morton_ref(a, b, 8), (a, b)
+    assert len(set(got.values())) == len(got)  # injective on the grid
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: Spark result == pure-Python reference on random corpora
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),  # corpus texts
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),  # batch texts
+)
+@settings(max_examples=15, deadline=None)
+def test_dedup_against_corpus_matches_reference(spark_prop, corpus_texts, batch_texts):
+    from futures_eos_cdc_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)] or [(0, "zzz")],
+        "doc_id INT, text STRING",
+    )
+    if not corpus_texts:
+        corpus = corpus.filter("doc_id < 0")  # genuinely empty corpus
+    batch = spark_prop.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in dedup_against_corpus(batch, corpus, ["text"], "doc_id").collect()
+    }
+    seen, expect = set(corpus_texts), set()
+    for i, t in enumerate(batch_texts):
+        if t not in seen:
+            expect.add((100 + i, t))
+            seen.add(t)
+    assert got == expect
