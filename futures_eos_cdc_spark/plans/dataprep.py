@@ -1571,6 +1571,69 @@ FROM offsets
 """
 
 
+TOKEN_BLOCK_SEGMENTS_ORACLE = rf"""
+WITH tb AS ( {TOKEN_BLOCKS_ORACLE} ),
+seg AS (
+  SELECT doc_id, lang, chunk_idx, n_tokens,
+    stream_offset // {PACK_BUDGET} AS b0,
+    stream_offset % {PACK_BUDGET} AS s0,
+    least(n_tokens, {PACK_BUDGET} - (stream_offset % {PACK_BUDGET})) AS l0
+  FROM tb
+)
+SELECT doc_id, lang, chunk_idx, CAST(0 AS INT) AS seg_idx,
+  CAST(b0 AS BIGINT) AS block_id, CAST(s0 AS BIGINT) AS start_in_block,
+  CAST(l0 AS BIGINT) AS seg_tokens
+FROM seg
+UNION ALL
+SELECT doc_id, lang, chunk_idx, CAST(1 AS INT), CAST(b0 + 1 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(n_tokens - l0 AS BIGINT)
+FROM seg WHERE n_tokens > l0
+"""
+
+
+def q_token_block_segments(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Attention-boundary metadata for the packed blocks: each chunk's span
+    [stream_offset, stream_offset+n) split at {budget}-token block edges
+    into 1-2 (block_id, start_in_block, seg_tokens) segments — exactly the
+    sidecar a training loader needs to mask attention across the documents
+    a packed block concatenates. A chunk spills into at most one extra
+    block (chunk ≤ {size} < {budget} tokens).
+
+    Scale: a pure projection + a ≤2-element explode over the token_blocks
+    stream — adds NO shuffle beyond token_blocks' own prefix sum. Integer
+    arithmetic end-to-end; the oracle applies the same split to the
+    token_blocks oracle CTE."""
+    B = PACK_BUDGET
+    tb = q_token_blocks(spark, sf_dir, _t)
+    off, n = F.col("stream_offset"), F.col("n_tokens")
+    b0 = F.expr(f"stream_offset div {B}")
+    s0 = off % B
+    l0 = F.least(n, F.lit(B) - s0)
+    seg0 = F.struct(
+        b0.alias("block_id"), s0.alias("start_in_block"), l0.alias("seg_tokens")
+    )
+    seg1 = F.struct(
+        (b0 + 1).alias("block_id"),
+        F.lit(0).cast("long").alias("start_in_block"),
+        (n - l0).alias("seg_tokens"),
+    )
+    segs = F.when(n > l0, F.array(seg0, seg1)).otherwise(F.array(seg0))
+    return tb.select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        F.posexplode(segs).alias("seg_idx", "seg"),
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        "seg_idx",
+        F.col("seg.block_id").alias("block_id"),
+        F.col("seg.start_in_block").alias("start_in_block"),
+        F.col("seg.seg_tokens").alias("seg_tokens"),
+    )
+
+
 PACK_SHARD_DOCS = 64  # docs per packing shard — bounds any one task's sort
 
 

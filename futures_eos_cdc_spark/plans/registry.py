@@ -475,6 +475,8 @@ QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
 ORACLES["embedding_kmeans_clusters"] = _dp.KMEANS_CLUSTERS_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
+QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
+ORACLES["token_block_segments"] = _dp.TOKEN_BLOCK_SEGMENTS_ORACLE
 QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
 ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
 QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
@@ -684,6 +686,7 @@ _WALK_FIRST = [
     "corpus_token_stats",
     "embedding_kmeans_clusters",
     "zorder_layout_key",
+    "token_block_segments",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
     "minhash_lsh_near_dup",  # similarity/dedup modules touched this round

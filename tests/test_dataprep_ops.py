@@ -395,6 +395,33 @@ def test_dedup_against_corpus_injected_overlap(spark):
     }
 
 
+def test_token_block_segments_tile_chunks_exactly(spark, sf_dir):
+    """Every chunk's segments reconstruct it exactly: per-chunk segment
+    tokens sum to n_tokens, no segment crosses a block edge, and segment 1
+    (when present) starts at offset 0 of the NEXT block."""
+    from futures_eos_cdc_spark.plans import QUERIES
+    from futures_eos_cdc_spark.plans.dataprep import PACK_BUDGET
+
+    tb = {
+        (r.doc_id, r.chunk_idx): r
+        for r in QUERIES["token_blocks"](spark, sf_dir).collect()
+    }
+    segs: dict[tuple, list] = {}
+    for r in QUERIES["token_block_segments"](spark, sf_dir).collect():
+        segs.setdefault((r.doc_id, r.chunk_idx), []).append(r)
+    assert set(segs) == set(tb)
+    for key, rows in segs.items():
+        rows.sort(key=lambda r: r.seg_idx)
+        assert sum(r.seg_tokens for r in rows) == tb[key].n_tokens
+        for r in rows:
+            assert r.start_in_block + r.seg_tokens <= PACK_BUDGET
+            assert r.seg_tokens > 0
+        if len(rows) == 2:
+            assert rows[1].block_id == rows[0].block_id + 1
+            assert rows[1].start_in_block == 0
+            assert rows[0].start_in_block + rows[0].seg_tokens == PACK_BUDGET
+
+
 def test_token_totals_closed_form_equals_fold():
     """The pure-integer closed form in q_token_blocks' totals pass must
     equal the literal per-chunk sum for every document length (the fold it
