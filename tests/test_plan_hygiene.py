@@ -192,6 +192,17 @@ def test_decontaminate_all_joins_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_token_block_segments_adds_no_shuffle(spark, sf_dir):
+    # the segment split is a projection + bounded explode over the
+    # token_blocks stream — identical exchange count to token_blocks itself
+    p1 = _plan(spark, sf_dir, "token_blocks")
+    p2 = _plan(spark, sf_dir, "token_block_segments")
+    assert p2.count("Exchange hashpartitioning") == p1.count(
+        "Exchange hashpartitioning"
+    )
+    assert "Generate explode" in p2 or "Generate posexplode" in p2
+
+
 def test_kmeans_clusters_single_exchange_for_both_windows(spark, sf_dir):
     # cluster size + balanced-sample rank share the cluster partitioning:
     # exactly one hash exchange; assignment itself is a pure projection
