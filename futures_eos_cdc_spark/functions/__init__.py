@@ -12,6 +12,7 @@ Grouped by domain:
 - similarity: ``dot``, ``norm``, ``cosine``
 - sets:       ``jaccard``
 - hashing:    ``minhash_signatures``, ``lsh_bucket``, ``simhash16``
+- layout:     ``zorder_key`` (Morton interleave for multi-column skipping)
 
 The reference engine exposes no user-function surface (its transforms are
 fixed topology stages — SignalTopology.kt); this library is the Spark-native
@@ -72,6 +73,9 @@ from ..operators.text import (
 from ..operators.text import (
     tokens_expr as tokens,
 )
+from ..sources.bucketing import (
+    zorder_key_expr as zorder_key,
+)
 
 __all__ = [
     "cosine",
@@ -91,4 +95,5 @@ __all__ = [
     "subword_count",
     "token_count",
     "tokens",
+    "zorder_key",
 ]
