@@ -69,13 +69,23 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def content_digest_expr(content_cols: list[str], df: DataFrame | None = None) -> Column:
+    """THE canonical content identity every dedup operator keys on: md5 over
+    the unit-separator-joined content columns. Centralized so batch and
+    streaming dedup can never silently diverge on separator, hash function,
+    or null handling (concat_ws skips NULLs). Pass ``df`` to disambiguate
+    column references when two DataFrames are in scope (joins)."""
+    cols = [(df[c] if df is not None else F.col(c)) for c in content_cols]
+    return F.md5(F.concat_ws("\x1f", *cols))
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per identical content; adds group size.
 
     The shuffle key is md5(content) — constant-width regardless of document
     size (content bytes never cross the wire twice).
     """
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    h = content_digest_expr(content_cols)
     return (
         df.withColumn("content_hash", h)
         .groupBy("content_hash")
@@ -103,7 +113,7 @@ def dedup_keep_rows(
     """
     from pyspark.sql import Window
 
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    h = content_digest_expr(content_cols)
     w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     wc = Window.partitionBy("content_hash")
     return (
@@ -136,13 +146,12 @@ def dedup_against_corpus(
     """
     from pyspark.sql import Window
 
-    def h(df: DataFrame) -> Column:
-        return F.md5(F.concat_ws("\x1f", *[df[c] for c in content_cols]))
-
-    corpus_hashes = corpus_df.select(h(corpus_df).alias("content_hash")).distinct()
+    corpus_hashes = corpus_df.select(
+        content_digest_expr(content_cols, corpus_df).alias("content_hash")
+    ).distinct()
     w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     return (
-        new_df.withColumn("content_hash", h(new_df))
+        new_df.withColumn("content_hash", content_digest_expr(content_cols, new_df))
         .join(corpus_hashes, "content_hash", "left_anti")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -363,9 +363,13 @@ _IVF_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
 def _trained_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> list[list[float]]:
     from ..operators.similarity import ivf_train
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     got = _IVF_CENTROIDS.get(key)
     if got is None:
+        # purge stale-session entries (same rationale as sources/tables.py)
+        for k in [k for k in _IVF_CENTROIDS if k[0] != app_id]:
+            del _IVF_CENTROIDS[k]
         got = _IVF_CENTROIDS[key] = ivf_train(e, n_cells=16, iters=2, seed=42)
     return got
 

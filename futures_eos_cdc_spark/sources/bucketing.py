@@ -130,8 +130,28 @@ def zorder_key_sql(a_sql: str, b_sql: str, bits: int = 8, div_op: str = "div") -
     return "(" + " + ".join(terms) + ")"
 
 
-def zorder_key_expr(a_sql: str, b_sql: str, bits: int = 8):
-    """Spark Column form of ``zorder_key_sql`` (one parsed expression)."""
+def zorder_key_expr(a, b, bits: int = 8):
+    """Spark Column form of ``zorder_key_sql``.
+
+    Accepts column NAMES (one parsed expression — the cheap path used by
+    the registry) or ``Column`` expressions, matching the rest of the
+    public functions surface; a Column's repr must never leak into an
+    ``F.expr`` string, so the Column path builds the same arithmetic with
+    Column operators."""
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    return F.expr(zorder_key_sql(a_sql, b_sql, bits, div_op="div"))
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(zorder_key_sql(a, b, bits, div_op="div"))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
+    assert isinstance(a, Column) and isinstance(b, Column)
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + (
+            ((a / (1 << i)).cast("long") % 2) * (1 << (2 * i))
+            + ((b / (1 << i)).cast("long") % 2) * (1 << (2 * i + 1))
+        )
+    return z

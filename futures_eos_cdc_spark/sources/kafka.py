@@ -187,12 +187,19 @@ def kafka_txn_decisions_writer_parallel(
         )
 
         def produce_partition(rows) -> None:
-            producer, current = None, None
+            # txn_open tracks whether THIS producer has an uncommitted
+            # transaction: after a range's commit_transaction() succeeds
+            # the producer is back in Ready state, and calling
+            # abort_transaction() on it would raise a _STATE error that
+            # MASKS the root-cause exception (e.g. the NEXT range's broker
+            # failure during init/begin).
+            producer, current, txn_open = None, None, False
             try:
                 for row in rows:
                     if row["kr"] != current:
-                        if producer is not None:
+                        if txn_open:
                             producer.commit_transaction()
+                            txn_open = False
                         current = row["kr"]
                         producer = _range_producer(
                             make,
@@ -203,12 +210,27 @@ def kafka_txn_decisions_writer_parallel(
                             },
                         )
                         producer.begin_transaction()
+                        txn_open = True
                     _produce_one(producer, topic, row["key"], row["value"])
-                if producer is not None:
+                if txn_open:
                     producer.commit_transaction()
+                    txn_open = False
             except Exception:
-                if producer is not None:
-                    producer.abort_transaction()
+                # Abort-on-partial-failure: nothing from the open range
+                # becomes visible; Spark retries the batch. If the abort
+                # ITSELF fails (broker unreachable, producer fenced), the
+                # producer is wedged mid-transaction — evict it from the
+                # per-process cache so the task retry builds a fresh one
+                # (whose init_transactions() fences this zombie); keeping
+                # it cached would wedge the key range for the life of the
+                # reused worker process.
+                if txn_open:
+                    try:
+                        producer.abort_transaction()
+                    except Exception:
+                        _RANGE_PRODUCERS.pop(
+                            f"{transactional_id_prefix}-{current}", None
+                        )
                 raise
 
         (

@@ -37,8 +37,8 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 # Per-session table-handle cache: `spark.read.parquet` pays a JVM file
 # listing + footer schema read on EVERY call (~0.1-0.3 s per table), and a
 # query that loads 3 tables re-pays it per invocation. A DataFrame is an
-# immutable plan, so the handle is reusable; keying by applicationId drops
-# entries from stopped/restarted sessions automatically. This mirrors what a
+# immutable plan, so the handle is reusable; entries from stopped/restarted
+# sessions are purged on the next cache miss. This mirrors what a
 # catalog table gives Spark for free (a cached InMemoryFileIndex) — and what
 # the DuckDB oracle side already enjoys (views created once, outside the
 # timed loop). Caveat, same as catalog tables: the file listing is
@@ -52,10 +52,18 @@ def refresh_tables() -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Purge handles from other (stopped) sessions before inserting: one
+    # SparkSession is active per process in this engine, so any key with a
+    # different applicationId pins defunct JVM plans — without this, a
+    # long-lived process restarting sessions (pytest, notebooks) grows the
+    # cache without bound.
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
     df = _load_table_uncached(spark, sf_dir, name)
     _TABLE_CACHE[key] = df
     return df

@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 # know about a DataFrame attribute (which any .filter() would lose).
 # ---------------------------------------------------------------------------
 _OPERATOR_COUNTERS: dict = {}
+_OP_READ_FAILURES: dict[str, int] = {}
 _OP_LOCK = threading.Lock()
 
 
@@ -79,20 +80,28 @@ def operator_counters() -> dict[str, int]:
     An accumulator belongs to the SparkContext that created it: after that
     context stops (common across test sessions / app restarts), reading
     ``.value`` raises from inside the monitoring path and the registry
-    would otherwise pin dead entries forever. Dead counters are dropped
-    from the registry on read instead — monitoring never throws because an
-    old session went away, and the dict cannot grow without bound across
-    context restarts.
+    would otherwise pin dead entries forever. But a SINGLE failed read
+    must not evict: a transient py4j hiccup on a live accumulator would
+    silence the recall-loss alarm operators rely on permanently. Eviction
+    therefore takes 3 CONSECUTIVE failed reads (a dead context fails every
+    read, so stale entries still clear within three monitoring polls; a
+    transient error resets on the next successful read). Monitoring itself
+    never throws.
     """
     with _OP_LOCK:
         out, dead = {}, []
         for k, v in _OPERATOR_COUNTERS.items():
             try:
                 out[k] = v.value
+                _OP_READ_FAILURES.pop(k, None)
             except Exception:
-                dead.append(k)
+                n = _OP_READ_FAILURES.get(k, 0) + 1
+                _OP_READ_FAILURES[k] = n
+                if n >= 3:
+                    dead.append(k)
         for k in dead:
             del _OPERATOR_COUNTERS[k]
+            _OP_READ_FAILURES.pop(k, None)
         return out
 
 

@@ -164,13 +164,14 @@ def stream_dedup_against_corpus(
     (16-byte digests, bucketed by digest) so each micro-batch's anti-join
     probes a sorted bucket, not the raw corpus.
     """
-    def h(df: DataFrame) -> Column:
-        return F.md5(F.concat_ws("\x1f", *[df[c] for c in content_cols]))
+    from ..operators.dedup import content_digest_expr
 
-    corpus_hashes = corpus.select(h(corpus).alias("content_hash")).distinct()
-    return stream.withColumn("content_hash", h(stream)).join(
-        corpus_hashes, "content_hash", "left_anti"
-    )
+    corpus_hashes = corpus.select(
+        content_digest_expr(content_cols, corpus).alias("content_hash")
+    ).distinct()
+    return stream.withColumn(
+        "content_hash", content_digest_expr(content_cols, stream)
+    ).join(corpus_hashes, "content_hash", "left_anti")
 
 
 # ---------------------------------------------------------------------------

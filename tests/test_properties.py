@@ -201,6 +201,16 @@ def test_zorder_key_matches_bitwise_reference(spark_prop, pts):
         assert z == _morton_ref(a, b, 8), (a, b)
     assert len(set(got.values())) == len(got)  # injective on the grid
 
+    # the Column-accepting path (public functions surface) must agree with
+    # the SQL-string path exactly
+    got_col = {
+        (r.a, r.b): r.z
+        for r in df.withColumn(
+            "z", zorder_key_expr(F.col("a"), F.col("b"), 8).cast("long")
+        ).collect()
+    }
+    assert got_col == got
+
 
 # ---------------------------------------------------------------------------
 # Incremental dedup: Spark result == pure-Python reference on random corpora
