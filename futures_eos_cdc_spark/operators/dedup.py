@@ -385,6 +385,48 @@ def simhash16_expr(tokens: Column) -> Column:
     return total.cast("long")
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ 1, via bit-flip probes —
+    the operation SimHash exists for (equal-signature buckets miss the
+    single-bit wobble a few changed tokens cause).
+
+    Multi-index equi-join: every doc emits its signature plus all 16
+    single-bit flips; (a, b) are within Hamming 1 iff one of a's 17 probes
+    equals b's signature — and exactly one does (the probes of a doc are
+    pairwise distinct), so the join emits each qualifying pair exactly once
+    under the a < b filter, with NO pair dedup pass. The only shuffle is
+    the 16-bit-key equi-join carrying (id, probe) pairs. The verification
+    column bit_count(xor) is recomputed exactly — free, and it makes the
+    output self-describing. At 64-bit production signatures the same idea
+    uses the 4-block Charikar index (split the signature into k+1 blocks;
+    Hamming ≤ k implies an exact block match) instead of 64 flips.
+    """
+    sigs = docs.select(
+        F.col(id_col), simhash16_expr(tokens_expr(F.col(text_col))).alias("sig")
+    )
+    probes = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.explode(
+            F.array(F.col("sig"), *[
+                F.expr(f"sig ^ {1 << i}") for i in range(16)
+            ])
+        ).alias("probe"),
+    )
+    right = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        probes.join(right, probes.probe == right.sig_b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
+        )
+    )
+
+
 def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("simhash16", simhash16_expr(tokens_expr(F.col(text_col))))
 

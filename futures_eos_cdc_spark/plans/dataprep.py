@@ -308,6 +308,37 @@ def q_simhash(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
+SIMHASH_HAMMING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                   t -> md5(t)) AS hs
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS sig FROM t
+),
+probes AS (
+  SELECT doc_id AS doc_a, sig AS sig_a,
+    unnest([sig, {", ".join(f"xor(sig, {1 << i})" for i in range(16))}]) AS probe
+  FROM s
+)
+SELECT p.doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(p.sig_a, b.sig)) AS INT) AS hamming
+FROM probes p JOIN s b ON p.probe = b.sig
+WHERE p.doc_a < b.doc_id
+"""
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 1 — the bit-flip multi-index
+    join (see operators/dedup.py:simhash_hamming_pairs for the 100 TB
+    shape and the 64-bit Charikar-block generalization)."""
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(spread(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline; left-fold dot products)
 # ---------------------------------------------------------------------------

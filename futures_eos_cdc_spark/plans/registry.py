@@ -477,6 +477,8 @@ QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
 ORACLES["token_block_segments"] = _dp.TOKEN_BLOCK_SEGMENTS_ORACLE
+QUERIES["simhash_hamming_near_dup"] = _bind(_dp.q_simhash_hamming)
+ORACLES["simhash_hamming_near_dup"] = _dp.SIMHASH_HAMMING_ORACLE
 QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
 ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
 QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
@@ -687,6 +689,7 @@ _WALK_FIRST = [
     "embedding_kmeans_clusters",
     "zorder_layout_key",
     "token_block_segments",
+    "simhash_hamming_near_dup",
     "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
     "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
     "minhash_lsh_near_dup",  # similarity/dedup modules touched this round

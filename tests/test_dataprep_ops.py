@@ -395,6 +395,32 @@ def test_dedup_against_corpus_injected_overlap(spark):
     }
 
 
+def test_simhash_hamming_pairs_match_all_pairs_brute_force(spark, sf_dir):
+    """The probe join must find EXACTLY the pairs at Hamming ≤ 1 — verified
+    against the quadratic reference over the fixture's signatures, with
+    each pair emitted exactly once (the no-dedup-needed claim)."""
+    from futures_eos_cdc_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        with_simhash,
+    )
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = {
+        r.doc_id: r.simhash16 for r in with_simhash(docs).collect()
+    }
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    got = [(r.doc_a, r.doc_b, r.hamming) for r in simhash_hamming_pairs(docs).collect()]
+    assert len(got) == len(set(got))  # exactly-once emission
+    assert set(got) == expect
+
+
 def test_token_block_segments_tile_chunks_exactly(spark, sf_dir):
     """Every chunk's segments reconstruct it exactly: per-chunk segment
     tokens sum to n_tokens, no segment crosses a block edge, and segment 1
