@@ -431,6 +431,131 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("simhash16", simhash16_expr(tokens_expr(F.col(text_col))))
 
 
+# ---------------------------------------------------------------------------
+# Production-width SimHash: 64-bit signature + Charikar block index
+# ---------------------------------------------------------------------------
+SIMHASH64_BLOCKS = 4  # Hamming ≤ BLOCKS-1 ⇒ ≥1 exact 16-bit block match
+
+_HEX_TOP = "'8','9','a','b','c','d','e','f'"  # hex digit with bit 3 set
+_HEX_BIT2 = "'4','5','6','7','c','d','e','f'"  # hex digit with bit 2 set
+
+
+def _simhash64_sum_sql(hs_col: str) -> str:
+    """SQL for the 64-bit majority-vote sum over an md5-hex array column.
+
+    Bit c reads md5 hex digit c//2: even c votes on the digit's top bit
+    (value ≥ 8), odd c on its bit 2 (value & 4) — two independent hash bits
+    per digit, so 32 digits yield 64 signature bits, and every vote is a
+    plain substring+IN any SQL engine replays byte-identically. Built as ONE
+    SQL string (not 64 py4j Column calls) per the plan-construction-cost
+    rule; the terms are CASE sums, not an unrolled fold, so codegen is the
+    same plan the 16-bit loop-built variant produces.
+
+    Bit 63's weight is two's-complement MIN_LONG (spelled -(2^63-1)-1: the
+    literal -9223372036854775808 would parse as a DECIMAL in Spark). Summing
+    distinct powers of two never overflows: positive terms total ≤ 2^63-1.
+    """
+    terms = []
+    for c in range(64):
+        digit_pos = c // 2 + 1  # 1-based substring position
+        hexset = _HEX_TOP if c % 2 == 0 else _HEX_BIT2
+        val = "(-9223372036854775807 - 1)" if c == 63 else str(1 << c)
+        terms.append(
+            f"(CASE WHEN 2 * size(filter({hs_col}, h -> "
+            f"substring(h, {digit_pos}, 1) IN ({hexset}))) > size({hs_col}) "
+            f"THEN {val} ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def with_simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig) with the 64-bit SimHash — shuffle-free projection."""
+    hs = F.transform(
+        F.array_distinct(tokens_expr(F.col(text_col))), F.md5
+    )
+    return (
+        docs.select(F.col(id_col), hs.alias("_hs"))
+        .select(id_col, F.expr(_simhash64_sum_sql("_hs")).alias("sig"))
+    )
+
+
+def _block_differs_sql(j: int, a: str = "sig_a", b: str = "sig_b") -> str:
+    return (
+        f"((shiftright({a}, {16 * j}) & 65535) != "
+        f"(shiftright({b}, {16 * j}) & 65535))"
+    )
+
+
+def simhash64_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH64_BLOCKS - 1,
+) -> DataFrame:
+    """Near-dup pairs at 64-bit SimHash Hamming ≤ 3 via the Charikar block
+    index (Charikar STOC'02 / Manku et al. WWW'07) — the production-width
+    variant of `simhash_hamming_pairs`, whose 16-bit signature space (65k
+    buckets) saturates at ~10⁶ docs and whose 64 bit-flip probes would be
+    the wrong candidate generator at this width.
+
+    Block index: split the signature into 4 disjoint 16-bit blocks; by
+    pigeonhole, Hamming ≤ 3 forces the ≤3 differing bits into ≤3 blocks, so
+    at least one block matches EXACTLY — candidates come from 4 equi-joins
+    on (block_id, block_value), i.e. each doc emits 4 rows and the only
+    shuffle keys on a 16-bit block value + block id. Exactly-once emission
+    without a dedup pass: a pair matching in several blocks is kept only at
+    its FIRST matching block (the join row where every lower-indexed block
+    differs — checkable from the two signatures the row already carries).
+    Verification recomputes bit_count(sig_a ^ sig_b) exactly.
+
+    At 100 TB: candidate fan-out per bucket is corpus/2^16 per block in the
+    uniform case; real skew (boilerplate-heavy corpora) concentrates in few
+    buckets — AQE skew-join splits those, and max_hamming stays ≤ 3 so the
+    block count (max_hamming+1) keeps block width ≥ 16 bits.
+
+    max_hamming must be ≤ SIMHASH64_BLOCKS-1 (the pigeonhole guarantee).
+    """
+    if max_hamming > SIMHASH64_BLOCKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {SIMHASH64_BLOCKS}-block "
+            "pigeonhole guarantee (needs max_hamming+1 blocks)"
+        )
+    sigs = with_simhash64(spread(docs), id_col, text_col)
+    blocks = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({b} AS blk, (shiftright(sig, {16 * b}) & 65535) AS bval)"
+            for b in range(SIMHASH64_BLOCKS)
+        )
+        + "))"
+    )
+    left = sigs.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), blocks.alias("bk")
+    ).select("doc_a", "sig_a", "bk.blk", "bk.bval")
+    right = sigs.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), blocks.alias("bk")
+    ).select("doc_b", "sig_b", "bk.blk", "bk.bval")
+    first_match = " OR ".join(
+        f"(blk = {i}"
+        + "".join(f" AND {_block_differs_sql(j)}" for j in range(i))
+        + ")"
+        for i in range(SIMHASH64_BLOCKS)
+    )
+    return (
+        left.join(right, ["blk", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr(f"bit_count(sig_a ^ sig_b) <= {max_hamming}"))
+        .filter(F.expr(first_match))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
+        )
+    )
+
+
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Docs grouped by identical SimHash — constant-width near-dup buckets."""
     return (

@@ -340,6 +340,70 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash + Charikar block index (Hamming ≤ 3) — production width
+# ---------------------------------------------------------------------------
+def _simhash64_bits_duck() -> str:
+    """DuckDB replay of operators/dedup._simhash64_sum_sql: 2 vote bits per
+    md5 hex digit, bit 63 weighted two's-complement MIN_LONG."""
+    top = "'8','9','a','b','c','d','e','f'"
+    bit2 = "'4','5','6','7','c','d','e','f'"
+    terms = []
+    for c in range(64):
+        pos = c // 2 + 1
+        hexset = top if c % 2 == 0 else bit2
+        val = "(-9223372036854775807 - 1)" if c == 63 else str(1 << c)
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, h -> "
+            f"substring(h, {pos}, 1) IN ({hexset}))) > len(hs) "
+            f"THEN {val} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _blk_differs_duck(j: int) -> str:
+    return f"(((a.sig >> {16 * j}) & 65535) != ((b.sig >> {16 * j}) & 65535))"
+
+
+SIMHASH64_HAMMING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                   t -> md5(t)) AS hs
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST({_simhash64_bits_duck()} AS BIGINT) AS sig FROM t
+),
+bk AS (
+  SELECT doc_id, sig, unnest([0, 1, 2, 3]) AS blk FROM s
+),
+bv AS (
+  SELECT doc_id, sig, blk, (sig >> (16 * blk)) & 65535 AS bval FROM bk
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM bv a JOIN bv b ON a.blk = b.blk AND a.bval = b.bval
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.sig, b.sig)) <= 3
+  AND (a.blk = 0
+       OR (a.blk = 1 AND {_blk_differs_duck(0)})
+       OR (a.blk = 2 AND {_blk_differs_duck(0)} AND {_blk_differs_duck(1)})
+       OR (a.blk = 3 AND {_blk_differs_duck(0)} AND {_blk_differs_duck(1)}
+                     AND {_blk_differs_duck(2)}))
+"""
+
+
+def q_simhash64_hamming(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Production-width SimHash near-dup: 64-bit signatures, Charikar
+    4-block candidate index, exact Hamming ≤ 3 verification — the scale
+    path the 16-bit variant's docstring promises (signature space 2^64, so
+    buckets stay sparse at any corpus size)."""
+    from ..operators.dedup import simhash64_hamming_pairs
+
+    return simhash64_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline; left-fold dot products)
 # ---------------------------------------------------------------------------
 COSINE_TOPK_ORACLE = """

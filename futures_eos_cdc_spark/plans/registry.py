@@ -479,6 +479,8 @@ QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
 ORACLES["token_block_segments"] = _dp.TOKEN_BLOCK_SEGMENTS_ORACLE
 QUERIES["simhash_hamming_near_dup"] = _bind(_dp.q_simhash_hamming)
 ORACLES["simhash_hamming_near_dup"] = _dp.SIMHASH_HAMMING_ORACLE
+QUERIES["simhash64_hamming_near_dup"] = _bind(_dp.q_simhash64_hamming)
+ORACLES["simhash64_hamming_near_dup"] = _dp.SIMHASH64_HAMMING_ORACLE
 QUERIES["dedup_incremental_batch"] = _bind(_dp.q_dedup_incremental)
 ORACLES["dedup_incremental_batch"] = _dp.DEDUP_INCREMENTAL_ORACLE
 QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)

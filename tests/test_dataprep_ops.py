@@ -421,6 +421,45 @@ def test_simhash_hamming_pairs_match_all_pairs_brute_force(spark, sf_dir):
     assert set(got) == expect
 
 
+def test_simhash64_block_index_matches_brute_force(spark, sf_dir):
+    """The Charikar 4-block candidate join must find EXACTLY the pairs at
+    64-bit Hamming ≤ 3 — verified against the quadratic reference over the
+    fixture's signatures, each pair emitted exactly once (the
+    first-matching-block filter's no-dedup-needed claim)."""
+    from futures_eos_cdc_spark.operators.dedup import (
+        simhash64_hamming_pairs,
+        with_simhash64,
+    )
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = {r.doc_id: r.sig for r in with_simhash64(docs).collect()}
+    ids = sorted(sigs)
+    mask = (1 << 64) - 1
+    expect = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & mask).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= 3
+    }
+    got = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash64_hamming_pairs(docs).collect()
+    ]
+    assert len(got) == len(set(got))  # exactly-once emission
+    assert set(got) == expect
+
+
+def test_simhash64_rejects_hamming_beyond_block_guarantee(spark):
+    from futures_eos_cdc_spark.operators.dedup import simhash64_hamming_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash64_hamming_pairs(docs, max_hamming=4)
+
+
 def test_token_block_segments_tile_chunks_exactly(spark, sf_dir):
     """Every chunk's segments reconstruct it exactly: per-chunk segment
     tokens sum to n_tokens, no segment crosses a block edge, and segment 1
