@@ -136,7 +136,7 @@ def main() -> None:
                 3,
             )
 
-    # sf1 section: the 5 heaviest queries on a deterministic 10× corpus —
+    # sf1 section: the seven heaviest queries on a deterministic 10× corpus —
     # the data-dominated regime the sf0.1 totals can't show (most queries
     # there sit on the ~0.3-0.6 s task-scheduling floor). Gated to the
     # driver's default sf0.1 run; SPARK_GRAFT_BENCH_SF1=0 disables.
@@ -170,9 +170,10 @@ SF1_DUCK_TIMEOUT_SEC = 170.0  # per-oracle interrupt
 
 def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
     """Spark vs DuckDB on the synthesized 10× corpus (see
-    sources/scale_synth.py: replica texts are token-permuted so near-dup
-    density scales linearly — a faithful 10× workload, not an N² pair
-    explosion). Spark: warm-up + one timed run (data-dominated, so the
+    sources/scale_synth.py: replica texts are token-SUFFIXED into disjoint
+    replicas so near-dup density scales linearly — a faithful 10× workload,
+    not an N² pair explosion; permutation is explicitly rejected there
+    because the fixture's shingle space saturates). Spark: warm-up + one timed run (data-dominated, so the
     min-of-2 JIT guard matters less and the budget buys more queries).
     DuckDB: one run per oracle under an interrupt timeout."""
     import threading

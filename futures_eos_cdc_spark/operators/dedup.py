@@ -159,6 +159,106 @@ def dedup_against_corpus(
     )
 
 
+CANDIDATE_PART_ROWS = 60_000  # ≈ the measured-good 8.1M prefix rows / 128 parts
+CANDIDATE_PART_CAP = 4096
+
+
+def candidate_partitions(spark, *row_counts: int) -> int:
+    """Partition count for a candidate-generation join, sized from DATA
+    STATS rather than the session default.
+
+    BENCH_SCALING measured the failure mode this prevents: ngram-Jaccard's
+    candidate sort-merge join at 100× corpus with partitions pinned at the
+    session's 32 went superlinear (31×/decade — sort spill); re-sizing to
+    128 restored near-linear (12.4×). The same re-run measured the inverse
+    trap: oversizing at small SF costs ~25% in per-task overhead. So: take
+    the LARGEST of the candidate stage's row counts (callers pass the
+    exploded key-row count of the table they already persist — one cheap
+    cached-count stage), target
+    ~CANDIDATE_PART_ROWS rows per partition, never drop below the cluster's
+    parallelism (small SF keeps its small-task regime), and cap to bound
+    scheduler pressure — beyond the cap, per-partition volume grows but by
+    then AQE skew-split is the operative mechanism.
+    """
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    need = max([c for c in row_counts if c] or [0])
+    if not need:
+        return par
+    return min(CANDIDATE_PART_CAP, max(par, math.ceil(need / CANDIDATE_PART_ROWS)))
+
+
+def _sized_for_join(df: DataFrame, n_part: int, *key_cols: str) -> DataFrame:
+    """Repartition for the candidate join ONLY when the data-driven size
+    exceeds what the session would use anyway.
+
+    An explicit repartition pins the join's partitioning, which also opts it
+    out of AQE's runtime choices (broadcast conversion, coalescing) — at
+    small SF that measurably HURTS (+3-4 s on ngram at sf0.1, where AQE
+    broadcasts the 80k-row candidate side). The session default is only
+    wrong in one direction (too FEW partitions at large scale → sort
+    spill), so intervene only in that direction.
+    """
+    session_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_part <= session_parts:
+        return df
+    return df.repartition(n_part, *key_cols)
+
+
+_STATS_MIN_INPUT_BYTES = 4 << 20
+
+
+def _worth_sizing(df: DataFrame) -> bool:
+    """Whether the input is big enough for data-driven exchange sizing to
+    pay for its stats actions (~0.5-1 s of eager driver jobs at sf0.1).
+
+    Decided from the input's parquet file sizes on the driver — zero Spark
+    jobs. Below the threshold the session default is already right (the
+    BENCH_NOTES small-SF oversizing trap is the SAME regime), so skipping
+    the stats there loses nothing. Unknown/remote schemes and unreadable
+    files return True: at cluster scale the stats cost is noise and the
+    sizing is the point.
+    """
+    import os as _os
+    import urllib.parse as _up
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return True
+    if not files:
+        return False  # in-memory frames (tests, literals)
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return True
+        p = _up.unquote(f[5:])
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            return True
+        if total >= _STATS_MIN_INPUT_BYTES:
+            return True
+    return False
+
+
+def _cached_count(df: DataFrame) -> int:
+    """Row count of a persisted DataFrame — one cache-materializing stage.
+
+    The count doubles as the cache's forced materialization (downstream
+    consumers would have paid it on first access anyway), so the only added
+    cost is the single shuffle-free count stage over cached blocks. A Σc²
+    per-key pair-fan-out stat would be the exact join-output size but costs
+    a full extra shuffle — measured +0.8-1.2 s per query at sf0.1, more
+    than the sizing is worth when the input-row proxy already lands within
+    3% of the empirically-good partition count at 100×.
+    """
+    return df.count()
+
+
 def _salted_md5(salt: str):
     # NB: a plain `lambda s, i=i: ...` would be treated by PySpark as a
     # TWO-argument higher-order lambda — the array index silently overrides
@@ -233,11 +333,21 @@ def minhash_lsh_pairs(
     # Candidate generation carries ONLY ids through the band join — shingle
     # sets would otherwise ride the shuffle 4x (once per band) and again
     # through the pair-dedup. They are joined back per unique pair below.
-    banded = sig.select(F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")).select(
-        id_col, "bk.band", "bk.key"
+    # banded is persisted: both join sides read it (one minhash projection,
+    # not two), and the sizing stats below materialize it up front.
+    banded = (
+        sig.select(F.col(id_col), F.explode(lsh_bands_expr()).alias("bk"))
+        .select(id_col, "bk.band", "bk.key")
+        .persist()
     )
-    left = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
+    n_part = (
+        candidate_partitions(docs.sparkSession, _cached_count(banded))
+        if _worth_sizing(docs)
+        else 0  # below _sized_for_join's threshold → keep session sizing
+    )
+    exp = _sized_for_join(banded, n_part, "band", "key")
+    left = exp.select(F.col(id_col).alias("doc_a"), "band", "key")
+    right = exp.select(F.col(id_col).alias("doc_b"), "band", "key")
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -258,7 +368,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
-    return _unpersist_on_gc(out, shingle_sets)
+    return _unpersist_on_gc(out, shingle_sets, banded)
 
 
 def ngram_jaccard_pairs(
@@ -298,7 +408,31 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    ex_all = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # One cheap aggregate over the cache (it doubles as the persist's forced
+    # materialization) yields the exact exploded-shingle row count — the
+    # volume every stage below processes. Sizing from it fixes the 100×
+    # spillers BENCH_SCALING caught at session-default partitions: the freq
+    # groupBy, the ex_all⋈freq sort-merge join, and the collect_list
+    # exchange (the candidate join is sized separately from its own count).
+    # Gated on input size so small corpora skip the stats actions entirely.
+    size_aware = _worth_sizing(docs)
+    n_big = (
+        candidate_partitions(
+            docs.sparkSession,
+            int(base.select(F.sum(F.size("shingles"))).first()[0] or 0),
+        )
+        if size_aware
+        else 0
+    )
+    ex_all = _sized_for_join(
+        base.select(F.col(id_col), F.explode("shingles").alias("shingle")),
+        n_big,
+        "shingle",
+    )
+    # When sized, ex_all is hash-partitioned on shingle, so the groupBy
+    # needs no exchange, and the join below reuses the SAME exchange for
+    # its left side (ReusedExchange) — one sized shuffle replaces two
+    # default-sized ones.
     freq = ex_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Portable composite order key: zero-padded df then shingle — string sort
     # == (df asc, shingle asc) in any engine. Width 19 holds any BIGINT count
@@ -308,8 +442,11 @@ def ngram_jaccard_pairs(
         F.lpad(F.col("df").cast("string"), 19, "0"), F.lit("|"), F.col("shingle")
     )
     keys = (
-        ex_all.join(freq, "shingle")
-        .select(F.col(id_col), order_key.alias("key"))
+        _sized_for_join(
+            ex_all.join(freq, "shingle").select(F.col(id_col), order_key.alias("key")),
+            n_big,
+            id_col,
+        )
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("key")).alias("keys"))
     )
@@ -322,12 +459,21 @@ def ngram_jaccard_pairs(
         ),
     ).withColumn("n", F.size("keys"))
     # Both sides of the candidate self-join read the prefix rows — persist to
-    # avoid recomputing the freq-join + sort twice.
+    # avoid recomputing the freq-join + sort twice. The stats pass over the
+    # cache then sizes the candidate join to the DATA (exploded prefix rows
+    # + exact Σc² pair fan-out) instead of the session default — the
+    # BENCH_SCALING 100×-spill fix, without the small-SF oversizing trap.
     ex = pref.select(F.col(id_col), "n", F.explode("prefix").alias("key")).persist()
+    n_part = (
+        candidate_partitions(docs.sparkSession, _cached_count(ex))
+        if size_aware
+        else 0
+    )
+    exp = _sized_for_join(ex, n_part, "key")
     cand = (
-        ex.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "key")
+        exp.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "key")
         .join(
-            ex.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "key"),
+            exp.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "key"),
             "key",
         )
         .filter(
@@ -340,13 +486,20 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Verification is the 100× cost center (measured: ~93 of ~150 s): the
+    # candidate pairs (~10M at 100×, each eventually carrying two ~1.3 KB
+    # shingle arrays) flow through two sort-merge joins whose sorts spill at
+    # session-default partitions. Size both joins with n_part (no-op at
+    # small SF where n_part == session default).
     sets = base.select(F.col(id_col).alias("sid"), "shingles")
-    pairs = (
-        cand.join(sets.withColumnRenamed("shingles", "sh_a"), cand.doc_a == F.col("sid"))
-        .drop("sid")
-        .join(sets.withColumnRenamed("shingles", "sh_b"), cand.doc_b == F.col("sid"))
-        .drop("sid")
-    )
+    p1 = _sized_for_join(cand, n_part, "doc_a").join(
+        _sized_for_join(sets.withColumnRenamed("shingles", "sh_a"), n_part, "sid"),
+        F.col("doc_a") == F.col("sid"),
+    ).drop("sid")
+    pairs = _sized_for_join(p1, n_part, "doc_b").join(
+        _sized_for_join(sets.withColumnRenamed("shingles", "sh_b"), n_part, "sid"),
+        F.col("doc_b") == F.col("sid"),
+    ).drop("sid")
     # Raw-value filter then round, matching the oracle's order (see
     # minhash_lsh_pairs).
     out = (
