@@ -143,28 +143,64 @@ def decisions_to_orders(
     )
 
 
+def canonical_decimal_sql(x: str, dp: int, int_div: str = "div") -> str:
+    """SQL rendering a POSITIVE double as a canonical decimal string with at
+    most ``dp`` fractional digits (trailing zeros trimmed, at least one
+    digit kept: 1 → '1.0', 0.65 → '0.65').
+
+    The construction uses ONLY IEEE arithmetic (multiply, add, floor) and
+    integer/string ops — every engine computes it bit-identically, unlike
+    float-to-string printers (Jackson's shortest-roundtrip is JDK-version-
+    dependent pre-19 [JDK-4511638]; C printf rounds half-even where Java
+    Formatter rounds half-up; DuckDB's double→VARCHAR is its own printer).
+    The defined semantics are floor(x·10^dp + 0.5) scaled back — callers
+    embed this definition in the wire contract rather than an engine's
+    printer. ``int_div`` is the engine's integer-division spelling ('div'
+    for Spark SQL, '//' for DuckDB).
+    """
+    scale = 10**dp
+    n = f"CAST(floor(({x}) * {scale} + 0.5) AS BIGINT)"
+    frac = f"lpad(CAST({n} % {scale} AS STRING), {dp}, '0')"
+    ft = f"trim(TRAILING '0' FROM {frac})"
+    return (
+        f"(CAST({n} {int_div} {scale} AS STRING) || '.' || "
+        f"CASE WHEN {ft} = '' THEN '0' ELSE {ft} END)"
+    )
+
+
+# JSON payload (P14, OrderService.kt:162-172): field order fixed; numeric
+# fields use the canonical rendering above at wire-defined precisions
+# (qty/price 2dp — their values are constructed at 2dp — confidence 6dp),
+# so the payload is reproducible byte-for-byte by ANY engine, not just a
+# matching Jackson version. Strings are sha-hex / enums / symbols — no
+# escaping needed.
+def _payload_sql(int_div: str) -> str:
+    return (
+        "'{\"orderId\":\"' || id"
+        " || '\",\"clientOrderId\":\"' || client_order_id"
+        " || '\",\"symbol\":\"' || symbol"
+        " || '\",\"side\":\"' || side"
+        f" || '\",\"qty\":' || {canonical_decimal_sql('qty', 2, int_div)}"
+        f" || ',\"price\":' || {canonical_decimal_sql('price', 2, int_div)}"
+        " || ',\"status\":\"' || status"
+        f" || '\",\"confidence\":' || {canonical_decimal_sql('confidence', 6, int_div)}"
+        " || '}'"
+    )
+
+
 def orders_to_outbox(orders: DataFrame, deterministic: bool = True) -> DataFrame:
     """Orders → outbox event rows with JSON payload (P13-P15, S5 shape).
 
-    Payload mirrors OrderService.kt:162-172: order fields + confidence.
+    Payload mirrors OrderService.kt:162-172: order fields + confidence,
+    with the canonical number rendering documented on ``_payload_sql``
+    (one F.expr parse — plan-construction-cost rule).
     """
     event_id = (
         F.sha2(F.concat_ws("|", F.lit("outbox"), F.col("id")), 256)
         if deterministic
         else F.uuid()
     )
-    payload = F.to_json(
-        F.struct(
-            F.col("id").alias("orderId"),
-            F.col("client_order_id").alias("clientOrderId"),
-            F.col("symbol"),
-            F.col("side"),
-            F.col("qty"),
-            F.col("price"),
-            F.col("status"),
-            F.col("confidence"),
-        )
-    )
+    payload = F.expr(_payload_sql("div"))
     return orders.select(
         event_id.alias("event_id"),
         F.lit("ORDER").alias("aggregate_type"),

@@ -52,19 +52,16 @@ FROM w
 LEFT JOIN mp ON w.symbol = mp.symbol
 """
 
-# S8 EventRouter oracle: rebuild the Spark-side `to_json(struct(...))`
-# payload BYTE-equal by string concatenation (fixed field order, no spaces —
-# Jackson's compact layout). Doubles (qty/price/confidence) render via
-# DuckDB's double→VARCHAR, which is shortest-roundtrip decimal exactly like
-# Java's Double.toString in the plain-notation range these values occupy
-# (qty ∈ [1,10] 2dp, price ∈ {dim values, 100.0}, confidence ∈ [0.65, 1.2))
-# — verified byte-for-byte by the driver's hash compare. String fields are
-# sha-hex / fixed enums / symbols: nothing needs JSON escaping.
-# Environment note: pre-JDK-19 Double.toString is not shortest-roundtrip for
-# EVERY double (JDK-4511638); the values this pipeline produces render
-# identically on this JDK (empirically hash-matched at both fixture SFs),
-# but a port to another JRE should re-verify or normalize the rendering
-# (e.g. format_number) rather than assume it.
+# S8 EventRouter oracle: rebuild the Spark-side payload BYTE-equal by the
+# SAME construction — fixed field order, and numeric fields through
+# operators.order_pipeline.canonical_decimal_sql (floor(x·10^dp + 0.5) +
+# integer formatting: pure IEEE + integer/string ops, bit-identical in any
+# engine). No engine float printer is involved on either side, so the match
+# cannot be broken by a JDK or DuckDB upgrade (the r4/r5 hazard: DuckDB's
+# double→VARCHAR happening to equal Jackson's shortest-roundtrip). String
+# fields are sha-hex / fixed enums / symbols: nothing needs JSON escaping.
+from ..operators.order_pipeline import _payload_sql
+
 OUTBOX_ROUTER_ORACLE_SQL = f"""
 WITH ord AS ({ORDERS_ORACLE_SQL}),
 outbox AS (
@@ -73,15 +70,7 @@ outbox AS (
     'ORDER' AS aggregate_type,
     id AS aggregate_id,
     'ORDER_CREATED' AS type,
-    '{{"orderId":"' || id
-      || '","clientOrderId":"' || client_order_id
-      || '","symbol":"' || symbol
-      || '","side":"' || side
-      || '","qty":' || CAST(qty AS VARCHAR)
-      || ',"price":' || CAST(price AS VARCHAR)
-      || ',"status":"' || status
-      || '","confidence":' || CAST(confidence AS VARCHAR)
-      || '}}' AS payload,
+    {_payload_sql("//")} AS payload,
     CAST(created_at_s * 1000 AS BIGINT) AS occurred_at_ms
   FROM ord
 )

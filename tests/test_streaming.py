@@ -304,51 +304,90 @@ def test_arrival_order_last10_stateful(spark, tmp_path):
         q.stop()
 
 
+_SOAK_SCRIPT = r"""
+import json, sys, time
+
+from futures_eos_cdc_spark.session import get_spark
+from futures_eos_cdc_spark.streaming.pipeline import (
+    read_signal_stream_rate,
+    streaming_decide,
+)
+
+spark = get_spark(
+    "rps-soak", cpus=8, shuffle_partitions=8,
+    extra_conf={"spark.ui.showConsoleProgress": "false"},
+)
+q = (
+    streaming_decide(read_signal_stream_rate(spark, rows_per_second=1000))
+    .writeStream.outputMode("append")
+    .format("memory")
+    .queryName("soak")
+    .trigger(processingTime="1 second")
+    .start()
+)
+try:
+    time.sleep(12)
+    progress = q.recentProgress
+finally:
+    q.stop()
+rates = sorted(
+    p["processedRowsPerSecond"] for p in progress if p["numInputRows"] > 0
+)
+durs = sorted(
+    p["durationMs"]["triggerExecution"] for p in progress if p["numInputRows"] > 0
+)
+out = {
+    "rate": rates[len(rates) // 2] if rates else 0.0,
+    "dur": durs[len(durs) // 2] if durs else 1 << 30,
+    "batches": len(rates),
+}
+print("SOAK_RESULT " + json.dumps(out))
+"""
+
+
 @pytest.mark.slow
-def test_rate_source_sustains_1000_rps(spark):
+def test_rate_source_sustains_1000_rps():
     """BASELINE.md streaming bar: ≥1,000 signals/s with the 5-min windowed
     aggregation without falling behind (batch duration < trigger interval).
 
-    One retry: the soak measures real wall-clock throughput, so a busy box
-    (the full suite saturating all cores) can depress a single run below
-    target without the pipeline being at fault — two consecutive misses is
-    the genuine signal."""
-    from futures_eos_cdc_spark.streaming.pipeline import (
-        read_signal_stream_rate,
-        streaming_decide,
-    )
-    import time
+    Runs in a FRESH subprocess JVM: the soak measures real wall-clock
+    throughput, and in-process it failed under full-suite load (heap/GC
+    state accumulated by ~200 prior tests on the shared session) while
+    passing in isolation — a perf bar that cries wolf erodes the signal.
+    The subprocess reproduces the in-isolation condition deterministically;
+    one respawn retry guards against one-off machine hiccups.
+    """
+    import json
+    import os
+    import subprocess
+    import sys
 
-    def soak(name: str) -> tuple[float, float]:
-        q = (
-            streaming_decide(read_signal_stream_rate(spark, rows_per_second=1000))
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(processingTime="1 second")
-            .start()
-        )
-        try:
-            time.sleep(12)
-            progress = q.recentProgress
-        finally:
-            q.stop()
-        assert progress, "no progress recorded"
-        rates = sorted(
-            p["processedRowsPerSecond"] for p in progress if p["numInputRows"] > 0
-        )
-        durs = sorted(
-            p["durationMs"]["triggerExecution"]
-            for p in progress
-            if p["numInputRows"] > 0
-        )
-        assert rates, "no non-empty batches"
-        # medians: first batches may be slow while codegen warms
-        return rates[len(rates) // 2], durs[len(durs) // 2]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    rate, dur = soak("soak1")
+    def soak() -> tuple[float, float]:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-c", _SOAK_SCRIPT],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env=env,
+            cwd=repo,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("SOAK_RESULT "):
+                out = json.loads(line[len("SOAK_RESULT "):])
+                assert out["batches"] > 0, "no non-empty batches"
+                return out["rate"], out["dur"]
+        raise AssertionError(
+            f"soak subprocess produced no result (rc={proc.returncode}):\n"
+            f"{proc.stdout[-1000:]}\n{proc.stderr[-1000:]}"
+        )
+
+    rate, dur = soak()
     if rate < 1000 or dur > 1000:
-        rate, dur = soak("soak1_retry")
+        rate, dur = soak()
     assert rate >= 1000, rate
     assert dur <= 1000, dur
 
