@@ -73,9 +73,22 @@ def content_digest_expr(content_cols: list[str], df: DataFrame | None = None) ->
     """THE canonical content identity every dedup operator keys on: md5 over
     the unit-separator-joined content columns. Centralized so batch and
     streaming dedup can never silently diverge on separator, hash function,
-    or null handling (concat_ws skips NULLs). Pass ``df`` to disambiguate
-    column references when two DataFrames are in scope (joins)."""
-    cols = [(df[c] if df is not None else F.col(c)) for c in content_cols]
+    or null handling. Pass ``df`` to disambiguate column references when
+    two DataFrames are in scope (joins).
+
+    NULLs are sentinel-encoded (``\\x00``, a byte no text column contains)
+    rather than concat_ws-skipped (ADVICE r5): skipping made content with
+    NULLs in different positions collide — ['a', NULL, 'b'] and
+    ['a', 'b', NULL] both digested 'a\\x1fb', so multi-column dedup could
+    merge genuinely different rows. Non-null single-column digests are
+    unchanged (coalesce is identity there), so existing oracles that replay
+    md5(text) still match."""
+    cols = [
+        F.coalesce(
+            (df[c] if df is not None else F.col(c)).cast("string"), F.lit("\x00")
+        )
+        for c in content_cols
+    ]
     return F.md5(F.concat_ws("\x1f", *cols))
 
 

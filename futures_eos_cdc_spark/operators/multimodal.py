@@ -365,23 +365,45 @@ def synth_and_decode_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def resize_stub(multimodal: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize is metadata-only in the stub: payload passes through untouched,
-    meta is rewritten. A real kernel would transform payload bytes in the
-    same mapInPandas shape as decode_features."""
-    return multimodal.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.format").alias("format"),
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
-        ),
-    )
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over a media table (doc_id, format, payload):
+    each ``image/ppm`` payload is decoded, nearest-neighbor index-mapped,
+    and re-encoded by :func:`resize_ppm` inside an Arrow ``mapInPandas``
+    stage — payload bytes never shuffle, batches stay partition-local, and
+    swapping in bilinear/Lanczos or a PIL-backed JPEG path changes exactly
+    one bytes→bytes function.
+
+    Non-PPM rows raise (the honest-rejection rule for codecs this
+    container lacks): a mixed media table must be filtered by format
+    first — silently passing audio through a resize would mask pipeline
+    wiring bugs.
+    """
+    _ship_module_by_value()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bad = pdf.loc[pdf["format"] != "image/ppm", "format"]
+            if len(bad):
+                raise ValueError(
+                    f"resize_media: unsupported format {bad.iloc[0]!r} — "
+                    "filter to image/ppm rows first"
+                )
+            out = pdf.copy()
+            out["payload"] = [
+                resize_ppm(p, width, height) for p in pdf["payload"]
+            ]
+            yield out
+
+    return media.mapInPandas(batches, media.schema)
 
 
-def frame_sample_stub(multimodal: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """'Frame sampling' on the fake payload: one row per every_n_bytes slice,
-    exercising the explode-shaped output a video pipeline produces."""
+def _frame_sample_bytes(multimodal: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Byte-slice 'frame sampling' plumbing exerciser (PRIVATE: the fixture
+    media are single images / audio clips — no real frame structure exists
+    in this container; a video build replaces the slicer with an
+    ffmpeg-backed decoder in the same explode shape): one row per
+    every_n_bytes slice, exercising the explode-shaped output a video
+    pipeline produces."""
     n_frames = F.greatest(
         F.lit(1), (F.length(F.col("payload")) / every_n_bytes).cast("int")
     )

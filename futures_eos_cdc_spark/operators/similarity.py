@@ -303,7 +303,26 @@ def ivf_train(
     partial (map-side) sums keep per-group state at one double, so a hot cell
     never materializes its member vectors (the collect_list formulation OOMs
     at corpus scale — a cell with 1e9 members is a 256 GB array).
+
+    PRECONDITION (ADVICE r5): every embedding must be non-null with exactly
+    ``dim`` elements. The member counts are derived from the (cell, dim_idx)
+    group row counts — a NULL/empty vector emits no posexplode rows (it
+    would vanish from the averages), and a ragged vector would skew the
+    per-dimension counts. Enforced below with one cheap aggregate rather
+    than silently mistraining.
     """
+    bad = (
+        embeddings.select(F.col(vec_col).alias("vec"))
+        .filter(F.col("vec").isNull() | (F.size("vec") != dim))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"ivf_train: embeddings must be non-null with exactly dim={dim} "
+            "elements (null/ragged vectors would silently skew the "
+            "count-from-grid centroid averaging)"
+        )
     centroids = _hyperplanes(dim, n_cells, seed)
     v = embeddings.select(F.col(vec_col).alias("vec"))
     for _ in range(iters):

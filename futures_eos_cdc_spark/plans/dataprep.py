@@ -856,14 +856,20 @@ _BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")
 
 DEDUP_INCREMENTAL_ORACLE = f"""
 WITH corpus AS (
+  -- NOT EXISTS instead of NOT IN (ADVICE r5): one NULL text in the corpus
+  -- would make a NULL content_hash and NOT IN would return ZERO rows,
+  -- silently diverging from the Spark side's null-skipping digest. Safe
+  -- today (fixtures have no NULL text), robust to fixture changes.
   SELECT DISTINCT md5(text) AS content_hash FROM documents
-  WHERE source NOT IN {_BATCH_SOURCES}
+  WHERE source NOT IN {_BATCH_SOURCES} AND text IS NOT NULL
 ), cand AS (
   SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-  FROM documents
+  FROM documents d
   WHERE source IN {_BATCH_SOURCES}
-    AND md5(text) NOT IN (SELECT content_hash FROM corpus)
+    AND NOT EXISTS (
+      SELECT 1 FROM corpus c WHERE c.content_hash = md5(d.text)
+    )
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
        CAST(n_chars AS BIGINT) AS n_chars, content_hash

@@ -681,50 +681,50 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # new this round (r5) or implementation/oracle changed since the last
+    # new this round (r6) or implementation/oracle changed since the last
     # driver check — need fresh green rows under the NEW definition
-    "dedup_keep_rows",
-    "global_shuffle_shards",
-    "dedup_incremental_batch",
-    "decontaminate_docs",
-    "corpus_token_stats",
-    "embedding_kmeans_clusters",
-    "zorder_layout_key",
-    "token_block_segments",
-    "simhash_hamming_near_dup",
-    "ann_cosine_ivf",  # rows-only → hash-matched (replayed centroid literals)
-    "embedding_near_dup",  # rows-only → hash-matched (left-fold kernels)
-    "minhash_lsh_near_dup",  # similarity/dedup modules touched this round
-    "cosine_topk_bruteforce",
-    "multimodal_features",  # fused synth+decode into one mapInPandas stage
-    "token_blocks",  # null-safe (lang, shard) stitch join
-    "approx_aggregates",  # exact-distinct pass split out of sketch path
-    # no r04 row — rotate forward so r4∪r5 covers every query; doc_chunks
-    # leads because its oracle changed in r4 without a driver re-check
-    "doc_chunks",
-    "topk_per_group",
-    "rollup_subtotals",
-    "pivot_by_status",
-    "set_ops_priority_customers",
-    "customers_without_orders",
-    "doc_repetition_stats",
-    "pii_scrub",
-    "mixture_resample",
-    "ann_cosine_lsh",
-    "signal_strength_histogram",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "cdc_customer_snapshot",
-    "scd2_customer_history",
+    "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
+    "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
+    "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins
+    "dedup_clusters",  # consumes minhash pairs
+    "outbox_event_router",  # canonical payload number rendering (both sides)
+    "orders_from_decisions",  # shares the rewritten order leg
+    "dedup_incremental_batch",  # oracle NOT IN → NOT EXISTS (NULL-robust)
+    "dedup_keep_rows",  # content_digest_expr null-sentinel change
+    "exact_dedup_keep_first",  # same digest change
+    "ann_cosine_ivf",  # ivf_train non-null/fixed-dim precondition added
+    "embedding_kmeans_clusters",  # shares ivf_train
+    # no r05 row — rotate forward so r5 ∪ r6 covers every query
+    "q22_idle_wealthy_customers",
+    "decision_records",
+    "train_val_test_split",
+    "tfidf_top_terms",
+    "order_value_percentiles",
+    "grouping_sets_revenue",
+    "range_join_click_attribution",
+    "stratified_sample_per_lang",
+    "order_price_histogram",
+    "window_functions",
+    "moving_aggregates",
+    "full_outer_reconciliation",
+    "skew_salted_aggregate",
+    "distinct_aggregates",
+    "sessionize_events",
+    "asof_join_purchases",
+    "cube_order_stats",
+    "sliding_window_events",
+    "text_stats",
+    "corpus_clean_funnel",
+    "benchmark_contamination",
+    "simhash_buckets",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "above_brand_avg_parts",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

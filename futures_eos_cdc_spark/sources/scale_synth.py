@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 ID_STRIDE = 10_000_000
 SEED = 20260814
@@ -193,6 +194,17 @@ def ensure_scaled_dir(
         if valid:
             shutil.rmtree(stage, ignore_errors=True)
         else:
-            shutil.rmtree(out_dir, ignore_errors=True)
+            # Move the invalid/stale dir ASIDE, then install the stage
+            # (ADVICE r5): an in-place rmtree would yank files from under a
+            # concurrent reader mid-scan over the stale dir; after the
+            # aside-rename that reader finishes against the renamed inode
+            # paths it already opened, and only then is the junk deleted.
+            aside = f"{out_dir}.stale.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+            try:
+                os.rename(out_dir, aside)
+            except FileNotFoundError:
+                aside = None
             os.rename(stage, out_dir)
+            if aside:
+                shutil.rmtree(aside, ignore_errors=True)
     return out_dir

@@ -21,10 +21,102 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer tried to publish into a versioned store."""
+
+
+DEFAULT_LEASE_TTL_S = 600.0
+
+
+class _WriterLease:
+    """TTL lease file enforcing the versioned stores' single-writer rule.
+
+    The versioned-parquet writers are correct ONLY single-writer (their
+    pointer swap is last-write-wins; two writers would silently interleave
+    snapshot lineages). Through round 5 that was a documented convention;
+    this makes it enforced: a writer must hold ``_WRITER_LOCK`` in the
+    store dir, created O_EXCL, heartbeat-renewed (mtime) on every publish,
+    and released on clean shutdown. A second writer FAILS LOUDLY with
+    :class:`ConcurrentWriterError` unless the lease is stale (no heartbeat
+    for ``ttl_s`` — a crashed holder), in which case takeover re-races
+    through unlink + O_EXCL so exactly one contender wins.
+
+    TTL staleness (not pid-liveness) is deliberate: it is the only signal
+    that works on a shared filesystem where writers run on different hosts.
+    Upgrade path: Delta/Iceberg replace this file with optimistic commit
+    protocols (conditional pointer swap + conflict detection), which add
+    multi-writer MERGE; until those jars are available, the lease turns the
+    documented constraint into an error instead of corruption.
+    """
+
+    def __init__(self, base_dir: str, run_id: str, ttl_s: float = DEFAULT_LEASE_TTL_S):
+        self.path = os.path.join(base_dir, "_WRITER_LOCK")
+        self.run_id = run_id
+        self.ttl_s = ttl_s
+
+    def _holder_age(self) -> tuple[str, float | None]:
+        try:
+            st = os.stat(self.path)
+            with open(self.path) as fh:
+                holder = (fh.read().split() or [""])[0]
+            return holder, time.time() - st.st_mtime
+        except OSError:
+            return "", None
+
+    def _create(self) -> None:
+        fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{self.run_id} {os.getpid()} {time.time():.3f}")
+
+    def acquire(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        try:
+            self._create()
+            return
+        except FileExistsError:
+            pass
+        holder, age = self._holder_age()
+        if age is not None and age < self.ttl_s:
+            raise ConcurrentWriterError(
+                f"{self.path} held by live writer {holder!r} "
+                f"(heartbeat {age:.1f}s ago, ttl {self.ttl_s}s); release() the "
+                "other writer or wait out the lease"
+            )
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        try:
+            self._create()  # losing the takeover race fails loudly below
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"lost stale-lease takeover race on {self.path}"
+            ) from None
+
+    def check_and_renew(self) -> None:
+        holder, _ = self._holder_age()
+        if holder != self.run_id:
+            raise ConcurrentWriterError(
+                f"{self.path} no longer held by this writer "
+                f"(holder={holder!r}) — a concurrent writer took over; "
+                "refusing to publish over its lineage"
+            )
+        os.utime(self.path)
+
+    def release(self) -> None:
+        holder, _ = self._holder_age()
+        if holder == self.run_id:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
 
 
 def jdbc_orders_outbox_writer(jdbc_url: str, properties: dict[str, str]):
@@ -147,6 +239,7 @@ def parquet_cdc_merge_writer(
     ts_col: str = "ts_ms",
     op_col: str = "op",
     tiebreak_cols: list[str] | None = None,
+    lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
 ):
     """foreachBatch writer that continuously maintains the CDC current-state
     snapshot: each micro-batch of changes is merged latest-wins into the
@@ -166,13 +259,22 @@ def parquet_cdc_merge_writer(
     ordering guarantee. This is the locally-verifiable twin of a
     Delta/Iceberg MERGE or the JDBC upsert path; superseded versions are
     garbage-collected best-effort after the pointer swap.
+
+    Single-writer is ENFORCED via a TTL lease (see :class:`_WriterLease`):
+    creating a second writer on a base_dir whose lease is live raises
+    :class:`ConcurrentWriterError`. Call ``write.release()`` on clean
+    shutdown (after ``query.stop()``); a crashed writer's lease expires
+    after ``lease_ttl_s`` without heartbeats.
     """
     store = _VersionedParquet(base_dir)
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
+    lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
+    lease.acquire()
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.order_pipeline import cdc_latest_snapshot
 
+        lease.check_and_renew()
         spark = batch_df.sparkSession
         cur, last_epoch, last_run, _ = store.current()
         # Replay gate: batch ids are only comparable within one query run.
@@ -192,6 +294,7 @@ def parquet_cdc_merge_writer(
         )
         store.publish(merged, epoch_id, run_id)
 
+    write.release = lease.release
     return write
 
 
@@ -258,6 +361,7 @@ def parquet_incremental_agg_writer(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     checkpoint_fingerprint: str | None = None,
+    lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
 ):
     """foreachBatch writer maintaining a streaming materialized view of
     mergeable per-key aggregates (count / sum / min / max): each micro-batch
@@ -279,6 +383,14 @@ def parquet_incremental_agg_writer(
     checkpointLocation — e.g. the path itself) to make the crash-recovery
     skip exact: a same-batch-id delivery from a DIFFERENT checkpoint is new
     data, not a replay, and raises instead of silently skipping.
+
+    Single-writer is ENFORCED via the same TTL lease as the CDC writer
+    (the epoch/fingerprint gates catch backward-epoch interleaving, but a
+    concurrent writer publishing a HIGHER epoch would silently ⊕-merge over
+    the other's lineage — the lease closes that hole). ``write.release()``
+    on clean shutdown; ``lease_ttl_s=0`` restores the trust-the-caller
+    pre-lease behavior (every existing lease treated as stale) for
+    crash-recovery drills that restart within the TTL window.
     """
     from ..operators.signal_pipeline import DEC
 
@@ -287,6 +399,8 @@ def parquet_incremental_agg_writer(
     max_cols = max_cols or []
     store = _VersionedParquet(base_dir)
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
+    lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
+    lease.acquire()
 
     def _partial(df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias("n")]
@@ -303,6 +417,7 @@ def parquet_incremental_agg_writer(
         return a.unionByName(b).groupBy(*key_cols).agg(*aggs)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        lease.check_and_renew()
         spark = batch_df.sparkSession
         cur, last_epoch, last_run, last_fp = store.current()
         if epoch_id == last_epoch and last_run not in ("", run_id):
@@ -350,4 +465,5 @@ def parquet_incremental_agg_writer(
             view = _merge(spark.read.parquet(cur), view)
         store.publish(view, epoch_id, run_id, checkpoint_fingerprint or "")
 
+    write.release = lease.release
     return write

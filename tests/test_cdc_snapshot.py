@@ -227,6 +227,7 @@ def test_cdc_writer_fresh_checkpoint_new_run_not_dropped(spark, tmp_path):
     os.makedirs(base)
     run1 = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
     run1(b1, 5)  # first run got to batch 5
+    run1.release()  # clean shutdown hands the writer lease to the successor
     # fresh checkpoint → new query run → batch ids restart at 0
     run2 = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
     run2(b2, 0)
@@ -252,9 +253,10 @@ def test_agg_writer_cross_run_regression_fails_loudly(spark, tmp_path):
     df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
     base = str(tmp_path / "agg_rerun")
     os.makedirs(base)
-    run1 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
+    run1 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"], lease_ttl_s=0)
     run1(df, 3)
-    run2 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
+    # crash drill: run1 died un-released; ttl 0 treats its lease as stale
+    run2 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"], lease_ttl_s=0)
     with pytest.raises(RuntimeError, match="Reset base_dir"):
         run2(df, 0)
     # crash recovery: the app died after publishing batch 3 but before the
@@ -357,18 +359,82 @@ def test_agg_writer_fingerprint_detects_foreign_checkpoint_collision(spark, tmp_
     base = str(tmp_path / "agg_fp")
     os.makedirs(base)
     run_a = parquet_incremental_agg_writer(
-        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/A"
+        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/A", lease_ttl_s=0
     )
     run_a(df, 0)
     # crash replay: new writer instance, SAME checkpoint → skip, no double count
     run_a2 = parquet_incremental_agg_writer(
-        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/A"
+        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/A", lease_ttl_s=0
     )
     run_a2(df, 0)
     assert [(r.k, float(r.sum_v)) for r in read_cdc_snapshot(spark, base).collect()] == [(1, 10.0)]
     # foreign checkpoint, colliding batch id → loud failure, not silent drop
     run_b = parquet_incremental_agg_writer(
-        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/B"
+        base, ["k"], sum_cols=["v"], checkpoint_fingerprint="/ckpt/B", lease_ttl_s=0
     )
     with pytest.raises(RuntimeError, match="not a crash replay"):
         run_b(df, 0)
+
+
+def test_concurrent_cdc_writer_raises_not_interleaves(spark, tmp_path):
+    """The single-writer rule is ENFORCED (r5 VERDICT next-round #7): while
+    one writer's lease is live, creating a second writer on the same
+    base_dir raises ConcurrentWriterError instead of silently interleaving
+    snapshot lineages; a usurped writer's next publish also fails loudly."""
+    import os
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        ConcurrentWriterError,
+        parquet_cdc_merge_writer,
+        read_cdc_snapshot,
+    )
+
+    schema = "id long, op string, ts_ms long, seq long, val string"
+    b1 = spark.createDataFrame([(1, "c", 100, 1, "v1")], schema)
+    base = str(tmp_path / "cdc_lock")
+    os.makedirs(base)
+    w1 = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    w1(b1, 0)
+    with pytest.raises(ConcurrentWriterError, match="held by live writer"):
+        parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    # clean release hands over; the successor works
+    w1.release()
+    w2 = parquet_cdc_merge_writer(base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    b2 = spark.createDataFrame([(1, "u", 200, 2, "v2")], schema)
+    w2(b2, 0)
+    assert {r.val for r in read_cdc_snapshot(spark, base).collect()} == {"v2"}
+    # a stale lease (crashed holder, no heartbeats past the ttl) is taken
+    # over -- and the usurped writer's next publish fails loudly
+    w3 = parquet_cdc_merge_writer(
+        base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"], lease_ttl_s=0
+    )
+    with pytest.raises(ConcurrentWriterError, match="no longer held"):
+        w2(b2, 1)
+    w3(b2, 1)  # the takeover winner still publishes fine
+    w3.release()
+
+
+def test_agg_writer_lease_blocks_forward_epoch_interleave(spark, tmp_path):
+    """The lease closes the agg writer's one silent-corruption hole: a
+    concurrent writer whose batch ids are AHEAD of the view would pass the
+    epoch gates and merge over the other lineage — it must not get as far
+    as constructing."""
+    import os
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        ConcurrentWriterError,
+        parquet_incremental_agg_writer,
+    )
+
+    df = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    base = str(tmp_path / "agg_lock")
+    os.makedirs(base)
+    w1 = parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
+    w1(df, 0)
+    with pytest.raises(ConcurrentWriterError, match="held by live writer"):
+        parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
+    w1.release()
