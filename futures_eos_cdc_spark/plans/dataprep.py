@@ -709,6 +709,74 @@ def q_dedup_keep_rows(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sub-document (line-level) dedup — CCNet / RefinedWeb style
+# ---------------------------------------------------------------------------
+LINE_SPAN = 3  # fixture docs are single-line token soup: synthesize "lines"
+# as non-overlapping 3-token spans (~40-word vocab → 64k combinations, so
+# cross-document duplicate lines actually occur at fixture scale; a real
+# corpus splits on '\n' instead — line_dedup_flags is splitter-agnostic)
+
+LINE_DEDUP_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents
+), lines AS (
+  SELECT doc_id,
+         CAST((start - 1) // {LINE_SPAN} AS BIGINT) AS line_idx,
+         array_to_string(list_slice(arr, start, start + {LINE_SPAN - 1}), ' ') AS line
+  FROM arrs, unnest(generate_series(1, len(arr), {LINE_SPAN})) AS t(start)
+), flagged AS (
+  SELECT doc_id, line_idx, line,
+         count(*) OVER (PARTITION BY line) AS n_copies,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+  FROM lines
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '')) AS kept_text_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Line-level exact dedup across the corpus (CCNet/RefinedWeb): every
+    occurrence of a line after the corpus-wide first (order = doc_id,
+    line_idx) is dropped, and each doc reports how much of it survived plus
+    the md5 of its reconstructed text — proving byte-identical surviving
+    content against the oracle.
+
+    Plan: the line explode is map-side (split + sequence + slice, zero
+    shuffle); the dedup is one map-side-combined groupBy on the line digest
+    plus a digest-keyed join (skew-robust for viral boilerplate lines — see
+    operators/dedup.py:line_dedup_flags); reassembly is one exchange on
+    doc_id. Three exchanges total, none carrying more than (digest, line,
+    ids) width.
+    """
+    from ..operators.dedup import line_dedup_flags, reassemble_deduped_docs
+
+    ws = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    lines = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("arr"), F.lit(LINE_SPAN))
+        ).alias("line_idx", "start_tok"),
+        F.array_join(F.slice(F.col("arr"), F.col("start_tok"), LINE_SPAN), " ").alias(
+            "line"
+        ),
+    ).select("doc_id", F.col("line_idx").cast("long").alias("line_idx"), "line")
+    return reassemble_deduped_docs(line_dedup_flags(lines)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        "n_dup_lines",
+        "kept_text_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic global shuffle + training-shard layout
 # ---------------------------------------------------------------------------
 _N_SHARDS = 8

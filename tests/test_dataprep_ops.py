@@ -542,3 +542,43 @@ def test_token_blocks_keeps_null_lang_docs(spark):
     # NULL-lang group is packed contiguously: doc 40001 (2nd null shard)
     # starts at doc 1's total token count
     assert by_doc[40001].stream_offset == 6
+
+
+def test_line_dedup_keep_first_and_boilerplate_drop(spark):
+    """CCNet-style line dedup: only the corpus-wide first occurrence of each
+    line survives (order = doc_id, line_idx); with max_copies set, viral
+    boilerplate lines are dropped entirely; reassembly md5 equals the
+    locally-computed join of surviving lines."""
+    import hashlib
+
+    from futures_eos_cdc_spark.operators.dedup import (
+        line_dedup_flags,
+        reassemble_deduped_docs,
+    )
+
+    rows = [
+        # doc 1: banner, unique, banner-again (intra-doc dup)
+        (1, 0, "cookie banner"), (1, 1, "alpha beta"), (1, 2, "cookie banner"),
+        # doc 2: banner (cross-doc dup), unique
+        (2, 0, "cookie banner"), (2, 1, "gamma delta"),
+        # doc 3: all lines seen elsewhere first
+        (3, 0, "cookie banner"), (3, 1, "alpha beta"),
+    ]
+    lines = spark.createDataFrame(rows, "doc_id long, line_idx long, line string")
+
+    flagged = line_dedup_flags(lines)
+    kept = {(r.doc_id, r.line_idx) for r in flagged.collect() if r.keep}
+    assert kept == {(1, 0), (1, 1), (2, 1)}  # first occurrences only
+
+    # boilerplate rule: lines with > 2 copies vanish even at first occurrence
+    noboiler = line_dedup_flags(lines, max_copies=2)
+    kept2 = {(r.doc_id, r.line_idx) for r in noboiler.collect() if r.keep}
+    assert kept2 == {(1, 1), (2, 1)}
+
+    docs = {r.doc_id: r for r in reassemble_deduped_docs(flagged).collect()}
+    # n_dup_lines counts lines whose content is duplicated ANYWHERE in the
+    # corpus: banner x2 plus "alpha beta" (doc 3 holds a copy) = 3
+    assert (docs[1].n_lines, docs[1].n_kept, docs[1].n_dup_lines) == (3, 2, 3)
+    assert (docs[3].n_lines, docs[3].n_kept, docs[3].n_dup_lines) == (2, 0, 2)
+    assert docs[1].kept_text_md5 == hashlib.md5(b"cookie banner alpha beta").hexdigest()
+    assert docs[3].kept_text_md5 == hashlib.md5(b"").hexdigest()
