@@ -99,48 +99,54 @@ def decisions_to_orders(
     ``decisions`` needs: symbol, window_start_s, action, confidence.
     ``prices`` is the (symbol, price) dim — broadcast.
     """
-    gated = filter_actionable(decisions, threshold)
-
-    side = (
-        F.when(F.col("action").isin("BUY", "STRONG_BUY"), "BUY")
-        .when(F.col("action").isin("SELL", "STRONG_SELL"), "SELL")
-        .otherwise(F.lit(None))
-    )
-
+    # One spark.sql parse over two temp views — the same plan the Column-API
+    # construction produced (filter → project → broadcast left join), at a
+    # fraction of the py4j construction cost. Double literals that the old
+    # code pre-computed in Python (1.0 - threshold, QTY_MAX - QTY_BASE) are
+    # inlined with repr() so the IEEE values are bit-identical.
+    spark = decisions.sparkSession
+    decisions.createOrReplaceTempView("_orders_dec_in")
+    prices.createOrReplaceTempView("_orders_prices_in")
+    actionable = ", ".join(f"'{a}'" for a in ACTIONABLE)
     if deterministic:
-        order_id = F.sha2(
-            F.concat_ws("|", F.col("symbol"), F.col("window_start_s")), 256
-        )
-        created_at_s = F.col("window_start_s").cast("long")
+        order_id = "sha2(concat_ws('|', symbol, window_start_s), 256)"
+        created_at_s = "CAST(window_start_s AS BIGINT)"
     else:
-        order_id = F.uuid()
-        created_at_s = F.unix_timestamp(F.current_timestamp())
-
-    with_id = gated.withColumn("id", order_id).withColumn("created_at_s", created_at_s)
-
-    client_order_id = F.concat(
-        F.lit("ORD-"),
-        (F.col("created_at_s") * 1000).cast("string"),
-        F.lit("-"),
-        F.substring(F.col("id"), 1, 8),
+        order_id = "uuid()"
+        created_at_s = "unix_timestamp(current_timestamp())"
+    # P12 (confidence_scaled_qty): qty = base + span * clamp(frac, 0, 1), 2dp
+    frac = f"((adj_confidence - {threshold!r}d) / {(1.0 - threshold)!r}d)"
+    qty = (
+        f"round({QTY_BASE!r}d + {(QTY_MAX - QTY_BASE)!r}d"
+        f" * least(1.0d, greatest(0.0d, {frac})), 2)"
     )
-
-    return (
-        with_id.join(F.broadcast(prices.withColumnRenamed("price", "mkt_price")), "symbol", "left")
-        .select(
-            F.col("id"),
-            client_order_id.alias("client_order_id"),
-            F.col("symbol"),
-            side.alias("side"),
-            confidence_scaled_qty(F.col("adj_confidence"), threshold).alias("qty"),
-            F.coalesce(F.col("mkt_price"), F.lit(DEFAULT_MARKET_PRICE)).alias("price"),
-            F.lit("PENDING").alias("status"),
-            F.col("created_at_s"),
-            F.col("created_at_s").alias("updated_at_s"),  # P16 touch-on-write
-            F.col("confidence"),
-            F.col("adj_confidence"),
-        )
-    )
+    return spark.sql(f"""
+WITH gated AS (
+  SELECT *,
+    CASE WHEN startswith(action, 'STRONG') THEN confidence * 1.2d
+         ELSE confidence END AS adj_confidence
+  FROM _orders_dec_in
+  WHERE action IN ({actionable})
+), with_id AS (
+  SELECT *, {order_id} AS id, {created_at_s} AS created_at_s
+  FROM gated WHERE adj_confidence >= {threshold!r}d
+)
+SELECT /*+ BROADCAST(p) */
+  w.id,
+  concat('ORD-', CAST(w.created_at_s * 1000 AS STRING), '-',
+         substring(w.id, 1, 8)) AS client_order_id,
+  w.symbol,
+  CASE WHEN w.action IN ('BUY', 'STRONG_BUY') THEN 'BUY'
+       WHEN w.action IN ('SELL', 'STRONG_SELL') THEN 'SELL' END AS side,
+  {qty} AS qty,
+  coalesce(p.price, {DEFAULT_MARKET_PRICE!r}d) AS price,
+  'PENDING' AS status,
+  w.created_at_s,
+  w.created_at_s AS updated_at_s,
+  w.confidence,
+  w.adj_confidence
+FROM with_id w LEFT JOIN _orders_prices_in p ON w.symbol = p.symbol
+""")
 
 
 def canonical_decimal_sql(x: str, dp: int, int_div: str = "div") -> str:
@@ -196,19 +202,16 @@ def orders_to_outbox(orders: DataFrame, deterministic: bool = True) -> DataFrame
     (one F.expr parse — plan-construction-cost rule).
     """
     event_id = (
-        F.sha2(F.concat_ws("|", F.lit("outbox"), F.col("id")), 256)
-        if deterministic
-        else F.uuid()
+        "sha2(concat_ws('|', 'outbox', id), 256)" if deterministic else "uuid()"
     )
-    payload = F.expr(_payload_sql("div"))
-    return orders.select(
-        event_id.alias("event_id"),
-        F.lit("ORDER").alias("aggregate_type"),
-        F.col("id").alias("aggregate_id"),
-        F.lit("ORDER_CREATED").alias("type"),
-        payload.alias("payload"),
-        F.col("created_at_s").alias("occurred_at_s"),
-        (F.col("created_at_s") * 1000).cast("long").alias("occurred_at_ms"),  # P15
+    return orders.selectExpr(
+        f"{event_id} AS event_id",
+        "'ORDER' AS aggregate_type",
+        "id AS aggregate_id",
+        "'ORDER_CREATED' AS type",
+        f"{_payload_sql('div')} AS payload",
+        "created_at_s AS occurred_at_s",
+        "CAST(created_at_s * 1000 AS BIGINT) AS occurred_at_ms",  # P15
     )
 
 
@@ -219,15 +222,13 @@ def outbox_event_router(outbox: DataFrame) -> DataFrame:
     routing by aggregate_type), headers carried as columns
     (pg-outbox-connector.yaml:31-53).
     """
-    return outbox.select(
-        F.col("aggregate_id").alias("key"),
-        F.col("payload").alias("value"),
-        F.concat(F.lit("trading."), F.lower(F.col("aggregate_type")), F.lit("s")).alias(
-            "topic"
-        ),
-        F.col("event_id").alias("header_event_id"),
-        F.col("type").alias("header_event_type"),
-        F.col("occurred_at_ms").alias("header_occurred_at_ms"),
+    return outbox.selectExpr(
+        "aggregate_id AS key",
+        "payload AS value",
+        "concat('trading.', lower(aggregate_type), 's') AS topic",
+        "event_id AS header_event_id",
+        "type AS header_event_type",
+        "occurred_at_ms AS header_occurred_at_ms",
     )
 
 

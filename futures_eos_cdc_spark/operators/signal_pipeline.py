@@ -126,25 +126,21 @@ def signals_from_events(events: DataFrame) -> DataFrame:
     sources.tables.load_table) and is truncated to epoch-micros ``ts_us`` —
     the finest precision DuckDB's parquet reader preserves.
     """
-    sym = F.col("user_id") % 5
-    return events.select(
-        F.col("event_id").alias("signal_id"),
-        F.when(sym == 0, SYMBOLS[0])
-        .when(sym == 1, SYMBOLS[1])
-        .when(sym == 2, SYMBOLS[2])
-        .when(sym == 3, SYMBOLS[3])
-        .otherwise(SYMBOLS[4])
-        .alias("symbol"),
-        F.when(F.col("event_type").isin(*BUY_EVENT_TYPES), "BUY")
-        .otherwise("SELL")
-        .alias("side"),
-        (F.col("event_id") % 50 / 100.0 + 0.01).alias("qty"),
-        F.col("value").alias("price"),
-        F.when(F.col("event_id") % 3 == 0, "1m")
-        .when(F.col("event_id") % 3 == 1, "5m")
-        .otherwise("15m")
-        .alias("timeframe"),
-        F.expr("ts div 1000").alias("ts_us"),
+    buy_types = ", ".join(f"'{t}'" for t in BUY_EVENT_TYPES)
+    return events.selectExpr(
+        "event_id AS signal_id",
+        f"""CASE WHEN user_id % 5 = 0 THEN '{SYMBOLS[0]}'
+                 WHEN user_id % 5 = 1 THEN '{SYMBOLS[1]}'
+                 WHEN user_id % 5 = 2 THEN '{SYMBOLS[2]}'
+                 WHEN user_id % 5 = 3 THEN '{SYMBOLS[3]}'
+                 ELSE '{SYMBOLS[4]}' END AS symbol""",
+        f"CASE WHEN event_type IN ({buy_types}) THEN 'BUY' ELSE 'SELL' END AS side",
+        "((event_id % 50) / 100.0d + 0.01d) AS qty",
+        "value AS price",
+        """CASE WHEN event_id % 3 = 0 THEN '1m'
+                WHEN event_id % 3 = 1 THEN '5m'
+                ELSE '15m' END AS timeframe""",
+        "ts div 1000 AS ts_us",
     )
 
 
@@ -180,6 +176,107 @@ def _dec_avg(sum_col: str, cnt_col: str) -> Column:
 # ---------------------------------------------------------------------------
 # The full decision pipeline (batch form, window-function based)
 # ---------------------------------------------------------------------------
+def _decide_sql(view: str, window_seconds: int, round_dp: int) -> str:
+    """The whole decide() pipeline as ONE SQL statement (see decide()'s
+    docstring for the operator semantics and the per-clause A*/D* mapping).
+
+    Why SQL and not the Column API: the logical plan is identical either
+    way (one parse, same Catalyst tree), but building it expression-object
+    by expression-object cost ~2,000 py4j round trips ≈ 0.4-0.5 s of
+    driver-side latency per construction — measured as the dominant cost of
+    the decision-family queries at sf0.1. The statement is a structured
+    query (CTEs, window, two aggregates), NOT an unrolled constant fold, so
+    the no-giant-expression codegen caveat (BENCH_NOTES r5 §1) does not
+    apply."""
+    w_us = window_seconds * 1_000_000
+    dec = DEC.upper()
+    return f"""
+WITH b AS (
+  SELECT *, CAST((ts_us div {w_us}) * {window_seconds} AS BIGINT) AS window_start_s
+  FROM {view}
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY symbol, window_start_s, timeframe
+    ORDER BY ts_us DESC, signal_id DESC) AS rn
+  FROM b
+), tf_agg AS (
+  SELECT symbol, window_start_s, timeframe,
+    sum(CASE WHEN side = 'BUY' THEN 1 ELSE -1 END) AS balance_tf,
+    count(1) AS cnt_all,
+    count(CASE WHEN rn <= {BUFFER_KEEP} THEN 1 END) AS cnt_buf,
+    sum(CASE WHEN rn <= {BUFFER_KEEP} THEN CAST(price AS {dec}) END) AS sum_p,
+    sum(CASE WHEN rn <= {BUFFER_KEEP} THEN CAST(price * price AS {dec}) END) AS sum_p2,
+    count(CASE WHEN rn <= {BUFFER_KEEP} AND side = 'BUY' THEN 1 END) AS buf_buy,
+    count(CASE WHEN rn <= {BUFFER_KEEP} AND NOT side = 'BUY' THEN 1 END) AS buf_sell,
+    slice(reverse(array_sort(collect_list(
+      CASE WHEN rn <= {BUFFER_KEEP} THEN struct(ts_us, signal_id, qty) END
+    ))), 1, {TOP_RECENT}) AS recent_tf
+  FROM r GROUP BY symbol, window_start_s, timeframe
+), tf2 AS (
+  SELECT *,
+    CAST(sum_p AS DOUBLE) / cnt_buf AS avg_price_tf,
+    CASE WHEN cnt_buf < 2 THEN 0.0d ELSE
+      sqrt(greatest(CAST(sum_p2 AS DOUBLE) / cnt_buf
+                    - (CAST(sum_p AS DOUBLE) / cnt_buf) * (CAST(sum_p AS DOUBLE) / cnt_buf),
+                    0.0d)) END AS vol_tf,
+    CASE WHEN buf_buy > buf_sell THEN 'BUY' ELSE 'SELL' END AS maj_side
+  FROM tf_agg
+), agg AS (
+  SELECT symbol, window_start_s,
+    count(1) AS n_timeframes,
+    sum(balance_tf) AS balance,
+    sum(least(cnt_all, {BUFFER_KEEP})) AS n_signals,
+    CAST(sum(CAST(avg_price_tf AS {dec})) AS DOUBLE) / count(1) AS avg_price,
+    CAST(sum(CAST(vol_tf AS {dec})) AS DOUBLE) / count(1) AS avg_volatility,
+    CASE WHEN min(maj_side) = max(maj_side) THEN 1.0d ELSE 0.5d END AS alignment,
+    slice(reverse(array_sort(flatten(collect_list(recent_tf)))), 1, {TOP_RECENT}) AS recent5
+  FROM tf2
+  GROUP BY symbol, window_start_s
+  HAVING count(1) >= 2
+), act AS (
+  SELECT *,
+    CAST(aggregate(recent5, CAST('0' AS {dec}),
+                   (acc, x) -> CAST(acc + CAST(x.qty AS {dec}) AS {dec}))
+         AS DOUBLE) / size(recent5) AS qty_recent,
+    CASE WHEN balance > {STRONG_BUY_MIN} THEN 'STRONG_BUY'
+         WHEN balance > {BUY_MIN} THEN 'BUY'
+         WHEN balance < {STRONG_SELL_MAX} THEN 'STRONG_SELL'
+         WHEN balance < {SELL_MAX} THEN 'SELL'
+         ELSE 'HOLD' END AS action
+  FROM agg
+)
+SELECT symbol,
+  CAST(window_start_s AS BIGINT) AS window_start_s,
+  CAST(n_timeframes AS BIGINT) AS n_timeframes,
+  CAST(n_signals AS BIGINT) AS n_signals,
+  CAST(balance AS BIGINT) AS balance,
+  round(avg_price, {round_dp}) AS avg_price,
+  alignment,
+  round(avg_volatility, {round_dp}) AS avg_volatility,
+  action,
+  CASE WHEN action = 'HOLD' THEN 0.5d ELSE
+    round(least(1.0d,
+                alignment * 0.4d
+                + least(1.0d, abs(balance) / 10.0d) * 0.4d
+                + greatest(0.3d, 1.0d - avg_volatility / 100.0d) * 0.2d),
+          {round_dp}) END AS confidence,
+  round(avg_price * CASE WHEN action = 'STRONG_BUY' THEN {PRICE_MULT["STRONG_BUY"]}d
+                         WHEN action = 'BUY' THEN {PRICE_MULT["BUY"]}d
+                         WHEN action = 'SELL' THEN {PRICE_MULT["SELL"]}d
+                         WHEN action = 'STRONG_SELL' THEN {PRICE_MULT["STRONG_SELL"]}d
+                         ELSE 1.0d END,
+        {round_dp}) AS suggested_price,
+  CASE WHEN action = 'HOLD' THEN 0.0d
+       ELSE floor(qty_recent * 10000) / 10000.0d END AS suggested_qty,
+  CASE WHEN startswith(action, 'STRONG') THEN
+         CASE WHEN alignment > 0.8d THEN 'ALIGNED_SIGNALS' ELSE 'MOMENTUM_SHIFT' END
+       WHEN action IN ('BUY', 'SELL') THEN 'ALIGNED_SIGNALS'
+       ELSE CASE WHEN alignment < 0.6d THEN 'DIVERGENT_SIGNALS'
+                 ELSE 'INSUFFICIENT_DATA' END END AS reason
+FROM act
+"""
+
+
 def decide(
     signals: DataFrame,
     window_seconds: int = WINDOW_SECONDS,
@@ -191,7 +288,27 @@ def decide(
     (epoch micros, LongType). Output: symbol, window_start_s, n_timeframes,
     n_signals, balance, avg_price, alignment, avg_volatility, action,
     confidence, suggested_price, suggested_qty, reason.
+
+    The plan is built by ONE spark.sql parse over a temp view
+    (see :func:`_decide_sql` for why); ``spark.sql`` analyzes eagerly, so
+    the returned DataFrame's plan is fixed at this call — re-registering
+    the view for a later decide() cannot retroactively change it. The
+    sections below document the operator semantics clause by clause.
     """
+    spark = signals.sparkSession
+    signals.createOrReplaceTempView("_sigpipe_decide_in")
+    return spark.sql(_decide_sql("_sigpipe_decide_in", window_seconds, round_dp))
+
+
+def _decide_column_api(
+    signals: DataFrame,
+    window_seconds: int = WINDOW_SECONDS,
+    round_dp: int = 6,
+) -> DataFrame:
+    """The original Column-API construction of decide(), kept as the
+    readable clause-by-clause reference AND pinned equal to the SQL path by
+    tests/test_relational_extra.py — if the two ever diverge, the pytest
+    names the clause."""
     b = signals.withColumn("window_start_s", window_start_s_expr(window_seconds))
 
     # A2: rank within (symbol, window, timeframe) by recency; rn<=10 is the buffer
@@ -377,35 +494,40 @@ def to_decision_records(
     timestamp from the window (SURVEY.md §7.4.3); production mode uses
     uuid()/current_timestamp() like the reference.
     """
-    b = signals.withColumn("window_start_s", window_start_s_expr())
-    w_tf = Window.partitionBy("symbol", "window_start_s", "timeframe").orderBy(
-        F.desc("ts_us"), F.desc("signal_id")
-    )
-    buf = b.withColumn("rn", F.row_number().over(w_tf)).filter(F.col("rn") <= BUFFER_KEEP)
-    sig_arrays = buf.groupBy("symbol", "window_start_s").agg(
-        F.reverse(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("ts_us", "signal_id", "side", "qty", "price", "timeframe")
-                )
-            )
-        ).alias("signals")  # struct sort is lexicographic on (ts_us, ...) → reverse = desc
-    )
+    # One spark.sql parse (same plan as the Column-API construction this
+    # replaces — join + rank + bounded collect — at ~1/30th the py4j
+    # construction cost; struct sort is lexicographic on (ts_us, ...) so
+    # reverse = most-recent-first).
+    spark = signals.sparkSession
+    signals.createOrReplaceTempView("_sigpipe_recs_sig")
+    decisions.createOrReplaceTempView("_sigpipe_recs_dec")
+    w_us = WINDOW_SECONDS * 1_000_000
     if deterministic:
-        dec_id = F.sha2(F.concat_ws("|", F.col("symbol"), F.col("window_start_s")), 256)
-        ts = (F.col("window_start_s") + WINDOW_SECONDS).cast("long")
+        dec_id = "sha2(concat_ws('|', d.symbol, d.window_start_s), 256)"
+        ts = f"CAST(d.window_start_s + {WINDOW_SECONDS} AS BIGINT)"
     else:
-        dec_id = F.uuid()
-        ts = F.unix_timestamp(F.current_timestamp())
-    return decisions.join(sig_arrays, ["symbol", "window_start_s"]).select(
-        dec_id.alias("id"),
-        "symbol",
-        "action",
-        "confidence",
-        "suggested_price",
-        "suggested_qty",
-        "signals",
-        ts.alias("timestamp_s"),
-        "reason",
-        "window_start_s",
-    )
+        dec_id = "uuid()"
+        ts = "unix_timestamp(current_timestamp())"
+    return spark.sql(f"""
+WITH b AS (
+  SELECT *, CAST((ts_us div {w_us}) * {WINDOW_SECONDS} AS BIGINT) AS window_start_s
+  FROM _sigpipe_recs_sig
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY symbol, window_start_s, timeframe
+    ORDER BY ts_us DESC, signal_id DESC) AS rn
+  FROM b
+), sig_arrays AS (
+  SELECT symbol, window_start_s,
+    reverse(array_sort(collect_list(
+      struct(ts_us, signal_id, side, qty, price, timeframe)))) AS signals
+  FROM r WHERE rn <= {BUFFER_KEEP}
+  GROUP BY symbol, window_start_s
+)
+SELECT {dec_id} AS id,
+  d.symbol, d.action, d.confidence, d.suggested_price, d.suggested_qty,
+  s.signals, {ts} AS timestamp_s, d.reason, d.window_start_s
+FROM _sigpipe_recs_dec d
+JOIN sig_arrays s
+  ON d.symbol = s.symbol AND d.window_start_s = s.window_start_s
+""")
