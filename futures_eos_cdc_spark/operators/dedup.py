@@ -213,6 +213,90 @@ def line_dedup_flags(
     return keyed.join(first, "line_digest").withColumn("keep", keep).drop("_first")
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 3,
+    min_len: int = 4,
+    max_gram_occ: int = 1_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans (≥ ``min_len`` tokens) between document
+    pairs — the Spark-native formulation of exact-substring dedup (the
+    published approach builds a corpus suffix array on one giant machine;
+    the gram-diagonal formulation below reaches the same cross-document
+    duplicated passages with only hash exchanges, at the cost of the
+    documented frequency cap).
+
+    How: every k-gram occurrence becomes (doc, pos, md5(gram)); equal grams
+    across two docs are candidate matches; matches between one doc pair
+    lying on one diagonal (pos_a - pos_b constant) at consecutive positions
+    are the SAME duplicated passage, merged by the classic gap-and-island
+    key (pos - row_number) into a single span row of length
+    (run_length + k - 1). A span shorter than ``min_len`` is noise (any
+    shared k tokens); the default reports only spans that extend beyond
+    one gram.
+
+    Scale: gram identity is a 16-byte md5 (constant-width shuffle keys);
+    the self-join is the candidate explosion point, so grams occurring
+    more than ``max_gram_occ`` times corpus-wide are EXCLUDED first (a
+    boilerplate gram in 1e6 docs would emit 1e12 position pairs; the
+    suffix-array approach hits the same wall as one mega-run). The cap is
+    part of the operator's semantics — "spans all of whose grams occur
+    ≤ max_gram_occ times" — deterministic and oracle-replayable, not a
+    sampling shortcut; callers needing viral-gram spans raise it
+    explicitly. The islands window runs per (doc_a, doc_b, diagonal) —
+    group sizes are bounded by the shorter doc's length, never corpus
+    scale.
+    """
+    grams = (
+        docs.select(F.col(id_col).alias("doc"), F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"))
+        .filter(F.size("arr") >= k)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.size("arr") - (k - 1))).alias("p"),
+            "arr",
+        )
+        .select(
+            "doc",
+            "p",
+            F.md5(F.array_join(F.slice(F.col("arr"), F.col("p"), k), " ").cast("binary")).alias(
+                "gram"
+            ),
+        )
+    )
+    ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ")).filter(
+        F.col("n_occ") <= max_gram_occ
+    )
+    g = grams.join(ok.select("gram"), "gram")
+    a, b = g.alias("a"), g.alias("b")
+    m = a.join(
+        b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+    )
+    from pyspark.sql import Window
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "run_key", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "run_key")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + (k - 1)).cast("long").alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    )
+
+
 def reassemble_deduped_docs(
     flagged: DataFrame,
     doc_col: str = "doc_id",

@@ -777,6 +777,63 @@ def q_line_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring duplicated spans (suffix-array-free formulation)
+# ---------------------------------------------------------------------------
+SPAN_K = 3  # gram width; spans must extend beyond one gram to be reported
+SPAN_MIN_LEN = 4
+SPAN_MAX_OCC = 1_000
+
+DUP_SPANS_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents
+), grams AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+         array_to_string(list_slice(arr, p, p + {SPAN_K - 1}), ' ') AS gram
+  FROM arrs, unnest(generate_series(1, len(arr) - {SPAN_K - 1}, 1)) AS t(p)
+), ok AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) <= {SPAN_MAX_OCC}
+), g AS (
+  SELECT grams.* FROM grams JOIN ok USING (gram)
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT *, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run_key
+  FROM m
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(min(pa) AS BIGINT) AS start_a, CAST(min(pb) AS BIGINT) AS start_b,
+       CAST(count(*) + {SPAN_K - 1} AS BIGINT) AS len_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, run_key
+HAVING count(*) + {SPAN_K - 1} >= {SPAN_MIN_LEN}
+"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Cross-document duplicated passages ≥ {SPAN_MIN_LEN} tokens — the
+    exact-substring dedup signal (the published big-ticket sub-document
+    dedup) via the gram-diagonal formulation: see
+    operators/dedup.py:duplicate_spans for semantics and the 100 TB shape
+    (constant-width gram keys, frequency-capped candidate join, per-pair
+    islands window)."""
+    from ..operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        spread(_t(spark, sf_dir, "documents")),
+        k=SPAN_K,
+        min_len=SPAN_MIN_LEN,
+        max_gram_occ=SPAN_MAX_OCC,
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "start_a",
+        "start_b",
+        "len_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic global shuffle + training-shard layout
 # ---------------------------------------------------------------------------
 _N_SHARDS = 8

@@ -471,6 +471,8 @@ QUERIES["dedup_keep_rows"] = _bind(_dp.q_dedup_keep_rows)
 ORACLES["dedup_keep_rows"] = _dp.DEDUP_KEEP_ROWS_ORACLE
 QUERIES["line_dedup_docs"] = _bind(_dp.q_line_dedup)
 ORACLES["line_dedup_docs"] = _dp.LINE_DEDUP_ORACLE
+QUERIES["duplicate_text_spans"] = _bind(_dp.q_duplicate_spans)
+ORACLES["duplicate_text_spans"] = _dp.DUP_SPANS_ORACLE
 QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
@@ -686,6 +688,7 @@ _WALK_FIRST = [
     # new this round (r6) or implementation/oracle changed since the last
     # driver check — need fresh green rows under the NEW definition
     "line_dedup_docs",  # NEW: CCNet-style sub-document line dedup
+    "duplicate_text_spans",  # NEW: exact-substring duplicated spans
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

@@ -582,3 +582,34 @@ def test_line_dedup_keep_first_and_boilerplate_drop(spark):
     assert (docs[3].n_lines, docs[3].n_kept, docs[3].n_dup_lines) == (2, 0, 2)
     assert docs[1].kept_text_md5 == hashlib.md5(b"cookie banner alpha beta").hexdigest()
     assert docs[3].kept_text_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_duplicate_spans_maximal_runs_and_caps(spark):
+    """Gram-diagonal exact-substring spans: a shared passage is reported
+    once, maximal, with correct 1-based starts; spans not extending beyond
+    one gram are suppressed by min_len; viral grams beyond max_gram_occ
+    drop out of candidates entirely."""
+    from futures_eos_cdc_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),
+            (2, "q a b c d e r s"),
+            (3, "x y z a b c w v"),   # shares "a b c" (len 3 < min_len) with 1,2
+            (4, "m n o p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.len_tokens)
+        for r in duplicate_spans(docs, k=3, min_len=4).collect()
+    }
+    # docs 1-2 share "a b c d e": maximal, once, 1-based positions
+    assert spans[(1, 2)] == (1, 2, 5)
+    # doc 3's "x y z" with doc 1 and "a b c" with 1,2 are single grams -> dropped
+    assert (1, 3) not in spans and (2, 3) not in spans
+    assert len(spans) == 1
+
+    # frequency cap: the shared 5-token run contains 3 grams, each occurring
+    # twice; max_gram_occ=1 excludes them all -> no spans anywhere
+    assert duplicate_spans(docs, k=3, min_len=4, max_gram_occ=1).count() == 0
