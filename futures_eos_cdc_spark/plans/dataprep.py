@@ -1085,6 +1085,129 @@ def q_decontaminate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 top-k retrieval (Okapi BM25, Robertson-Sparck-Jones smoothed idf)
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_K1P1 = BM25_K1 + 1.0  # 2.2
+_BM25_1MB = 1.0 - BM25_B  # 0.25
+BM25_TOPK = 10
+# Fixed query set over the fixture vocabulary; a real deployment feeds any
+# small query table in its place (it is broadcast, never shuffled).
+BM25_QUERIES = [
+    (1, "spark join merge"),
+    (2, "window filter sort"),
+    (3, "hash table scan"),
+    (4, "stream batch data"),
+]
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, s in BM25_QUERIES for t in s.split()
+)
+
+# Per-term score is rounded to 6dp BEFORE the per-(query,doc) sum (ln() can
+# differ in the last ulp across libm implementations — same convention as
+# TFIDF_ORACLE), the sum runs in DECIMAL(38,10) (summation-order-proof), and
+# the final decimal→double goes through VARCHAR on the DuckDB side (its
+# direct decimal→double is not correctly rounded). Every decimal literal is
+# CAST to DOUBLE so DuckDB's decimal arithmetic never diverges from Spark's
+# double arithmetic.
+BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS len_d FROM toks
+), ex AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len_d) AS DOUBLE) / count(*) AS avgdl FROM lens
+), qt(query_id, term) AS (
+  VALUES {_BM25_QT_VALUES}
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+    round(ln(CAST(1.0 AS DOUBLE) + (s.n_docs - df.df + CAST(0.5 AS DOUBLE))
+                                    / (df.df + CAST(0.5 AS DOUBLE)))
+          * tf.tf * CAST({_BM25_K1P1!r} AS DOUBLE)
+          / (tf.tf + CAST({BM25_K1!r} AS DOUBLE)
+                     * (CAST({_BM25_1MB!r} AS DOUBLE)
+                        + CAST({BM25_B!r} AS DOUBLE) * l.len_d / s.avgdl)),
+          6) AS term_score
+  FROM tf JOIN qt q USING (term) JOIN df USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id,
+    CAST(CAST(sum(CAST(term_score AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS score
+  FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """BM25 top-{BM25_TOPK} documents per query — lexical retrieval, the
+    text-side complement of the ANN embedding searches (and the retrieval
+    scorer RAG / eval-set mining pipelines run at corpus scale).
+
+    Plan at 100 TB: tf is the only corpus-sized aggregate (one exchange on
+    (doc, term)); df is vocabulary-sized and broadcast (same shape as
+    tfidf_top_terms); the query-term table and the one-row corpus stats are
+    broadcast; joining query terms FIRST shrinks everything downstream to
+    docs containing query terms. Ranking is a per-query WindowGroupLimit —
+    top-k never sorts the corpus."""
+    from ..operators.text import tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    lens = toks.select("doc_id", F.size("t").cast("long").alias("len_d"))
+    ex = toks.select("doc_id", F.explode("t").alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("len_d").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, s in BM25_QUERIES for t in s.split()],
+        "query_id long, term string",
+    )
+    term_score = (
+        f"round(ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d))"
+        f" * tf * {_BM25_K1P1!r}d"
+        f" / (tf + {BM25_K1!r}d * ({_BM25_1MB!r}d + {BM25_B!r}d * len_d / avgdl)),"
+        f" 6)"
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", F.expr(term_score))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(38,10)")).cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document (corpus statistics pipeline)
 # ---------------------------------------------------------------------------
 TFIDF_ORACLE = """

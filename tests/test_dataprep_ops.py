@@ -613,3 +613,30 @@ def test_duplicate_spans_maximal_runs_and_caps(spark):
     # frequency cap: the shared 5-token run contains 3 grams, each occurring
     # twice; max_gram_occ=1 excludes them all -> no spans anywhere
     assert duplicate_spans(docs, k=3, min_len=4, max_gram_occ=1).count() == 0
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """BM25 retrieval: ranks are dense 1..k per query, scores descend with
+    the doc_id tiebreak, and every scored doc actually contains at least
+    one query term."""
+    from futures_eos_cdc_spark.plans.dataprep import BM25_QUERIES, q_bm25_topk
+    from futures_eos_cdc_spark.plans.registry import _t
+
+    res = q_bm25_topk(spark, sf_dir, _t).collect()
+    assert len(res) > 0
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    terms = {qid: set(s.split()) for qid, s in BM25_QUERIES}
+    docs = {
+        r.doc_id: set(r.text.lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+            assert a.score > 0
+        for r in rows:
+            assert docs[r.doc_id] & terms[qid]
