@@ -1085,6 +1085,91 @@ def q_decontaminate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filtering signal)
+# ---------------------------------------------------------------------------
+PPLX_K = 0.5  # add-k smoothing
+
+PERPLEXITY_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+  FROM toks, unnest(generate_series(2, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+), uc AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(t) AS term FROM toks)
+), scored AS (
+  SELECT bg.doc_id,
+    round(ln((bc.c2 + CAST({PPLX_K!r} AS DOUBLE))
+             / (uc.c1 + CAST({PPLX_K!r} AS DOUBLE) * vocab.v)), 6) AS lp
+  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(-CAST(CAST(sum(CAST(lp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        / count(*), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Per-document bigram-LM perplexity (as mean negative log-prob) under an
+    add-k-smoothed model trained on the corpus itself — the quality-filter
+    signal CCNet-style pipelines threshold on (high avg_neg_logprob ⇒
+    improbable text ⇒ candidate junk). Self-training is the declarative
+    stand-in for an external KenLM; pointing the count CTEs at a reference
+    corpus table changes nothing structurally.
+
+    Plan at 100 TB: bigram explode is map-side; model "training" is two
+    count aggregates (bigram table ≲ vocab², unigram table = vocab); the
+    scoring join keys on (w1, w2) — constant-width keys, one exchange per
+    side, and the model tables are far smaller than the corpus so AQE
+    broadcasts them when they fit. Per-bigram log-probs round to 6dp before
+    the DECIMAL(38,10) per-doc sum (ln ulp convention, as tfidf/bm25).
+    """
+    from ..operators.text import tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(2, size(t)),"
+            " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.expr(f"round(ln((c2 + {PPLX_K!r}d) / (c1 + {PPLX_K!r}d * v)), 6)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logprob"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams", "avg_neg_logprob"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 top-k retrieval (Okapi BM25, Robertson-Sparck-Jones smoothed idf)
 # ---------------------------------------------------------------------------
 BM25_K1 = 1.2

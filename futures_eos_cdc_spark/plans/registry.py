@@ -475,6 +475,8 @@ QUERIES["duplicate_text_spans"] = _bind(_dp.q_duplicate_spans)
 ORACLES["duplicate_text_spans"] = _dp.DUP_SPANS_ORACLE
 QUERIES["bm25_topk_retrieval"] = _bind(_dp.q_bm25_topk)
 ORACLES["bm25_topk_retrieval"] = _dp.BM25_ORACLE
+QUERIES["doc_perplexity_scores"] = _bind(_dp.q_doc_perplexity)
+ORACLES["doc_perplexity_scores"] = _dp.PERPLEXITY_ORACLE
 QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
@@ -692,6 +694,7 @@ _WALK_FIRST = [
     "line_dedup_docs",  # NEW: CCNet-style sub-document line dedup
     "duplicate_text_spans",  # NEW: exact-substring duplicated spans
     "bm25_topk_retrieval",  # NEW: Okapi BM25 lexical retrieval
+    "doc_perplexity_scores",  # NEW: bigram-LM perplexity quality signal
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

@@ -640,3 +640,49 @@ def test_bm25_ranking_invariants(spark, sf_dir):
             assert a.score > 0
         for r in rows:
             assert docs[r.doc_id] & terms[qid]
+
+def test_perplexity_hand_computed_on_tiny_corpus(spark, sf_dir):
+    """Pin the bigram-LM semantics by exact hand computation: add-k
+    conditional counts, 6dp-rounded per-bigram log-probs, exact decimal
+    sum, mean negated. (The fixture corpus is random token soup, so
+    discrimination-style assertions are meaningless there — the oracle
+    pins engine parity; this pins the math.)"""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from futures_eos_cdc_spark.plans.dataprep import PPLX_K, q_doc_perplexity
+
+    texts = {1: "a b a c", 2: "a b b", 3: "c a b"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def _t_tiny(spark_, sf_dir_, name):
+        assert name == "documents"
+        return docs
+
+    got = {r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+           for r in q_doc_perplexity(spark, sf_dir, _t_tiny).collect()}
+
+    toks = {d: t.split() for d, t in texts.items()}
+    bigrams = [(d, (w[i - 1], w[i])) for d, w in toks.items() for i in range(1, len(w))]
+    c2, c1, vocab = {}, {}, set()
+    for _, (x, y) in bigrams:
+        c2[(x, y)] = c2.get((x, y), 0) + 1
+        c1[x] = c1.get(x, 0) + 1
+    for w in toks.values():
+        vocab.update(w)
+    v = len(vocab)
+    want = {}
+    for d, w in toks.items():
+        lps = [round(math.log((c2[(w[i-1], w[i])] + PPLX_K) / (c1[w[i-1]] + PPLX_K * v)), 6)
+               for i in range(1, len(w))]
+        total = sum(Decimal(str(x)) for x in lps)
+        # Spark round() is HALF_UP; Python round() is half-even — the mean
+        # of exact 6dp decimals CAN land on a tie (doc 3 here), so quantize
+        # explicitly. The division must be float (the engine divides
+        # doubles); only the final rounding mode differs.
+        mean = Decimal(str(-float(total) / len(lps)))
+        want[d] = (
+            len(lps),
+            float(mean.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)),
+        )
+    assert got == want
