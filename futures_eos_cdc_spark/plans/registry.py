@@ -420,6 +420,85 @@ FROM r GROUP BY symbol, bucket_s
 """)
 
 
+GAPFILL_ORACLE = f"""
+WITH signals AS (
+  SELECT
+    event_id AS signal_id,
+    CASE user_id % 5
+      WHEN 0 THEN 'BTCUSDT' WHEN 1 THEN 'ETHUSDT' WHEN 2 THEN 'SOLUSDT'
+      WHEN 3 THEN 'XRPUSDT' ELSE 'NAS100' END AS symbol,
+    value AS price,
+    epoch_us(ts) AS ts_us
+  FROM events
+), b AS (
+  SELECT *, (ts_us // {CANDLE_SECONDS * 1_000_000}) * {CANDLE_SECONDS} AS bucket_s
+  FROM signals
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, bucket_s
+                               ORDER BY ts_us DESC, signal_id DESC) AS rn
+  FROM b
+), closes AS (
+  SELECT symbol, bucket_s, price AS close FROM r WHERE rn = 1
+), bounds AS (
+  SELECT symbol, min(bucket_s) AS lo, max(bucket_s) AS hi FROM closes GROUP BY symbol
+), grid AS (
+  SELECT symbol, CAST(g.x AS BIGINT) AS bucket_s
+  FROM bounds, unnest(generate_series(lo, hi, {CANDLE_SECONDS})) AS g(x)
+)
+SELECT g.symbol, g.bucket_s,
+  last_value(c.close IGNORE NULLS) OVER (
+    PARTITION BY g.symbol ORDER BY g.bucket_s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price,
+  c.close IS NULL AS is_gap
+FROM grid g LEFT JOIN closes c
+  ON g.symbol = c.symbol AND g.bucket_s = c.bucket_s
+"""
+
+
+@query("gap_fill_price_grid", GAPFILL_ORACLE)
+def q_gap_fill_price_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-symbol minute grid with forward-filled last-trade price —
+    the resample/completion step every time-series consumer runs before
+    indicators or joins against other grids (the batch twin of a
+    gap-filling stream). ``is_gap`` marks carried-forward rows.
+
+    Plan at scale: closes are one exchange (window keys = bucket keys);
+    the grid explode is map-side from a per-symbol (min, max) bound row;
+    the forward fill is a running ``last(price, ignoreNulls)`` per symbol —
+    sequential per symbol by nature, parallel across symbols (a real
+    deployment range-partitions (symbol, coarse-day) and stitches segment
+    boundaries, same as any prefix-scan shape).
+    """
+    from ..operators.signal_pipeline import signals_from_events
+
+    sig = signals_from_events(_t(spark, sf_dir, "events"))
+    sig.createOrReplaceTempView("_gapfill_in")
+    return spark.sql(f"""
+WITH b AS (
+  SELECT symbol, price, ts_us, signal_id,
+         CAST((ts_us div {CANDLE_SECONDS * 1_000_000}) * {CANDLE_SECONDS} AS BIGINT) AS bucket_s
+  FROM _gapfill_in
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, bucket_s
+                               ORDER BY ts_us DESC, signal_id DESC) AS rn
+  FROM b
+), closes AS (
+  SELECT symbol, bucket_s, price AS close FROM r WHERE rn = 1
+), bounds AS (
+  SELECT symbol, min(bucket_s) AS lo, max(bucket_s) AS hi FROM closes GROUP BY symbol
+), grid AS (
+  SELECT symbol, explode(sequence(lo, hi, {CANDLE_SECONDS})) AS bucket_s FROM bounds
+)
+SELECT g.symbol, g.bucket_s,
+  last(c.close, true) OVER (
+    PARTITION BY g.symbol ORDER BY g.bucket_s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price,
+  c.close IS NULL AS is_gap
+FROM grid g LEFT JOIN closes c
+  ON g.symbol = c.symbol AND g.bucket_s = c.bucket_s
+""")
+
+
 # ---------------------------------------------------------------------------
 # Relational operator surface — see plans.relational
 # ---------------------------------------------------------------------------
@@ -778,6 +857,7 @@ _WALK_FIRST = [
     "bm25_topk_retrieval",  # NEW: Okapi BM25 lexical retrieval
     "doc_perplexity_scores",  # NEW: bigram-LM perplexity quality signal
     "ohlcv_candles",  # NEW: per-minute OHLCV + VWAP market aggregation
+    "gap_fill_price_grid",  # NEW: dense time grid + forward fill
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

@@ -121,3 +121,34 @@ def test_ohlcv_candles_invariants_and_hand_check(spark):
         assert r.high == max(m.price for m in members)
         assert r.low == min(m.price for m in members)
         assert r.n_trades == len(members)
+
+
+def test_gap_fill_forward_fills_constructed_gaps(spark):
+    """Forward fill on a hand-built stream: missing minutes carry the last
+    close, is_gap marks them, and each symbol's grid spans exactly
+    [first trade, last trade]."""
+    from futures_eos_cdc_spark.plans.registry import GAPFILL_ORACLE, q_gap_fill_price_grid  # noqa: F401
+    import futures_eos_cdc_spark.plans.registry as R
+
+    # two symbols; sym A trades at minutes 0, 3 (gap at 1, 2); B at 0, 1
+    # signals_from_events maps user_id%5 -> symbol, ts(ns) div 1000 -> us
+    def ev(eid, uid, minute, value):
+        return (eid, minute * 60_000_000_000, uid, "view", value, None)
+
+    events = spark.createDataFrame(
+        [ev(1, 0, 0, 10.0), ev(2, 0, 3, 13.0), ev(3, 1, 0, 20.0), ev(4, 1, 1, 21.0)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    orig = R._t
+    R._t = lambda spark_, sf_dir_, name: events
+    try:
+        rows = {(r.symbol, r.bucket_s): r for r in q_gap_fill_price_grid(spark, "ignored").collect()}
+    finally:
+        R._t = orig
+    a, b = "BTCUSDT", "ETHUSDT"
+    assert {(s, t) for s, t in rows} == {(a, 0), (a, 60), (a, 120), (a, 180), (b, 0), (b, 60)}
+    assert (rows[(a, 0)].price, rows[(a, 0)].is_gap) == (10.0, False)
+    assert (rows[(a, 60)].price, rows[(a, 60)].is_gap) == (10.0, True)
+    assert (rows[(a, 120)].price, rows[(a, 120)].is_gap) == (10.0, True)
+    assert (rows[(a, 180)].price, rows[(a, 180)].is_gap) == (13.0, False)
+    assert (rows[(b, 60)].price, rows[(b, 60)].is_gap) == (21.0, False)
