@@ -864,6 +864,8 @@ _WALK_FIRST = [
     "dedup_clusters",  # consumes minhash pairs
     "outbox_event_router",  # canonical payload number rendering (both sides)
     "orders_from_decisions",  # shares the rewritten order leg
+    "market_price_lookup",  # shares the SQL-parse order pipeline (r6 rewrite)
+    "signal_decisions",  # decide() rebuilt as one spark.sql parse
     "dedup_incremental_batch",  # oracle NOT IN → NOT EXISTS (NULL-robust)
     "dedup_keep_rows",  # content_digest_expr null-sentinel change
     "exact_dedup_keep_first",  # same digest change

@@ -537,6 +537,44 @@ def streaming_decide(
     return decisions_from_signal_array(agg)
 
 
+def streaming_candles(
+    signals: DataFrame,
+    candle_seconds: int = 60,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming OHLCV twin of ``plans.registry.q_ohlcv_candles``: the same
+    per-(symbol, minute) candle columns from a signal STREAM — one
+    watermarked windowed aggregation, append semantics (a candle emits once
+    its window passes the watermark, the exactly-the-exchange-feed shape).
+
+    open/close use ``min_by``/``max_by`` over the unique (ts_us, signal_id)
+    order — the declarative equivalent of the batch query's rank windows
+    (streaming aggregations cannot rank, but argmin/argmax state is O(1)
+    per group, which is also the better shape at scale). Volume/VWAP run
+    the identical DECIMAL(38,10) expressions, so streaming == batch
+    EXACTLY (pinned by tests/test_streaming.py).
+    """
+    sig = signals.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    sig = sig.withWatermark("event_time", watermark)
+    return (
+        sig.groupBy("symbol", F.window("event_time", f"{candle_seconds} seconds"))
+        .agg(
+            F.expr("min_by(price, struct(ts_us, signal_id))").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.expr("max_by(price, struct(ts_us, signal_id))").alias("close"),
+            F.expr("CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE)").alias("volume"),
+            F.expr(
+                "round(CAST(sum(CAST(price * qty AS DECIMAL(38,10))) AS DOUBLE)"
+                " / CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6)"
+            ).alias("vwap"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .withColumn("bucket_s", F.unix_timestamp(F.col("window.start")))
+        .drop("window")
+    )
+
+
 _TFS = ("1m", "5m", "15m")
 _BOUNDED_OUT_SCHEMA = (
     "symbol string, window_start_s long, "

@@ -908,3 +908,33 @@ def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM stream_dedup").collect()}
     assert got == expected
+
+
+def test_streaming_candles_match_batch_exactly(spark, sf_dir, tmp_path):
+    """The streaming OHLCV twin must equal the batch candles EXACTLY —
+    argmin/argmax open/close and decimal-exact volume/VWAP leave no
+    tolerance to hide behind."""
+    from futures_eos_cdc_spark.plans.registry import q_ohlcv_candles
+    from futures_eos_cdc_spark.streaming.pipeline import streaming_candles
+
+    path = _write_stream_input(spark, sf_dir, tmp_path)
+    q = (
+        streaming_candles(read_signal_stream_files(spark, path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cndl1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        (r.symbol, r.bucket_s): (r.open, r.high, r.low, r.close, r.volume, r.vwap, r.n_trades)
+        for r in spark.sql("SELECT * FROM cndl1").filter(F.col("symbol") != "SENTINEL").collect()
+    }
+    batch = {
+        (r.symbol, r.bucket_s): (r.open, r.high, r.low, r.close, r.volume, r.vwap, r.n_trades)
+        for r in q_ohlcv_candles(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(batch) > 0
