@@ -155,3 +155,56 @@ def dedup_keep_representatives(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """PageRank over an undirected pair list (near-dup graphs: which docs
+    sit at the center of duplication clusters) — the power-iteration
+    formulation, fully declarative: no collect, no driver scalar; the node
+    count enters every expression through a broadcast one-row aggregate.
+
+    pr_{k+1}(v) = (1-d)/N + d * Σ_{u~v} pr_k(u)/deg(u), pr_0 = 1/N.
+    Undirected ⇒ every node has degree ≥ 1 ⇒ no dangling-mass term.
+
+    Determinism: the neighbor sum runs in DECIMAL(38,10) (summation order
+    cannot change it); everything else is a fixed chain of IEEE ops, so
+    any engine reproduces the values bit-for-bit (DuckDB oracle replays
+    the unrolled iterations). Scale shape: each iteration is one join on
+    the node key plus one aggregate — 2 exchanges per iteration over
+    (node, double) rows only; edges are re-read from their (cached or
+    materialized) pair table; lineage depth grows linearly with ``iters``
+    (checkpoint every ~10 rounds if iterating deep).
+    """
+    dec = "decimal(38,10)"
+    und = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
+        edges.selectExpr(f"{dst} AS u", f"{src} AS v")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = deg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        "u", "deg", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    base = F.lit(1.0 - damping) / F.col("nn")
+    for _ in range(iters):
+        contrib = und.join(ranks, "u").select(
+            F.col("v").alias("node"),
+            (F.col("pr") / F.col("deg")).cast(dec).alias("w"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("w").cast("double").alias("s"))
+            .join(deg, F.col("node") == F.col("u"))
+            .crossJoin(F.broadcast(n1))
+            .select("u", "deg", (base + damping * F.col("s")).alias("pr"))
+        )
+    return ranks.select(
+        F.col("u").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        F.round("pr", 6).alias("pr"),
+    )

@@ -404,6 +404,63 @@ def q_simhash64_hamming(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (iterative power method, unrolled oracle)
+# ---------------------------------------------------------------------------
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle_sql() -> str:
+    d, iters = PR_DAMPING, PR_ITERS
+    ctes = [
+        f"e AS ({SIMHASH64_HAMMING_ORACLE})",
+        "und AS (SELECT doc_a AS u, doc_b AS v FROM e"
+        " UNION ALL SELECT doc_b, doc_a FROM e)",
+        "deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u)",
+        "n AS (SELECT count(*) AS nn FROM deg)",
+        "r0 AS (SELECT u, deg, CAST(1.0 AS DOUBLE) / nn AS pr"
+        " FROM deg CROSS JOIN n)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"c{k + 1} AS (SELECT und.v AS node,"
+            f" CAST(r{k}.pr / r{k}.deg AS DECIMAL(38,10)) AS w"
+            f" FROM und JOIN r{k} ON und.u = r{k}.u)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT deg.u, deg.deg,"
+            f" CAST({1.0 - d!r} AS DOUBLE) / nn"
+            f" + CAST({d!r} AS DOUBLE)"
+            f" * CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) AS pr"
+            f" FROM c{k + 1} JOIN deg ON c{k + 1}.node = deg.u CROSS JOIN n"
+            f" GROUP BY deg.u, deg.deg, nn)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS doc_id, CAST(deg AS BIGINT) AS deg,"
+        f" round(pr, 6) AS pr FROM r{iters}"
+    )
+
+
+PAGERANK_ORACLE = _pagerank_oracle_sql()
+
+
+def q_pagerank_near_dup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """PageRank centrality over the simhash64 near-dup graph — which
+    documents anchor duplication clusters (the dedup-keeper prior: keep
+    the most-connected representative). See operators/clustering.py:pagerank
+    for the declarative power iteration and its 2-exchanges-per-round
+    shape; the oracle replays the unrolled iterations."""
+    from ..operators.clustering import pagerank
+    from ..operators.dedup import simhash64_hamming_pairs
+
+    edges = simhash64_hamming_pairs(spread(_t(spark, sf_dir, "documents")))
+    return pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "deg", "pr"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline; left-fold dot products)
 # ---------------------------------------------------------------------------
 COSINE_TOPK_ORACLE = """

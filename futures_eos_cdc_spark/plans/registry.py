@@ -638,6 +638,8 @@ QUERIES["bm25_topk_retrieval"] = _bind(_dp.q_bm25_topk)
 ORACLES["bm25_topk_retrieval"] = _dp.BM25_ORACLE
 QUERIES["doc_perplexity_scores"] = _bind(_dp.q_doc_perplexity)
 ORACLES["doc_perplexity_scores"] = _dp.PERPLEXITY_ORACLE
+QUERIES["pagerank_near_dup"] = _bind(_dp.q_pagerank_near_dup)
+ORACLES["pagerank_near_dup"] = _dp.PAGERANK_ORACLE
 QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
@@ -858,6 +860,7 @@ _WALK_FIRST = [
     "doc_perplexity_scores",  # NEW: bigram-LM perplexity quality signal
     "ohlcv_candles",  # NEW: per-minute OHLCV + VWAP market aggregation
     "gap_fill_price_grid",  # NEW: dense time grid + forward fill
+    "pagerank_near_dup",  # NEW: PageRank centrality on the near-dup graph
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

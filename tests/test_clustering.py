@@ -92,3 +92,19 @@ def test_dedup_keep_representatives(spark, sf_dir):
     reps = {r.component for r in comp.collect()}
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert reps <= kept_ids
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    """Power iteration semantics: on a star graph the hub dominates, the
+    spokes are symmetric, and total mass stays 1 (no dangling nodes in an
+    undirected graph)."""
+    from futures_eos_cdc_spark.operators.clustering import pagerank
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: r for r in pagerank(star, iters=5).collect()}
+    assert rows[1].deg == 4 and all(rows[s].deg == 1 for s in (2, 3, 4, 5))
+    assert rows[1].pr > rows[2].pr
+    assert len({rows[s].pr for s in (2, 3, 4, 5)}) == 1  # spokes symmetric
+    assert abs(sum(r.pr for r in rows.values()) - 1.0) < 1e-4
