@@ -545,6 +545,71 @@ def minhash_lsh_pairs(
     return _unpersist_on_gc(out, shingle_sets, banded)
 
 
+def minhash_dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Incremental NEAR-dup gate: rows of ``new_docs`` with no
+    LSH-candidate near-duplicate (exact jaccard ≥ ``threshold``) in
+    ``corpus_docs`` — ``dedup_against_corpus``'s exact-hash semantics
+    lifted to near-duplicate granularity, the real daily-crawl admission
+    rule (a crawl re-serving yesterday's page with a new timestamp is not
+    an exact-hash match).
+
+    Scale shape: the corpus contributes its banded signature index —
+    4 band rows × constant-width key per doc, the index a production
+    deployment maintains incrementally as its own table instead of
+    recomputing (this function accepts any corpus DataFrame; swap in the
+    index table and the shingle recompute below disappears). Candidates
+    carry ids only; corpus shingle sets are joined back ONLY for matched
+    candidate ids. The batch side is small by construction, so its joins
+    broadcast under AQE.
+    """
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return spread(df).select(
+            F.col(id_col),
+            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+        )
+
+    def _banded(sh: DataFrame) -> DataFrame:
+        sig = sh.select(id_col, *minhash_signature_exprs(F.col("shingles")))
+        return sig.select(
+            F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")
+        ).select(id_col, "bk.band", "bk.key")
+
+    new_sh = _sh(new_docs).persist()
+    cor_sh = _sh(corpus_docs)
+    cand = (
+        _banded(new_sh)
+        .withColumnRenamed(id_col, "new_id")
+        .join(_banded(cor_sh).withColumnRenamed(id_col, "cor_id"), ["band", "key"])
+        .select("new_id", "cor_id")
+        .dropDuplicates(["new_id", "cor_id"])
+    )
+    verified = (
+        cand.join(
+            new_sh.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")),
+            "new_id",
+        )
+        .join(
+            cor_sh.select(F.col(id_col).alias("cor_id"), F.col("shingles").alias("sh_c")),
+            "cor_id",
+        )
+        .filter(jaccard_expr(F.col("sh_n"), F.col("sh_c")) >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    out = new_docs.join(
+        verified.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+    )
+    return _unpersist_on_gc(out, new_sh)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

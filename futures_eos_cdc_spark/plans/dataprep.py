@@ -1078,6 +1078,74 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dup admission gate (batch vs corpus, minhash candidates)
+# ---------------------------------------------------------------------------
+_NEARDUP_INC_T = 0.4
+
+NEARDUP_INCREMENTAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t
+),
+sig AS (
+  SELECT doc_id, source, shingles, {", ".join(_mh_sql(i) for i in range(8))}
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, source, shingles, 0 AS band, mh0 || '#' || mh1 AS key FROM sig
+  UNION ALL SELECT doc_id, source, shingles, 1, mh2 || '#' || mh3 FROM sig
+  UNION ALL SELECT doc_id, source, shingles, 2, mh4 || '#' || mh5 FROM sig
+  UNION ALL SELECT doc_id, source, shingles, 3, mh6 || '#' || mh7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, n.shingles AS sh_n, c.shingles AS sh_c
+  FROM banded n JOIN banded c ON n.band = c.band AND n.key = c.key
+  WHERE n.source IN {_BATCH_SOURCES} AND c.source NOT IN {_BATCH_SOURCES}
+),
+matched AS (
+  SELECT DISTINCT new_id FROM cand
+  WHERE CAST(len(list_intersect(sh_n, sh_c)) AS DOUBLE)
+        / len(list_distinct(list_concat(sh_n, sh_c))) >= CAST({_NEARDUP_INC_T!r} AS DOUBLE)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.source IN {_BATCH_SOURCES}
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.new_id = d.doc_id)
+"""
+
+
+def q_neardup_incremental(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The daily-crawl near-dup admission gate: batch docs (the 5 batch
+    sources) surviving only if NO corpus doc is an LSH-candidate with exact
+    jaccard ≥ {_NEARDUP_INC_T} — dedup_incremental_batch's semantics lifted
+    from exact-hash to near-duplicate granularity. See
+    operators/dedup.py:minhash_dedup_against_corpus for the
+    corpus-index-table scale shape."""
+    from ..operators.dedup import minhash_dedup_against_corpus
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("source").isin(*_BATCH_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*_BATCH_SOURCES))
+    return minhash_dedup_against_corpus(
+        batch, corpus, threshold=_NEARDUP_INC_T
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decontamination: DROP eval-overlapping docs (the enforcement twin of the
 # benchmark_contamination report)
 # ---------------------------------------------------------------------------

@@ -640,6 +640,8 @@ QUERIES["doc_perplexity_scores"] = _bind(_dp.q_doc_perplexity)
 ORACLES["doc_perplexity_scores"] = _dp.PERPLEXITY_ORACLE
 QUERIES["pagerank_near_dup"] = _bind(_dp.q_pagerank_near_dup)
 ORACLES["pagerank_near_dup"] = _dp.PAGERANK_ORACLE
+QUERIES["neardup_incremental_batch"] = _bind(_dp.q_neardup_incremental)
+ORACLES["neardup_incremental_batch"] = _dp.NEARDUP_INCREMENTAL_ORACLE
 QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
@@ -861,6 +863,7 @@ _WALK_FIRST = [
     "ohlcv_candles",  # NEW: per-minute OHLCV + VWAP market aggregation
     "gap_fill_price_grid",  # NEW: dense time grid + forward fill
     "pagerank_near_dup",  # NEW: PageRank centrality on the near-dup graph
+    "neardup_incremental_batch",  # NEW: near-dup admission gate vs corpus
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

@@ -686,3 +686,20 @@ def test_perplexity_hand_computed_on_tiny_corpus(spark, sf_dir):
             float(mean.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)),
         )
     assert got == want
+
+
+def test_minhash_dedup_against_corpus_injected_neardup(spark, sf_dir):
+    """A batch doc that is a light mutation of a corpus doc (high jaccard,
+    NOT an exact hash match) must be rejected; a fresh unique doc must
+    survive — the near-dup granularity exact-hash incremental dedup lacks."""
+    from futures_eos_cdc_spark.operators.dedup import minhash_dedup_against_corpus
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").limit(100)
+    base = corpus.collect()[0]
+    mutated = base.text + " trailingtoken"  # near-dup, different md5
+    batch = spark.createDataFrame(
+        [(10_000_001, mutated), (10_000_002, "utterly unique gibberish nothing shared qq ww ee rr tt yy")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in minhash_dedup_against_corpus(batch, corpus).collect()}
+    assert kept == {10_000_002}
