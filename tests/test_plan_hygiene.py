@@ -217,3 +217,36 @@ def test_scd2_single_key_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scd2_customer_history")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_r6_queries_all_jvm_no_python(spark, sf_dir):
+    """Every round-6 query stays whole-stage-codegen JVM — no Python eval
+    nodes anywhere in the executed plan."""
+    for name in (
+        "line_dedup_docs",
+        "duplicate_text_spans",
+        "bm25_topk_retrieval",
+        "doc_perplexity_scores",
+        "ohlcv_candles",
+        "gap_fill_price_grid",
+        "pagerank_near_dup",
+        "neardup_incremental_batch",
+        "simhash64_hamming_near_dup",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_ohlcv_candles_single_exchange(spark, sf_dir):
+    """Both rank windows and the final aggregate partition on
+    (symbol, bucket_s): Catalyst must plan exactly ONE hash exchange."""
+    plan = _plan(spark, sf_dir, "ohlcv_candles")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_broadcasts_model_and_query_tables(spark, sf_dir):
+    """The query-term table and the vocabulary-sized df table must
+    broadcast — the corpus-sized tf side never shuffles for them."""
+    plan = _plan(spark, sf_dir, "bm25_topk_retrieval")
+    assert plan.count("BroadcastHashJoin") >= 3  # qt, df, stats
