@@ -420,6 +420,90 @@ FROM r GROUP BY symbol, bucket_s
 """)
 
 
+def _indicator_select(dec_to_dbl) -> str:
+    """The indicator SELECT shared verbatim by Spark and DuckDB, modulo each
+    engine's decimal→double spelling (``dec_to_dbl`` wraps a decimal
+    expression): SMA-20, Bollinger ±2σ (population stddev via the exact
+    sum/sum-of-squares identity, same as the signal pipeline's A10), and
+    simple-average RSI-14 (avg gain / avg loss over the last 14 deltas;
+    all-loss-free frames pin RSI to 100 per Wilder's convention). Every
+    frame sum runs in DECIMAL(38,10) so the engine's sliding-frame
+    add/remove strategy cannot change values; sqrt is IEEE
+    correctly-rounded, so both engines agree bit-for-bit."""
+    s20 = dec_to_dbl("sum(CAST(close AS DECIMAL(38,10))) OVER w20")
+    sq20 = dec_to_dbl("sum(CAST(close * close AS DECIMAL(38,10))) OVER w20")
+    m = f"({s20} / count(close) OVER w20)"
+    msq = f"({sq20} / count(close) OVER w20)"
+    sd = f"sqrt(greatest({msq} - {m} * {m}, CAST(0.0 AS DOUBLE)))"
+    sg = dec_to_dbl("sum(CAST(gain AS DECIMAL(38,10))) OVER w14")
+    sl = dec_to_dbl("sum(CAST(loss AS DECIMAL(38,10))) OVER w14")
+    n14 = "count(gain) OVER w14"
+    rsi = (
+        f"CASE WHEN {n14} = 0 THEN NULL"
+        f" WHEN {sl} = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE)"
+        f" ELSE round(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)"
+        f" / (CAST(1.0 AS DOUBLE) + ({sg} / {n14}) / ({sl} / {n14})), 6) END"
+    )
+    return f"""
+SELECT symbol, bucket_s, close,
+  round({m}, 6) AS sma20,
+  round({m} + CAST(2.0 AS DOUBLE) * {sd}, 6) AS boll_up,
+  round({m} - CAST(2.0 AS DOUBLE) * {sd}, 6) AS boll_dn,
+  {rsi} AS rsi14,
+  CAST(count(close) OVER w20 AS BIGINT) AS n20
+FROM g
+WINDOW
+  w20 AS (PARTITION BY symbol ORDER BY bucket_s
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+  w14 AS (PARTITION BY symbol ORDER BY bucket_s
+          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+_INDICATOR_PRE = """
+, l AS (
+  SELECT symbol, bucket_s, close,
+    lag(close) OVER (PARTITION BY symbol ORDER BY bucket_s) AS prev_close
+  FROM c
+), g AS (
+  SELECT symbol, bucket_s, close,
+    CASE WHEN prev_close IS NULL THEN NULL
+         ELSE greatest(close - prev_close, CAST(0.0 AS DOUBLE)) END AS gain,
+    CASE WHEN prev_close IS NULL THEN NULL
+         ELSE greatest(prev_close - close, CAST(0.0 AS DOUBLE)) END AS loss
+  FROM l
+)
+"""
+
+TECH_INDICATORS_ORACLE = (
+    f"WITH c AS ({OHLCV_ORACLE})"
+    + _INDICATOR_PRE
+    + _indicator_select(lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)")
+)
+
+
+@query("technical_indicators", TECH_INDICATORS_ORACLE)
+def q_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA-20 / Bollinger ±2σ / RSI-14 over the per-minute candle closes —
+    the indicator layer a signal engine derives before thresholding (the
+    reference's decision thresholds are this family's cousin).
+
+    Plan at scale: candles are one exchange (see q_ohlcv_candles); the
+    indicator layer adds ONE more exchange on symbol — all three frames
+    and the lag share the (symbol, bucket) sort, so Catalyst computes them
+    in a single Window node chain without re-sorting. Frame sums run in
+    DECIMAL(38,10): the sliding-frame add/remove strategy cannot change
+    results, so streaming/batch/any-engine agree exactly.
+    """
+    candles = q_ohlcv_candles(spark, sf_dir)
+    candles.createOrReplaceTempView("_tech_candles")
+    return spark.sql(
+        "WITH c AS (SELECT * FROM _tech_candles)"
+        + _INDICATOR_PRE
+        + _indicator_select(lambda e: f"CAST({e} AS DOUBLE)")
+    )
+
+
 GAPFILL_ORACLE = f"""
 WITH signals AS (
   SELECT
@@ -864,6 +948,7 @@ _WALK_FIRST = [
     "gap_fill_price_grid",  # NEW: dense time grid + forward fill
     "pagerank_near_dup",  # NEW: PageRank centrality on the near-dup graph
     "neardup_incremental_batch",  # NEW: near-dup admission gate vs corpus
+    "technical_indicators",  # NEW: SMA/Bollinger/RSI over candle closes
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins

@@ -152,3 +152,38 @@ def test_gap_fill_forward_fills_constructed_gaps(spark):
     assert (rows[(a, 120)].price, rows[(a, 120)].is_gap) == (10.0, True)
     assert (rows[(a, 180)].price, rows[(a, 180)].is_gap) == (13.0, False)
     assert (rows[(b, 60)].price, rows[(b, 60)].is_gap) == (21.0, False)
+
+
+def test_technical_indicators_invariants(spark):
+    """Indicator sanity: RSI in [0,100] (100 only on loss-free frames),
+    Bollinger bands bracket the SMA symmetrically, n20 ramps 1..20, and a
+    monotonic price series pins RSI to 100."""
+    from futures_eos_cdc_spark.plans.registry import q_technical_indicators
+    import futures_eos_cdc_spark.plans.registry as R
+
+    rows = q_technical_indicators(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.rsi14 is not None:
+            assert 0.0 <= r.rsi14 <= 100.0
+        # each output rounds to 6dp independently -> asymmetry up to 2 ulp@6dp
+        assert abs((r.boll_up - r.sma20) - (r.sma20 - r.boll_dn)) < 2e-6
+        assert 1 <= r.n20 <= 20
+
+    # strictly rising closes -> every delta is a gain -> RSI 100
+    def ev(eid, minute, value):
+        return (eid, minute * 60_000_000_000, 0, "view", value, None)
+
+    events = spark.createDataFrame(
+        [ev(i, i, 100.0 + i) for i in range(6)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    orig = R._t
+    R._t = lambda spark_, sf_dir_, name: events
+    try:
+        mono = q_technical_indicators(spark, "ignored").collect()
+    finally:
+        R._t = orig
+    mono.sort(key=lambda r: r.bucket_s)
+    assert all(r.rsi14 == 100.0 for r in mono[1:])
+    assert mono[0].rsi14 is None  # no prior close -> no delta yet
