@@ -584,6 +584,118 @@ FROM grid g LEFT JOIN closes c
 
 
 # ---------------------------------------------------------------------------
+# Event analytics: ordered funnel + cohort retention
+# ---------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+
+FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day, event_type, epoch_us(ts) AS us
+  FROM events
+), v AS (
+  SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN us END) AS tv
+  FROM e GROUP BY 1, 2
+), c AS (
+  SELECT e.user_id, e.day, min(e.us) AS tc
+  FROM e JOIN v ON e.user_id = v.user_id AND e.day = v.day
+  WHERE e.event_type = 'click' AND v.tv IS NOT NULL AND e.us >= v.tv
+  GROUP BY 1, 2
+), p AS (
+  SELECT e.user_id, e.day, min(e.us) AS tp
+  FROM e JOIN c ON e.user_id = c.user_id AND e.day = c.day
+  WHERE e.event_type = 'purchase' AND e.us >= c.tc
+  GROUP BY 1, 2
+), n1 AS (SELECT count(*) AS n FROM v WHERE tv IS NOT NULL)
+SELECT stage_ord, stage, CAST(n AS BIGINT) AS n_sessions,
+       round(CAST(n AS DOUBLE) / (SELECT n FROM n1), 6) AS conv_from_start
+FROM (
+  SELECT 1 AS stage_ord, 'view' AS stage, (SELECT n FROM n1) AS n
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+)
+"""
+
+
+@query("funnel_view_click_purchase", FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over (user, day) sessions: a click counts
+    only at-or-after the first view, a purchase only at-or-after that
+    click — the sequence-constrained funnel, not mere per-type counts.
+
+    Plan at scale: three aggregations narrowing monotonically (every stage
+    keys on (user, day), so one exchange is reused down the chain; stage
+    outputs are session-cardinality, far smaller than events). The stage
+    rows and denominators are scalar-subquery broadcasts.
+    """
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_funnel_in")
+    return spark.sql(f"""
+WITH e AS (
+  SELECT user_id, (ts div 1000) div {_DAY_US} AS day, event_type, ts div 1000 AS us
+  FROM _funnel_in
+), v AS (
+  SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN us END) AS tv
+  FROM e GROUP BY 1, 2
+), c AS (
+  SELECT e.user_id, e.day, min(e.us) AS tc
+  FROM e JOIN v ON e.user_id = v.user_id AND e.day = v.day
+  WHERE e.event_type = 'click' AND v.tv IS NOT NULL AND e.us >= v.tv
+  GROUP BY 1, 2
+), p AS (
+  SELECT e.user_id, e.day, min(e.us) AS tp
+  FROM e JOIN c ON e.user_id = c.user_id AND e.day = c.day
+  WHERE e.event_type = 'purchase' AND e.us >= c.tc
+  GROUP BY 1, 2
+), n1 AS (SELECT count(*) AS n FROM v WHERE tv IS NOT NULL)
+SELECT stage_ord, stage, CAST(n AS BIGINT) AS n_sessions,
+       round(CAST(n AS DOUBLE) / (SELECT n FROM n1), 6) AS conv_from_start
+FROM (
+  SELECT 1 AS stage_ord, 'view' AS stage, (SELECT n FROM n1) AS n
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+)
+""")
+
+
+COHORT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), u AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+)
+SELECT CAST(u.cohort_day AS BIGINT) AS cohort_day,
+       CAST(e.day - u.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN u ON e.user_id = u.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted distinct on each subsequent day offset — the standard
+    engagement rollup.
+
+    Plan at scale: one exchange on user_id serves both the cohort min and
+    the join; the distinct-count aggregate keys on (cohort, offset) whose
+    cardinality is days², tiny. All-integer arithmetic — nothing to
+    round."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_cohort_in")
+    return spark.sql(f"""
+WITH e AS (
+  SELECT user_id, (ts div 1000) div {_DAY_US} AS day FROM _cohort_in
+), u AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+)
+SELECT CAST(u.cohort_day AS BIGINT) AS cohort_day,
+       CAST(e.day - u.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN u ON e.user_id = u.user_id
+GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
 # Relational operator surface — see plans.relational
 # ---------------------------------------------------------------------------
 from . import relational as _rel  # noqa: E402
@@ -949,6 +1061,8 @@ _WALK_FIRST = [
     "pagerank_near_dup",  # NEW: PageRank centrality on the near-dup graph
     "neardup_incremental_batch",  # NEW: near-dup admission gate vs corpus
     "technical_indicators",  # NEW: SMA/Bollinger/RSI over candle closes
+    "funnel_view_click_purchase",  # NEW: ordered conversion funnel
+    "cohort_retention",  # NEW: cohort retention triangle
     "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
     "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
     "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins
