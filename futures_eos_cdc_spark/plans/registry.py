@@ -1050,35 +1050,41 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # new this round (r6) or implementation/oracle changed since the last
-    # driver check — need fresh green rows under the NEW definition
-    "line_dedup_docs",  # NEW: CCNet-style sub-document line dedup
-    "duplicate_text_spans",  # NEW: exact-substring duplicated spans
-    "bm25_topk_retrieval",  # NEW: Okapi BM25 lexical retrieval
-    "doc_perplexity_scores",  # NEW: bigram-LM perplexity quality signal
-    "ohlcv_candles",  # NEW: per-minute OHLCV + VWAP market aggregation
-    "gap_fill_price_grid",  # NEW: dense time grid + forward fill
-    "pagerank_near_dup",  # NEW: PageRank centrality on the near-dup graph
-    "neardup_incremental_batch",  # NEW: near-dup admission gate vs corpus
-    "technical_indicators",  # NEW: SMA/Bollinger/RSI over candle closes
-    "funnel_view_click_purchase",  # NEW: ordered conversion funnel
-    "cohort_retention",  # NEW: cohort retention triangle
-    "simhash64_hamming_near_dup",  # NEW: Charikar block-index near-dup
-    "minhash_lsh_near_dup",  # data-driven exchange sizing + banded persist
-    "ngram_jaccard_near_dup",  # data-driven sizing incl. verification joins
-    "dedup_clusters",  # consumes minhash pairs
-    "outbox_event_router",  # canonical payload number rendering (both sides)
-    "orders_from_decisions",  # shares the rewritten order leg
-    "market_price_lookup",  # shares the SQL-parse order pipeline (r6 rewrite)
-    "signal_decisions",  # decide() rebuilt as one spark.sql parse
-    "dedup_incremental_batch",  # oracle NOT IN → NOT EXISTS (NULL-robust)
-    "dedup_keep_rows",  # content_digest_expr null-sentinel change
-    "exact_dedup_keep_first",  # same digest change
-    "ann_cosine_ivf",  # ivf_train non-null/fixed-dim precondition added
-    "embedding_kmeans_clusters",  # shares ivf_train
-    # no r05 row — rotate forward so r5 ∪ r6 covers every query
-    "q22_idle_wealthy_customers",
+    # Priority 1 — NEW this round (never had a driver correctness row)
+    "line_dedup_docs",
+    "duplicate_text_spans",
+    "bm25_topk_retrieval",
+    "doc_perplexity_scores",
+    "ohlcv_candles",
+    "gap_fill_price_grid",
+    "pagerank_near_dup",
+    "neardup_incremental_batch",
+    "technical_indicators",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "simhash64_hamming_near_dup",
+    # Priority 2 — implementation changed this round (r5 rows are stale:
+    # SQL-parse pipeline rewrite, data-driven exchange sizing, digest
+    # null-sentinel, oracle NOT EXISTS, ivf precondition)
+    "outbox_event_router",
+    "orders_from_decisions",
+    "market_price_lookup",
+    "signal_decisions",
     "decision_records",
+    "minhash_lsh_near_dup",
+    "ngram_jaccard_near_dup",
+    "dedup_clusters",
+    "dedup_incremental_batch",
+    "dedup_keep_rows",
+    "exact_dedup_keep_first",
+    "ann_cosine_ivf",
+    "embedding_kmeans_clusters",
+    # Priority 3 — unchanged code, newest row is r4: rotate as many into
+    # the 50-query window as fit. (With 95 queries and 50 checks/round the
+    # union of two rounds can no longer cover everything; the remainder
+    # keep their r4 green rows AND are re-verified every session by
+    # tests/test_oracle_parity.py over the full ORACLES dict.)
+    "q22_idle_wealthy_customers",
     "train_val_test_split",
     "tfidf_top_terms",
     "order_value_percentiles",
@@ -1103,10 +1109,6 @@ _WALK_FIRST = [
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "q4_order_priority",
-    "above_brand_avg_parts",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
