@@ -182,26 +182,47 @@ def pagerank(
     (checkpoint every ~10 rounds if iterating deep).
     """
     dec = "decimal(38,10)"
+    # Materialization strategy (measured at sf0.1, 550k pairs / 1.1M
+    # directed edges): persist() is the WRONG tool here — cached plans are
+    # excluded from AQE's output-repartitioning, so the per-round join
+    # loses its runtime broadcast conversion and degrades to a full
+    # sort-merge shuffle of the edge table every round (7.9 s -> 16.7 s
+    # measured). localCheckpoint() materializes AND truncates lineage while
+    # leaving downstream plans fully AQE-eligible: the edge table is
+    # computed once, each round's rank table (node-cardinality, tiny) is
+    # materialized once so the next round's broadcast build does not
+    # re-execute the whole prefix (the quadratic re-execution trap of
+    # broadcast-fed iteration), and AQE broadcast-joins it against the
+    # edges. Same pattern as connected_components' per-round checkpoints.
     und = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n1 = deg.agg(F.count(F.lit(1)).alias("nn"))
-    ranks = deg.crossJoin(F.broadcast(n1)).select(
+    und2 = und.join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
+    ).localCheckpoint()
+    # Initial ranks derive from the CHECKPOINTED edge table (deg(u) = its
+    # out-edge count there), so materializing them never re-executes the
+    # upstream pair pipeline.
+    deg_u = und2.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = deg_u.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = deg_u.crossJoin(F.broadcast(n1)).select(
         "u", "deg", (F.lit(1.0) / F.col("nn")).alias("pr")
     )
     base = F.lit(1.0 - damping) / F.col("nn")
     for _ in range(iters):
-        contrib = und.join(ranks, "u").select(
-            F.col("v").alias("node"),
-            (F.col("pr") / F.col("deg")).cast(dec).alias("w"),
-        )
+        m = ranks.select("u", (F.col("pr") / F.col("deg")).cast(dec).alias("w"))
         ranks = (
-            contrib.groupBy("node")
+            und2.join(m, "u")
+            .groupBy("v", "deg_v")
             .agg(F.sum("w").cast("double").alias("s"))
-            .join(deg, F.col("node") == F.col("u"))
             .crossJoin(F.broadcast(n1))
-            .select("u", "deg", (base + damping * F.col("s")).alias("pr"))
+            .select(
+                F.col("v").alias("u"),
+                F.col("deg_v").alias("deg"),
+                (base + damping * F.col("s")).alias("pr"),
+            )
+            .localCheckpoint()
         )
     return ranks.select(
         F.col("u").alias("doc_id"),
