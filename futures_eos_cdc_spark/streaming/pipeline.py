@@ -174,6 +174,43 @@ def stream_dedup_against_corpus(
     ).join(corpus_hashes, "content_hash", "left_anti")
 
 
+def neardup_gate_writer(
+    corpus: DataFrame,
+    sink,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch writer running the NEAR-dup admission gate on a document
+    stream: each micro-batch keeps only docs with no LSH-candidate
+    near-duplicate (exact jaccard ≥ threshold) in the static corpus, then
+    hands the survivors to ``sink(survivors_df, epoch_id)``.
+
+    Why foreachBatch and not a pure streaming plan: the gate's survivor set
+    is "docs where NO banded candidate verified", which needs a per-doc
+    aggregation over a stream-derived join — outside Structured Streaming's
+    supported stream-static shapes. foreachBatch gives each micro-batch
+    full batch semantics (the exact operator batch pipelines run —
+    operators/dedup.minhash_dedup_against_corpus), and with a checkpointed
+    query + idempotent sink the usual effectively-once contract holds.
+    The exact-hash twin (stream_dedup_against_corpus) stays a pure
+    stream-static anti-join because its survivor predicate is per-row.
+
+    At 100 TB pass the maintained banded signature index as ``corpus``
+    (the operator docstring's index-table shape) so each micro-batch probes
+    the index instead of recomputing corpus signatures.
+    """
+    from ..operators.dedup import minhash_dedup_against_corpus
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = minhash_dedup_against_corpus(
+            batch_df, corpus, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        sink(survivors, epoch_id)
+
+    return write
+
+
 # ---------------------------------------------------------------------------
 # The streaming decision aggregate
 # ---------------------------------------------------------------------------

@@ -938,3 +938,36 @@ def test_streaming_candles_match_batch_exactly(spark, sf_dir, tmp_path):
         for r in q_ohlcv_candles(spark, sf_dir).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_streaming_neardup_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch near-dup gate admits exactly the docs the batch
+    operator admits: a streamed batch slice against the static corpus
+    yields the same survivor ids."""
+    from futures_eos_cdc_spark.operators.dedup import minhash_dedup_against_corpus
+    from futures_eos_cdc_spark.streaming.pipeline import neardup_gate_writer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batch_sources = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    want = {r.doc_id for r in minhash_dedup_against_corpus(batch_sources, corpus).collect()}
+    assert 0 < len(want) < batch_sources.count()  # the gate really fires
+
+    path = str(tmp_path / "neardup_stream")
+    batch_sources.coalesce(1).write.mode("overwrite").parquet(path)
+    got = set()
+
+    def sink(df, epoch_id):
+        got.update(r.doc_id for r in df.collect())
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(neardup_gate_writer(corpus, sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want
