@@ -545,29 +545,70 @@ def minhash_lsh_pairs(
     return _unpersist_on_gc(out, shingle_sets, banded)
 
 
+def build_neardup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> None:
+    """Materialize the corpus near-dup signature index the incremental gate
+    probes — the production alternative to recomputing corpus signatures
+    per batch. Two parquet tables under ``path``:
+
+    - ``bands/``   (id, band, key): the LSH candidate probes, written
+      repartitioned on (band, key) so a probing join's shuffle reads
+      co-located keys;
+    - ``shingles/`` (id, shingles): the verification sets.
+
+    Maintenance is append-only: admitted batch docs' rows are appended to
+    both tables (the same expressions produce them), so the index grows
+    with the corpus and no full recompute ever happens.
+    """
+    sh = spread(docs).select(
+        F.col(id_col),
+        shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+    ).persist()
+    sig = sh.select(id_col, *minhash_signature_exprs(F.col("shingles")))
+    bands = sig.select(F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+    bands.repartition("band", "key").write.mode("overwrite").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.unpersist()
+
+
+def load_neardup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) handles for :func:`build_neardup_index` output."""
+    return spark.read.parquet(f"{path}/bands"), spark.read.parquet(f"{path}/shingles")
+
+
 def minhash_dedup_against_corpus(
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.4,
     k: int = SHINGLE_K,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup gate: rows of ``new_docs`` with no
-    LSH-candidate near-duplicate (exact jaccard ≥ ``threshold``) in
-    ``corpus_docs`` — ``dedup_against_corpus``'s exact-hash semantics
-    lifted to near-duplicate granularity, the real daily-crawl admission
-    rule (a crawl re-serving yesterday's page with a new timestamp is not
-    an exact-hash match).
+    LSH-candidate near-duplicate (exact jaccard ≥ ``threshold``) in the
+    corpus — ``dedup_against_corpus``'s exact-hash semantics lifted to
+    near-duplicate granularity, the real daily-crawl admission rule (a
+    crawl re-serving yesterday's page with a new timestamp is not an
+    exact-hash match).
 
-    Scale shape: the corpus contributes its banded signature index —
-    4 band rows × constant-width key per doc, the index a production
-    deployment maintains incrementally as its own table instead of
-    recomputing (this function accepts any corpus DataFrame; swap in the
-    index table and the shingle recompute below disappears). Candidates
-    carry ids only; corpus shingle sets are joined back ONLY for matched
-    candidate ids. The batch side is small by construction, so its joins
-    broadcast under AQE.
+    The corpus is EITHER raw ``corpus_docs`` (signatures recomputed
+    inline — tests/small corpora) or a prebuilt ``corpus_index`` =
+    (bands, shingles) from :func:`build_neardup_index` — the production
+    path: each batch probes the maintained index table instead of
+    re-hashing the corpus.
+
+    Scale shape: the corpus contributes 4 constant-width band rows per doc
+    for candidates; candidates carry ids only; corpus shingle sets are
+    joined back ONLY for matched candidate ids. The batch side is small by
+    construction, so its joins broadcast under AQE.
     """
 
     def _sh(df: DataFrame) -> DataFrame:
@@ -582,12 +623,21 @@ def minhash_dedup_against_corpus(
             F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")
         ).select(id_col, "bk.band", "bk.key")
 
+    if (corpus_docs is None) == (corpus_index is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs (inline recompute) or "
+            "corpus_index (prebuilt bands+shingles tables)"
+        )
     new_sh = _sh(new_docs).persist()
-    cor_sh = _sh(corpus_docs)
+    if corpus_index is not None:
+        cor_banded, cor_sh = corpus_index
+    else:
+        cor_sh = _sh(corpus_docs)
+        cor_banded = _banded(cor_sh)
     cand = (
         _banded(new_sh)
         .withColumnRenamed(id_col, "new_id")
-        .join(_banded(cor_sh).withColumnRenamed(id_col, "cor_id"), ["band", "key"])
+        .join(cor_banded.withColumnRenamed(id_col, "cor_id"), ["band", "key"])
         .select("new_id", "cor_id")
         .dropDuplicates(["new_id", "cor_id"])
     )

@@ -703,3 +703,39 @@ def test_minhash_dedup_against_corpus_injected_neardup(spark, sf_dir):
     )
     kept = {r.doc_id for r in minhash_dedup_against_corpus(batch, corpus).collect()}
     assert kept == {10_000_002}
+
+
+def test_minhash_dedup_prebuilt_index_parity(spark, sf_dir, tmp_path):
+    """The prebuilt bands+shingles index path must admit exactly the same
+    batch docs as the inline corpus-recompute path (the production form:
+    probe the maintained index table instead of re-hashing the corpus)."""
+    from futures_eos_cdc_spark.operators.dedup import (
+        build_neardup_index,
+        load_neardup_index,
+        minhash_dedup_against_corpus,
+    )
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").limit(100)
+    base = corpus.collect()[0]
+    batch = spark.createDataFrame(
+        [
+            (10_000_001, base.text + " trailingtoken"),
+            (10_000_002, "utterly unique gibberish nothing shared qq ww ee rr tt yy"),
+        ],
+        "doc_id long, text string",
+    )
+    build_neardup_index(corpus, str(tmp_path / "ndidx"))
+    idx = load_neardup_index(spark, str(tmp_path / "ndidx"))
+    kept_inline = {r.doc_id for r in minhash_dedup_against_corpus(batch, corpus).collect()}
+    kept_index = {
+        r.doc_id
+        for r in minhash_dedup_against_corpus(batch, corpus_index=idx).collect()
+    }
+    assert kept_index == kept_inline == {10_000_002}
+    # exactly-one-corpus-form contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_dedup_against_corpus(batch, corpus, corpus_index=idx)
+    with _pytest.raises(ValueError):
+        minhash_dedup_against_corpus(batch)
