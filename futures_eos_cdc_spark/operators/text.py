@@ -143,3 +143,38 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id_expr(text))
         .withColumn("fingerprint", fingerprint_expr(text))
     )
+
+
+def hashed_classifier_logit_expr(text: Column, salt: str = "qw|") -> Column:
+    """fastText-style hashed linear classifier score (wordNgrams=2) as ONE
+    pure column expression — model inference at corpus scale with ZERO
+    shuffles: features are the document's unigrams + adjacent bigrams, each
+    feature's weight is read from a 16-bit hash of the feature (here derived
+    from md5 so any SQL engine can replay it bit-for-bit; a production build
+    substitutes a broadcast weight array indexed by the same hash — the plan
+    shape is identical), and the logit is the mean weight.
+
+    The weight sum accumulates EXACT integers (each weight ∈ [-32768, 32767])
+    in a LONG, so the only floating-point step is one final IEEE division —
+    bit-stable across engines and partitionings. Documents never leave their
+    scan partition: score-then-filter pipelines (quality gates) stay
+    scan-shaped at 100 TB.
+    """
+    toks = tokens_expr(text)
+    n_t = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_t - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_t - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = F.concat(toks, bigrams)
+    wsum = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.conv(F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 4), 16, 10).cast(
+            "long"
+        )
+        - 32768,
+    )
+    return wsum / (F.lit(32768.0) * F.size(feats))

@@ -1518,6 +1518,98 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster canonicalization: one kept doc per near-dup cluster
+# ---------------------------------------------------------------------------
+CANONICAL_DOCS_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM ( {MINHASH_ORACLE} )
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+cc AS (
+  SELECT u AS id, u AS comp FROM sym
+  UNION
+  SELECT s.u, cc.comp FROM sym s JOIN cc ON cc.id = s.v
+),
+comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+member AS (
+  SELECT c.component, d.doc_id, d.n_chars
+  FROM documents d JOIN comp c ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT component, doc_id, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS cs
+  FROM member
+),
+clustered AS (
+  SELECT component, doc_id, n_chars, cs FROM ranked WHERE rn = 1
+),
+singles AS (
+  SELECT d.doc_id AS component, d.doc_id, d.n_chars, 1 AS cs
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = d.doc_id)
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(n_chars AS BIGINT) AS canonical_n_chars,
+       CAST(cs AS BIGINT) AS cluster_size
+FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The step a cleaning pipeline runs AFTER clustering: pick ONE
+    canonical document per near-dup cluster (highest n_chars, tie min
+    doc_id — "keep the longest variant") and pass singletons through as
+    their own canonicals. Output is the deduplicated corpus roster:
+    one row per surviving doc with its cluster id and size.
+
+    Scale shape: the rank window runs ONLY over clustered docs (the
+    components table — tiny relative to the corpus; dup rate is a few
+    percent at crawl scale), never the full corpus. Singletons bypass via
+    a left-anti join on the same small table, so the corpus itself is
+    scanned twice but never window-shuffled. The components input comes
+    out of connected_components checkpointed, so the two consumers read a
+    materialized table rather than recomputing the star rounds.
+    """
+    from ..operators.clustering import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    comps = connected_components(pairs, id_a="doc_a", id_b="doc_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    member = docs.join(comps, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ws = Window.partitionBy("component")
+    clustered = (
+        member.select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(ws).alias("cs"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("component", "doc_id", "n_chars", "cs")
+    )
+    singles = docs.join(comps.select("doc_id"), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("component"),
+        "doc_id",
+        "n_chars",
+        F.lit(1).alias("cs"),
+    )
+    return clustered.unionByName(singles).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("doc_id").cast("long").alias("canonical_doc_id"),
+        F.col("n_chars").cast("long").alias("canonical_n_chars"),
+        F.col("cs").cast("long").alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition / quality signals (Gopher-style rules) per document
 # ---------------------------------------------------------------------------
 REPETITION_STATS_ORACLE = r"""
@@ -2357,3 +2449,57 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return weighted_group_sample(
         _t(spark, sf_dir, "documents"), "lang", _MIX, "doc_id"
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style, wordNgrams=2)
+# ---------------------------------------------------------------------------
+_HEX4 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, unnest(list_concat(
+    toks,
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+  )) AS feat FROM t
+),
+h AS (SELECT doc_id, md5('qw|' || feat) AS hx FROM f),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(({_HEX4}) - 32768) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM h GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       n AS n_features,
+       round(CAST(s AS DOUBLE) / (32768.0 * n), 6) AS quality_logit,
+       CAST(s AS DOUBLE) / (32768.0 * n) > 0.0 AS keep
+FROM agg
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Model-based quality gating at corpus scale: score every document
+    with a hashed linear classifier (operators/text.py:
+    hashed_classifier_logit_expr) and emit the keep decision. The whole
+    query is a scan-shaped projection — zero shuffles, zero Python — which
+    is the plan a 100 TB quality-filter pass must have (the oracle replays
+    the identical hash-weight model row-wise in DuckDB)."""
+    from ..operators.text import hashed_classifier_logit_expr, tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    n_t = F.size(tokens_expr(F.col("text")))
+    logit = hashed_classifier_logit_expr(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (n_t + F.greatest(n_t - 1, F.lit(0))).cast("long").alias("n_features"),
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > 0.0).alias("keep"),
+    )

@@ -781,6 +781,8 @@ QUERIES["range_join_click_attribution"] = _bind(_rel_early.q_range_join)
 ORACLES["range_join_click_attribution"] = _rel_early.RANGE_JOIN_ORACLE
 QUERIES["dedup_clusters"] = _bind(_dp_early.q_dedup_clusters)
 ORACLES["dedup_clusters"] = _dp_early.CLUSTERS_ORACLE
+QUERIES["dedup_canonical_docs"] = _bind(_dp_early.q_dedup_canonical)
+ORACLES["dedup_canonical_docs"] = _dp_early.CANONICAL_DOCS_ORACLE
 QUERIES["stratified_sample_per_lang"] = _bind(_rel_early.q_stratified_sample)
 ORACLES["stratified_sample_per_lang"] = _rel_early.STRATIFIED_SAMPLE_ORACLE
 QUERIES["order_price_histogram"] = _bind(_rel_early.q_histogram)
@@ -856,6 +858,8 @@ QUERIES["decontaminate_docs"] = _bind(_dp.q_decontaminate)
 ORACLES["decontaminate_docs"] = _dp.DECONTAMINATE_ORACLE
 QUERIES["global_shuffle_shards"] = _bind(_dp.q_global_shuffle_shards)
 ORACLES["global_shuffle_shards"] = _dp.GLOBAL_SHUFFLE_ORACLE
+QUERIES["quality_classifier_scores"] = _bind(_dp.q_quality_classifier)
+ORACLES["quality_classifier_scores"] = _dp.QUALITY_CLASSIFIER_ORACLE
 QUERIES["text_stats"] = _bind(_dp.q_text_stats)
 ORACLES["text_stats"] = _dp.TEXT_STATS_ORACLE
 QUERIES["doc_repetition_stats"] = _bind(_dp.q_repetition_stats)
@@ -1051,6 +1055,8 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
     # Priority 1 — NEW this round (never had a driver correctness row)
+    "dedup_canonical_docs",
+    "quality_classifier_scores",
     "line_dedup_docs",
     "duplicate_text_spans",
     "bm25_topk_retrieval",

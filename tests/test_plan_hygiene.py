@@ -232,6 +232,8 @@ def test_r6_queries_all_jvm_no_python(spark, sf_dir):
         "pagerank_near_dup",
         "neardup_incremental_batch",
         "simhash64_hamming_near_dup",
+        "dedup_canonical_docs",
+        "quality_classifier_scores",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
@@ -250,3 +252,14 @@ def test_bm25_broadcasts_model_and_query_tables(spark, sf_dir):
     broadcast — the corpus-sized tf side never shuffles for them."""
     plan = _plan(spark, sf_dir, "bm25_topk_retrieval")
     assert plan.count("BroadcastHashJoin") >= 3  # qt, df, stats
+
+
+def test_quality_classifier_scan_shaped(spark, sf_dir):
+    """The classifier pass must be a pure projection over the scan — no
+    hash/range shuffle anywhere (a 100 TB quality gate is scan-shaped).
+    The only allowed exchange is spread()'s round-robin fan-out, which is
+    a fixture-scale artifact (real corpora arrive with ample splits)."""
+    plan = _plan(spark, sf_dir, "quality_classifier_scores")
+    assert "Exchange hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
