@@ -136,7 +136,7 @@ def main() -> None:
                 3,
             )
 
-    # sf1 section: the seven heaviest queries on a deterministic 10× corpus —
+    # sf1 section: the nine heaviest queries on a deterministic 10× corpus —
     # the data-dominated regime the sf0.1 totals can't show (most queries
     # there sit on the ~0.3-0.6 s task-scheduling floor). Gated to the
     # driver's default sf0.1 run; SPARK_GRAFT_BENCH_SF1=0 disables.
@@ -160,10 +160,12 @@ SF1_QUERIES = [
     "simhash64_hamming_near_dup",
     "ann_cosine_lsh",
     "ngram_jaccard_near_dup",
+    "quality_classifier_scores",
 ]
-# Measured on this box (32 threads): Spark warm+timed ≈ 55 s for all
-# eight; DuckDB 1+2.4+7.4+12.6+43+~75+79+129 ≈ 350 s (simhash64's oracle
-# replays the 64-term bit voting per doc — r6 addition). Budget 500 s
+# Measured on this box (32 threads): Spark warm+timed ≈ 57 s for all
+# nine; DuckDB 1+2.4+3.9+7.4+12.6+43+~75+79+129 ≈ 355 s (simhash64's
+# oracle replays the 64-term bit voting per doc; quality_classifier
+# replays the hashed-weight model row-wise — r6 additions). Budget 500 s
 # admits the full duck pass with headroom; the per-oracle interrupt caps
 # any one regression.
 SF1_BUDGET_SEC = 500.0  # stop STARTING new work past this

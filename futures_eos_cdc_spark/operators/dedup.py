@@ -551,6 +551,7 @@ def build_neardup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = SHINGLE_K,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the corpus near-dup signature index the incremental gate
     probes — the production alternative to recomputing corpus signatures
@@ -561,9 +562,9 @@ def build_neardup_index(
       co-located keys;
     - ``shingles/`` (id, shingles): the verification sets.
 
-    Maintenance is append-only: admitted batch docs' rows are appended to
-    both tables (the same expressions produce them), so the index grows
-    with the corpus and no full recompute ever happens.
+    Maintenance is append-only: call :func:`append_to_neardup_index` with
+    each admitted batch (the same expressions produce the rows), so the
+    index grows with the corpus and no full recompute ever happens.
     """
     sh = spread(docs).select(
         F.col(id_col),
@@ -573,9 +574,24 @@ def build_neardup_index(
     bands = sig.select(F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")).select(
         id_col, "bk.band", "bk.key"
     )
-    bands.repartition("band", "key").write.mode("overwrite").parquet(f"{path}/bands")
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    bands.repartition("band", "key").write.mode(mode).parquet(f"{path}/bands")
+    sh.write.mode(mode).parquet(f"{path}/shingles")
     sh.unpersist()
+
+
+def append_to_neardup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> None:
+    """Append newly-admitted docs to an existing near-dup index — the
+    maintenance step after each :func:`minhash_dedup_against_corpus` batch:
+    gate the batch, append only the survivors. Identical expressions to
+    :func:`build_neardup_index`, parquet append mode (each call adds files;
+    compact periodically with a rebuild if small-file count grows)."""
+    build_neardup_index(docs, path, id_col=id_col, text_col=text_col, k=k, mode="append")
 
 
 def load_neardup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

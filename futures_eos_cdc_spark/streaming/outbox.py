@@ -240,6 +240,7 @@ def parquet_cdc_merge_writer(
     op_col: str = "op",
     tiebreak_cols: list[str] | None = None,
     lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
+    keep_versions: int = 2,
 ):
     """foreachBatch writer that continuously maintains the CDC current-state
     snapshot: each micro-batch of changes is merged latest-wins into the
@@ -265,8 +266,11 @@ def parquet_cdc_merge_writer(
     :class:`ConcurrentWriterError`. Call ``write.release()`` on clean
     shutdown (after ``query.stop()``); a crashed writer's lease expires
     after ``lease_ttl_s`` without heartbeats.
+
+    ``keep_versions``: how many published snapshot versions GC retains for
+    time travel via ``read_cdc_snapshot(spark, base, version=...)``.
     """
-    store = _VersionedParquet(base_dir)
+    store = _VersionedParquet(base_dir, keep_versions=keep_versions)
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
     lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
     lease.acquire()
@@ -299,24 +303,35 @@ def parquet_cdc_merge_writer(
 
 
 class _VersionedParquet:
-    """Versioned parquet publication behind an atomic pointer file.
+    """Versioned parquet publication behind an atomic pointer file, with a
+    Delta-style transaction log for time travel.
 
-    Each publish writes a fresh ``snapshot_epoch*`` directory, then swaps a
-    one-line ``_CURRENT`` pointer (``<version-dir> <epoch> <run-id>``) via
-    ``os.replace`` (atomic on POSIX) — readers always see a complete
-    version. The recorded (epoch, run-id) pair makes foreachBatch replay
-    detection exact WITHIN a query run: batch ids restart at 0 on a fresh
-    checkpoint, so writers must skip only same-run replays.
+    Each publish writes a fresh ``snapshot_epoch*`` directory, appends one
+    line to the append-only ``_VERSIONS.log`` (``<seq> <dir> <epoch>
+    <run-id> <fingerprint> <unix-ts>``), then swaps a one-line ``_CURRENT``
+    pointer via ``os.replace`` (atomic on POSIX) — readers always see a
+    complete version. The recorded (epoch, run-id) pair makes foreachBatch
+    replay detection exact WITHIN a query run: batch ids restart at 0 on a
+    fresh checkpoint, so writers must skip only same-run replays.
 
-    GC retains the immediately superseded version (N-1): a reader that
-    resolved ``_CURRENT`` just before the swap can still finish scanning
-    the previous snapshot; only versions at least two publishes old are
-    deleted.
+    ``keep_versions`` (default 2) controls GC: the newest N published
+    versions' directories are retained, so ``read_version(seq)`` can time
+    travel to any retained seq — the locally-verifiable core of Delta/
+    Iceberg ``VERSION AS OF``. The default keeps current + immediately
+    superseded (a reader that resolved ``_CURRENT`` just before a swap can
+    finish its scan). The log itself is never truncated: ``history()``
+    lists every publish, with ``retained`` flags.
+
+    Crash note: a crash between parquet write and pointer swap leaves a log
+    entry whose version never became current — harmless (its dir is intact
+    for time travel, and GC counts it toward retention).
     """
 
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, keep_versions: int = 2):
         self.base_dir = base_dir
         self.pointer = os.path.join(base_dir, "_CURRENT")
+        self.log = os.path.join(base_dir, "_VERSIONS.log")
+        self.keep_versions = max(1, keep_versions)
 
     def current(self) -> tuple[str | None, int, str, str]:
         if os.path.exists(self.pointer):
@@ -329,26 +344,85 @@ class _VersionedParquet:
             return os.path.join(self.base_dir, vname), epoch, run_id, fingerprint
         return None, -1, "", ""
 
+    def history(self) -> list[dict]:
+        """Every publish, oldest first: seq, dir, epoch, run_id,
+        fingerprint, ts, retained (directory still on disk)."""
+        entries: list[dict] = []
+        if os.path.exists(self.log):
+            with open(self.log) as fh:
+                for line in fh:
+                    p = line.strip().split(" ")
+                    if len(p) < 6:
+                        continue
+                    entries.append(
+                        {
+                            "seq": int(p[0]),
+                            "dir": p[1],
+                            "epoch": int(p[2]),
+                            "run_id": p[3],
+                            "fingerprint": p[4],
+                            "ts": float(p[5]),
+                            "retained": os.path.isdir(
+                                os.path.join(self.base_dir, p[1])
+                            ),
+                        }
+                    )
+        return entries
+
     def publish(
         self, df: DataFrame, epoch_id: int, run_id: str = "", fingerprint: str = ""
     ) -> None:
-        prev_path, _, _, _ = self.current()
-        prev = os.path.basename(prev_path) if prev_path else None
+        hist = self.history()
+        seq = hist[-1]["seq"] + 1 if hist else 0
         vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.base_dir, vname))
+        with open(self.log, "a") as fh:
+            fh.write(
+                f"{seq} {vname} {epoch_id} {run_id or '-'} "
+                f"{fingerprint or '-'} {time.time()}\n"
+            )
         tmp = f"{self.pointer}.tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             fh.write(f"{vname} {epoch_id} {run_id} {fingerprint}")
         os.replace(tmp, self.pointer)
+        retained = {e["dir"] for e in hist[-(self.keep_versions - 1) :]} | {vname}
         for d in os.listdir(self.base_dir):
-            if d.startswith("snapshot_") and d not in (vname, prev):
+            if d.startswith("snapshot_") and d not in retained:
                 shutil.rmtree(os.path.join(self.base_dir, d), ignore_errors=True)
 
+    def version_path(self, seq: int) -> str:
+        """Path of a retained published version by log seq (negative seq
+        counts from the end: -1 = newest, -2 = previous...)."""
+        hist = self.history()
+        if not hist:
+            raise FileNotFoundError(f"no published version under {self.base_dir}")
+        by_seq = {e["seq"]: e for e in hist}
+        if seq < 0:
+            seq = hist[-1]["seq"] + 1 + seq
+        e = by_seq.get(seq)
+        if e is None:
+            raise FileNotFoundError(
+                f"version {seq} was never published under {self.base_dir} "
+                f"(log has {hist[0]['seq']}..{hist[-1]['seq']})"
+            )
+        if not e["retained"]:
+            raise FileNotFoundError(
+                f"version {seq} ({e['dir']}) was garbage-collected; raise "
+                "keep_versions on the writer to retain more history"
+            )
+        return os.path.join(self.base_dir, e["dir"])
 
-def read_cdc_snapshot(spark, base_dir: str) -> DataFrame:
-    """Read the current version published by :func:`parquet_cdc_merge_writer`
-    or :func:`parquet_incremental_agg_writer` (resolves ``_CURRENT``)."""
-    path, _, _, _ = _VersionedParquet(base_dir).current()
+
+def read_cdc_snapshot(spark, base_dir: str, version: int | None = None) -> DataFrame:
+    """Read a version published by :func:`parquet_cdc_merge_writer` or
+    :func:`parquet_incremental_agg_writer`. Default: the current version
+    (resolves ``_CURRENT``). Pass ``version=<seq>`` (or a negative index,
+    -2 = previous) to time travel to any retained version — Delta/Iceberg
+    ``VERSION AS OF`` over the store's ``_VERSIONS.log``."""
+    store = _VersionedParquet(base_dir)
+    if version is not None:
+        return spark.read.parquet(store.version_path(version))
+    path, _, _, _ = store.current()
     if path is None:
         raise FileNotFoundError(f"no published version under {base_dir}")
     return spark.read.parquet(path)
@@ -362,6 +436,7 @@ def parquet_incremental_agg_writer(
     max_cols: list[str] | None = None,
     checkpoint_fingerprint: str | None = None,
     lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
+    keep_versions: int = 2,
 ):
     """foreachBatch writer maintaining a streaming materialized view of
     mergeable per-key aggregates (count / sum / min / max): each micro-batch
@@ -397,7 +472,7 @@ def parquet_incremental_agg_writer(
     sum_cols = sum_cols or []
     min_cols = min_cols or []
     max_cols = max_cols or []
-    store = _VersionedParquet(base_dir)
+    store = _VersionedParquet(base_dir, keep_versions=keep_versions)
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
     lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
     lease.acquire()

@@ -161,3 +161,53 @@ def test_zorder_layout_beats_single_column_sort_for_skipping(spark, sf_dir, tmp_
     # price-sorted: ~1 file for the price slice but ALL files for the size
     # slice; z-order pays a few files on each — strictly fewer in total
     assert cost["zorder"] < cost["price_sorted"], cost
+
+
+def test_manifest_prunes_files_and_preserves_results(spark, sf_dir, tmp_path):
+    """Footer-stats data skipping: over a range-clustered layout, a range
+    predicate must (a) return exactly the rows a full-scan filter returns,
+    (b) admit only the files whose footer min/max overlap the range, and
+    (c) read zero data files when the range misses everything."""
+    from futures_eos_cdc_spark.sources.manifest import (
+        build_scan_manifest,
+        manifest_pruned_read,
+        prune_files,
+    )
+
+    out = str(tmp_path / "orders_by_price")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    # range-cluster: repartitionByRange gives files disjoint o_totalprice
+    # ranges — the layout zorder/sort produces at scale
+    orders.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(out)
+
+    manifest = build_scan_manifest(spark, out, ["o_totalprice"])
+    n_files = len({e["file"] for e in manifest})
+    assert n_files == 8
+
+    lo, hi = 50_000.0, 80_000.0
+    keep = prune_files(manifest, {"o_totalprice": (lo, hi)})
+    assert 0 < len(keep) < n_files  # real skipping happened
+
+    got = manifest_pruned_read(spark, out, {"o_totalprice": (lo, hi)}, manifest)
+    want = orders.filter(
+        (orders.o_totalprice >= lo) & (orders.o_totalprice <= hi)
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )
+
+    # an impossible range prunes every file but keeps the schema
+    nothing = manifest_pruned_read(
+        spark, out, {"o_totalprice": (1e12, None)}, manifest
+    )
+    assert nothing.columns == ["o_orderkey", "o_totalprice", "o_custkey"]
+    assert nothing.count() == 0
+
+    # conservative admission: a column with no stats never skips
+    assert (
+        len(prune_files(manifest, {"no_such_col": (0, 1)})) == n_files
+    )

@@ -208,6 +208,69 @@ def test_parquet_cdc_merge_writer_maintains_snapshot(spark, tmp_path):
     assert again == expected
 
 
+def test_cdc_snapshot_time_travel(spark, tmp_path):
+    """VERSION AS OF over the store's _VERSIONS.log: with keep_versions=3,
+    every published snapshot stays readable by seq (and negative index);
+    with the default retention, GC'd versions fail loudly, and history()
+    still lists every publish."""
+    import os
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        _VersionedParquet,
+        parquet_cdc_merge_writer,
+        read_cdc_snapshot,
+    )
+
+    schema = "id long, op string, ts_ms long, seq long, val string"
+    batches = [
+        spark.createDataFrame([(1, "c", 100, 1, "v1a")], schema),
+        spark.createDataFrame([(1, "u", 200, 2, "v1b")], schema),
+        spark.createDataFrame([(1, "u", 300, 3, "v1c"), (2, "c", 300, 4, "v2a")], schema),
+    ]
+    base = str(tmp_path / "cdc_tt")
+    os.makedirs(base)
+    write = parquet_cdc_merge_writer(
+        base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"], keep_versions=3
+    )
+    for i, b in enumerate(batches):
+        write(b, i + 1)
+    write.release()
+
+    def vals(version):
+        return {
+            r.id: r.val for r in read_cdc_snapshot(spark, base, version=version).collect()
+        }
+
+    assert vals(0) == {1: "v1a"}
+    assert vals(1) == {1: "v1b"}
+    assert vals(2) == {1: "v1c", 2: "v2a"}
+    assert vals(-2) == vals(1)  # negative index: previous version
+    assert vals(-1) == {r.id: r.val for r in read_cdc_snapshot(spark, base).collect()}
+    hist = _VersionedParquet(base).history()
+    assert [e["seq"] for e in hist] == [0, 1, 2]
+    assert all(e["retained"] for e in hist)
+    with pytest.raises(FileNotFoundError):
+        read_cdc_snapshot(spark, base, version=99)
+
+    # default retention (2): the oldest of three publishes is GC'd but
+    # still listed; reading it names the keep_versions remedy
+    base2 = str(tmp_path / "cdc_tt2")
+    os.makedirs(base2)
+    write2 = parquet_cdc_merge_writer(base2, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    for i, b in enumerate(batches):
+        write2(b, i + 1)
+    write2.release()
+    hist2 = _VersionedParquet(base2).history()
+    assert [e["retained"] for e in hist2] == [False, True, True]
+    with pytest.raises(FileNotFoundError, match="keep_versions"):
+        read_cdc_snapshot(spark, base2, version=0)
+    assert {r.id: r.val for r in read_cdc_snapshot(spark, base2, version=1).collect()} == {
+        1: "v1b"
+    }
+
+
 def test_cdc_writer_fresh_checkpoint_new_run_not_dropped(spark, tmp_path):
     """A restart with a fresh checkpointLocation restarts batch ids at 0.
     The replay gate must be per-run: a NEW writer instance's batch 0 against

@@ -724,7 +724,13 @@ def test_minhash_dedup_prebuilt_index_parity(spark, sf_dir, tmp_path):
         ],
         "doc_id long, text string",
     )
-    build_neardup_index(corpus, str(tmp_path / "ndidx"))
+    # production maintenance shape: initial build + per-batch append
+    from futures_eos_cdc_spark.operators.dedup import append_to_neardup_index
+
+    half = corpus.limit(50)
+    rest = corpus.subtract(half)
+    build_neardup_index(half, str(tmp_path / "ndidx"))
+    append_to_neardup_index(rest, str(tmp_path / "ndidx"))
     idx = load_neardup_index(spark, str(tmp_path / "ndidx"))
     kept_inline = {r.doc_id for r in minhash_dedup_against_corpus(batch, corpus).collect()}
     kept_index = {
