@@ -429,34 +429,49 @@ def _indicator_select(dec_to_dbl) -> str:
     all-loss-free frames pin RSI to 100 per Wilder's convention). Every
     frame sum runs in DECIMAL(38,10) so the engine's sliding-frame
     add/remove strategy cannot change values; sqrt is IEEE
-    correctly-rounded, so both engines agree bit-for-bit."""
+    correctly-rounded, so both engines agree bit-for-bit.
+
+    Shape note (measured): the base window aggregates are computed ONCE in
+    an inner subquery and the derived indicators in plain outer
+    projections — inlining {m}/{sd}/{rsi} textually put 25 window
+    functions in the Window node (Catalyst does not CSE repeated
+    `sum(...) OVER` instances) and tripled the window pass; this
+    formulation carries 6."""
     s20 = dec_to_dbl("sum(CAST(close AS DECIMAL(38,10))) OVER w20")
     sq20 = dec_to_dbl("sum(CAST(close * close AS DECIMAL(38,10))) OVER w20")
-    m = f"({s20} / count(close) OVER w20)"
-    msq = f"({sq20} / count(close) OVER w20)"
-    sd = f"sqrt(greatest({msq} - {m} * {m}, CAST(0.0 AS DOUBLE)))"
     sg = dec_to_dbl("sum(CAST(gain AS DECIMAL(38,10))) OVER w14")
     sl = dec_to_dbl("sum(CAST(loss AS DECIMAL(38,10))) OVER w14")
-    n14 = "count(gain) OVER w14"
     rsi = (
-        f"CASE WHEN {n14} = 0 THEN NULL"
-        f" WHEN {sl} = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE)"
-        f" ELSE round(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)"
-        f" / (CAST(1.0 AS DOUBLE) + ({sg} / {n14}) / ({sl} / {n14})), 6) END"
+        "CASE WHEN n14 = 0 THEN NULL"
+        " WHEN slv = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE)"
+        " ELSE round(CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE)"
+        " / (CAST(1.0 AS DOUBLE) + (sgv / n14) / (slv / n14)), 6) END"
     )
     return f"""
 SELECT symbol, bucket_s, close,
-  round({m}, 6) AS sma20,
-  round({m} + CAST(2.0 AS DOUBLE) * {sd}, 6) AS boll_up,
-  round({m} - CAST(2.0 AS DOUBLE) * {sd}, 6) AS boll_dn,
+  round(m, 6) AS sma20,
+  round(m + CAST(2.0 AS DOUBLE) * sd, 6) AS boll_up,
+  round(m - CAST(2.0 AS DOUBLE) * sd, 6) AS boll_dn,
   {rsi} AS rsi14,
-  CAST(count(close) OVER w20 AS BIGINT) AS n20
-FROM g
-WINDOW
-  w20 AS (PARTITION BY symbol ORDER BY bucket_s
-          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-  w14 AS (PARTITION BY symbol ORDER BY bucket_s
-          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+  n20
+FROM (
+  SELECT symbol, bucket_s, close, sgv, slv, n14, n20,
+    (s20v / n20) AS m,
+    sqrt(greatest((sq20v / n20) - (s20v / n20) * (s20v / n20),
+                  CAST(0.0 AS DOUBLE))) AS sd
+  FROM (
+    SELECT symbol, bucket_s, close,
+      {s20} AS s20v, {sq20} AS sq20v,
+      CAST(count(close) OVER w20 AS BIGINT) AS n20,
+      {sg} AS sgv, {sl} AS slv, count(gain) OVER w14 AS n14
+    FROM g
+    WINDOW
+      w20 AS (PARTITION BY symbol ORDER BY bucket_s
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      w14 AS (PARTITION BY symbol ORDER BY bucket_s
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+  )
+)
 """
 
 
