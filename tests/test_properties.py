@@ -242,3 +242,40 @@ def test_dedup_against_corpus_matches_reference(spark_prop, corpus_texts, batch_
             expect.add((100 + i, t))
             seen.add(t)
     assert got == expect
+
+
+@given(
+    bounds=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 150)),
+            st.one_of(st.none(), st.integers(-50, 150)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_manifest_pruning_never_skips_matching_files(bounds):
+    """Data-skipping soundness: for ANY closed range, prune_files must admit
+    every file whose rows intersect the range (false skips lose data;
+    false admissions only cost I/O). Pure-python property over a synthetic
+    manifest mirroring disjoint range-clustered files of 0..99."""
+    from futures_eos_cdc_spark.sources.manifest import prune_files
+
+    # ten files, file i holds values [10i, 10i+9]; one file with no stats
+    manifest = [
+        {"file": f"f{i}", "column": "v", "min": 10 * i, "max": 10 * i + 9,
+         "rows": 10, "has_nulls": False}
+        for i in range(10)
+    ] + [{"file": "fx", "column": "v", "min": None, "max": None,
+          "rows": 5, "has_nulls": True}]
+    for lo, hi in bounds:
+        keep = set(prune_files(manifest, {"v": (lo, hi)}))
+        assert "fx" in keep  # stats-free file always admitted
+        for i in range(10):
+            fmin, fmax = 10 * i, 10 * i + 9
+            file_matches = (lo is None or fmax >= lo) and (hi is None or fmin <= hi)
+            if file_matches:
+                assert f"f{i}" in keep, (lo, hi, i)
+            else:
+                assert f"f{i}" not in keep, (lo, hi, i)  # tight stats => exact skip
