@@ -34,6 +34,9 @@ from ..operators.dedup import (
 from ..operators.dedup import (
     simhash16_expr as simhash16,
 )
+from ..operators.text import (
+    hashed_classifier_logit_expr as classifier_logit,
+)
 from ..operators.similarity import (
     cosine_expr as cosine,
 )
@@ -78,6 +81,7 @@ from ..sources.bucketing import (
 )
 
 __all__ = [
+    "classifier_logit",
     "cosine",
     "dot",
     "fingerprint",
