@@ -611,3 +611,92 @@ def embedding_near_dup(
 
     register_operator_counter("embedding_near_dup.skipped_buckets", skipped)
     return result
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space with k-means, then inside each cluster drop every vector that has
+    a higher-priority near-twin (cosine ≥ ``threshold``) — the
+    cluster-then-prune semantic dedup pass LLM pipelines run after exact/
+    fuzzy text dedup. Priority is min id (deterministic greedy; the paper
+    keeps an arbitrary member per dup-group).
+
+    Returns the full roster (id, cluster_id, kept) — filter ``kept`` for
+    the survivors.
+
+    Scale shape: the pair scan is WITHIN-cell only — ONE shuffle on cell
+    into an ``applyInPandas`` kernel, which is SemDeDup's entire cost
+    model: n_cells grows with the corpus (the paper uses ~11k clusters at
+    LAION scale) so per-cell membership, and therefore per-cell quadratic
+    work, stays bounded. The kernel uses the proven two-phase float
+    discipline from ``embedding_near_dup``: a chunked matmul as the
+    ULP-tolerant PRE-filter, then an exact left-fold re-score of the
+    surviving candidates — dot and norms accumulate dim-by-dim in the same
+    op order as ``list_reduce``, so the kept flags are bit-replayable in
+    the DuckDB oracle. Cells above ``max_cell`` are skipped (no drops
+    emitted) with the count reported via the standard operator-counter
+    surface — the same recall-loss alarm embedding_near_dup uses.
+    """
+    import numpy as np  # noqa: F401 — required by the kernel below
+
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    emb = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+    skipped = embeddings.sparkSession.sparkContext.accumulator(0)
+
+    def cell_dropped(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame({id_col: _pd.Series(dtype="int64")})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if n > max_cell:
+            skipped.add(1)
+            return empty
+        order = _np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        x = _np.vstack(pdf[vec_col].to_numpy())[order].astype(_np.float64)
+        # Exact per-vector norm: dim-by-dim left fold (list_reduce order).
+        sq = _np.zeros(n)
+        for d in range(x.shape[1]):
+            sq += x[:, d] * x[:, d]
+        nrm = _np.sqrt(sq)
+        xn = x / _np.where(nrm == 0.0, 1.0, nrm)[:, None]
+        dropped = _np.zeros(n, dtype=bool)
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            cos_pre = xn[lo:hi] @ xn.T  # ULP-accurate pre-filter only
+            rows, cols = _np.nonzero(cos_pre >= threshold - 1e-9)
+            keep = lo + rows < cols  # a_id < b_id: upper triangle
+            ia, ib = lo + rows[keep], cols[keep]
+            if not len(ia):
+                continue
+            acc = _np.zeros(len(ia))
+            for d in range(x.shape[1]):
+                acc += x[ia, d] * x[ib, d]
+            final = acc / (nrm[ia] * nrm[ib]) >= threshold
+            dropped[ib[final]] = True
+        return _pd.DataFrame({id_col: ids[dropped]})
+
+    dropped_ids = (
+        emb.groupBy("cell")
+        .applyInPandas(cell_dropped, f"{id_col} long")
+        .withColumn("_dropped", F.lit(True))
+    )
+    from ..streaming.monitor import register_operator_counter
+
+    register_operator_counter("semantic_dedup.skipped_cells", skipped)
+    return assigned.join(dropped_ids, id_col, "left").select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("cell").cast("int").alias("cluster_id"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )

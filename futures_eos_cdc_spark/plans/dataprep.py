@@ -2503,3 +2503,54 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.round(logit, 6).alias("quality_logit"),
         (logit > 0.0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means cells + within-cell cosine pruning (semantic dedup)
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.4  # fixture max pairwise cosine ~0.48; 0.4 drops ~11% of
+# vectors (the realistic semantic-dup rate). Production corpora use ~0.9.
+
+_SEM_RNG = "range(1, 65)"
+
+
+def _sem_fold(expr: str) -> str:
+    return f"list_reduce(list_transform({_SEM_RNG}, {expr}), (x, y) -> x + y)"
+
+
+SEMANTIC_DEDUP_ORACLE = (
+    _ann_ivf_oracle_sql(tail="assign")
+    + f""",
+emb2 AS (
+  SELECT c.c_id AS vid, c.cell, e.embedding
+  FROM cand c JOIN e ON e.vec_id = c.c_id
+),
+pd AS (
+  SELECT DISTINCT b.vid AS drop_id
+  FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.vid < b.vid
+  WHERE {_sem_fold('j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)')}
+        / (sqrt({_sem_fold('j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)')})
+           * sqrt({_sem_fold('j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)')}))
+        >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+)
+SELECT CAST(c.c_id AS BIGINT) AS vec_id,
+       CAST(c.cell AS INT) AS cluster_id,
+       NOT EXISTS (SELECT 1 FROM pd WHERE pd.drop_id = c.c_id) AS kept
+FROM cand c
+"""
+)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """SemDeDup pass over the corpus embeddings (operators/similarity.py:
+    semantic_dedup): k-means cells from the SHARED trained centroids (the
+    same train-once model ann_cosine_ivf and embedding_kmeans_clusters
+    reuse), within-cell cosine ≥ τ prunes to the min-id representative.
+    The oracle replays training bit-exactly and the identical order-stable
+    cosine fold, so kept flags hash-match."""
+    from ..operators.similarity import semantic_dedup
+
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    return semantic_dedup(
+        e, _trained_centroids(spark, sf_dir, e), threshold=_SEMDEDUP_TAU
+    )

@@ -859,6 +859,8 @@ QUERIES["corpus_token_stats"] = _bind(_dp.q_corpus_token_stats)
 ORACLES["corpus_token_stats"] = _dp.CORPUS_TOKEN_STATS_ORACLE
 QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
 ORACLES["embedding_kmeans_clusters"] = _dp.KMEANS_CLUSTERS_ORACLE
+QUERIES["semantic_dedup_embeddings"] = _bind(_dp.q_semantic_dedup)
+ORACLES["semantic_dedup_embeddings"] = _dp.SEMANTIC_DEDUP_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
@@ -1072,6 +1074,7 @@ _WALK_FIRST = [
     # Priority 1 — NEW this round (never had a driver correctness row)
     "dedup_canonical_docs",
     "quality_classifier_scores",
+    "semantic_dedup_embeddings",
     "line_dedup_docs",
     "duplicate_text_spans",
     "bm25_topk_retrieval",

@@ -234,6 +234,8 @@ def test_r6_queries_all_jvm_no_python(spark, sf_dir):
         "simhash64_hamming_near_dup",
         "dedup_canonical_docs",
         "quality_classifier_scores",
+        # semantic_dedup_embeddings is deliberately Arrow-batched
+        # (applyInPandas cell kernel) — covered by its own test below
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
@@ -263,3 +265,12 @@ def test_quality_classifier_scan_shaped(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
+    """SemDeDup's cost model: ONE hash exchange on cell feeding the Arrow
+    pair kernel; no row-at-a-time Python, no second shuffle for the pair
+    scan (the kept-flag join rides the tiny dropped-ids table)."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_embeddings")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
