@@ -1104,7 +1104,7 @@ _WALK_FIRST = [
     "ann_cosine_ivf",
     "embedding_kmeans_clusters",
     # Priority 3 — unchanged code, newest row is r4: rotate as many into
-    # the 50-query window as fit. (With 95 queries and 50 checks/round the
+    # the 50-query window as fit. (With 98 queries and 50 checks/round the
     # union of two rounds can no longer cover everything; the remainder
     # keep their r4 green rows AND are re-verified every session by
     # tests/test_oracle_parity.py over the full ORACLES dict.)
