@@ -110,6 +110,49 @@ def build_scan_manifest(
     ]
 
 
+def refresh_scan_manifest(
+    spark: SparkSession, path: str, cols: Iterable[str], manifest: list[dict]
+) -> list[dict]:
+    """Incremental manifest maintenance for append-only tables: read
+    footers ONLY for files not already covered by ``manifest`` and return
+    the merged manifest. An appended batch of K files costs K footer
+    reads, never a full re-scan — the same append-only discipline as
+    :func:`operators.dedup.append_to_neardup_index`. Entries for files
+    that no longer exist are dropped (compaction/GC)."""
+    cols = tuple(cols)
+    known = {e["file"] for e in manifest}
+    if os.path.isdir(path):
+        files = {
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+    else:
+        files = {path}
+    kept = [e for e in manifest if e["file"] in files]
+    new = sorted(files - known)
+    if not new:
+        return kept
+    sc = spark.sparkContext
+    rows = (
+        sc.parallelize(new, min(len(new), sc.defaultParallelism))
+        .flatMap(lambda f: _file_stats(f, cols))
+        .collect()
+    )
+    kept.extend(
+        {
+            "file": f,
+            "column": c,
+            "min": mn,
+            "max": mx,
+            "rows": n,
+            "has_nulls": hn,
+        }
+        for (f, c, mn, mx, n, hn) in rows
+    )
+    return kept
+
+
 def prune_files(
     manifest: list[dict], ranges: dict[str, tuple[Any, Any]]
 ) -> list[str]:

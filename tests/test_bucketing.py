@@ -211,3 +211,37 @@ def test_manifest_prunes_files_and_preserves_results(spark, sf_dir, tmp_path):
     assert (
         len(prune_files(manifest, {"no_such_col": (0, 1)})) == n_files
     )
+
+
+def test_manifest_incremental_refresh(spark, sf_dir, tmp_path):
+    """Appending files must cost only the NEW footers: refresh merges new
+    entries, keeps old ones verbatim, and drops entries for deleted files."""
+    from futures_eos_cdc_spark.sources.manifest import (
+        build_scan_manifest,
+        prune_files,
+        refresh_scan_manifest,
+    )
+
+    out = str(tmp_path / "inc")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders.limit(100).coalesce(1).write.parquet(out)
+    m1 = build_scan_manifest(spark, out, ["o_totalprice"])
+    # append a second batch of files
+    orders.where("o_orderkey % 2 = 0").limit(100).coalesce(2).write.mode(
+        "append"
+    ).parquet(out)
+    m2 = refresh_scan_manifest(spark, out, ["o_totalprice"], m1)
+    full = build_scan_manifest(spark, out, ["o_totalprice"])
+    key = lambda e: e["file"]
+    assert sorted(m2, key=key) == sorted(full, key=key)
+    assert {e["file"] for e in m1} <= {e["file"] for e in m2}
+    # pruning over the refreshed manifest matches a full rebuild
+    r = {"o_totalprice": (None, 100_000.0)}
+    assert prune_files(m2, r) == prune_files(full, r)
+    # deleted files drop out
+    import os as _os
+
+    gone = sorted({e["file"] for e in m2})[0]
+    _os.remove(gone)
+    m3 = refresh_scan_manifest(spark, out, ["o_totalprice"], m2)
+    assert gone not in {e["file"] for e in m3}
