@@ -558,8 +558,10 @@ def build_neardup_index(
     per batch. Two parquet tables under ``path``:
 
     - ``bands/``   (id, band, key): the LSH candidate probes, written
-      repartitioned on (band, key) so a probing join's shuffle reads
-      co-located keys;
+      clustered on (band, key) — each key's rows land in one file, so a
+      probing join's shuffle reads each key from one input split (on a
+      real deployment make this a bucketed table to skip the shuffle
+      entirely, sources/bucketing.py:write_bucketed);
     - ``shingles/`` (id, shingles): the verification sets.
 
     Maintenance is append-only: call :func:`append_to_neardup_index` with

@@ -385,7 +385,12 @@ class _VersionedParquet:
         with open(tmp, "w") as fh:
             fh.write(f"{vname} {epoch_id} {run_id} {fingerprint}")
         os.replace(tmp, self.pointer)
-        retained = {e["dir"] for e in hist[-(self.keep_versions - 1) :]} | {vname}
+        # NB: hist[-0:] would be the WHOLE list — guard the keep_versions=1
+        # case (retain only the just-published version) explicitly.
+        prev_keep = self.keep_versions - 1
+        retained = {
+            e["dir"] for e in (hist[-prev_keep:] if prev_keep > 0 else [])
+        } | {vname}
         for d in os.listdir(self.base_dir):
             if d.startswith("snapshot_") and d not in retained:
                 shutil.rmtree(os.path.join(self.base_dir, d), ignore_errors=True)

@@ -501,3 +501,23 @@ def test_agg_writer_lease_blocks_forward_epoch_interleave(spark, tmp_path):
     with pytest.raises(ConcurrentWriterError, match="held by live writer"):
         parquet_incremental_agg_writer(base, ["k"], sum_cols=["v"])
     w1.release()
+
+
+def test_versioned_store_keep_versions_one_gcs_all_but_current(spark, tmp_path):
+    """keep_versions=1 must retain ONLY the just-published version (the
+    hist[-0:] slicing trap would silently retain everything)."""
+    import os
+
+    from futures_eos_cdc_spark.streaming.outbox import _VersionedParquet
+
+    base = str(tmp_path / "kv1")
+    os.makedirs(base)
+    store = _VersionedParquet(base, keep_versions=1)
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    store.publish(df, 1)
+    store.publish(df, 2)
+    store.publish(df, 3)
+    hist = store.history()
+    assert [e["retained"] for e in hist] == [False, False, True]
+    snaps = [d for d in os.listdir(base) if d.startswith("snapshot_")]
+    assert len(snaps) == 1
