@@ -510,7 +510,15 @@ def q_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,10): the sliding-frame add/remove strategy cannot change
     results, so streaming/batch/any-engine agree exactly.
     """
-    candles = q_ohlcv_candles(spark, sf_dir)
+    return indicators_over_candles(spark, q_ohlcv_candles(spark, sf_dir))
+
+
+def indicators_over_candles(spark: SparkSession, candles: DataFrame) -> DataFrame:
+    """Apply the SMA/Bollinger/RSI layer to ANY candles DataFrame with
+    (symbol, bucket_s, close) — the batch query uses it over the inline
+    OHLCV aggregation; the streaming pipeline applies it to the
+    continuously-maintained candle store snapshot (same SQL text, so
+    stream-fed and batch indicator values agree exactly)."""
     candles.createOrReplaceTempView("_tech_candles")
     return spark.sql(
         "WITH c AS (SELECT * FROM _tech_candles)"

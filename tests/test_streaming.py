@@ -971,3 +971,58 @@ def test_streaming_neardup_gate_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_candle_store_indicators_end_to_end(spark, sf_dir, tmp_path):
+    """The full streaming market-data pipeline: signal stream → watermarked
+    OHLCV aggregation → foreachBatch merge into the versioned candle store
+    → indicator layer over the store snapshot. The indicators computed
+    from the STREAM-FED store must equal the batch technical_indicators
+    query exactly (same SQL text over the same candle values)."""
+    import os
+
+    from futures_eos_cdc_spark.plans.registry import (
+        indicators_over_candles,
+        q_technical_indicators,
+    )
+    from futures_eos_cdc_spark.streaming.outbox import (
+        parquet_cdc_merge_writer,
+        read_cdc_snapshot,
+    )
+    from futures_eos_cdc_spark.streaming.pipeline import streaming_candles
+
+    path = _write_stream_input(spark, sf_dir, tmp_path)
+    base = str(tmp_path / "candle_store")
+    os.makedirs(base)
+    write = parquet_cdc_merge_writer(base, ["symbol", "bucket_s"], ts_col="bucket_s")
+
+    def write_batch(df, epoch_id):
+        # candles are upserts keyed (symbol, bucket_s); latest-wins on
+        # replay, no deletes in this stream
+        write(df.withColumn("op", F.lit("u")), epoch_id)
+
+    q = (
+        streaming_candles(read_signal_stream_files(spark, path))
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_cs"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    write.release()
+
+    candles = read_cdc_snapshot(spark, base).filter(
+        F.col("symbol") != "SENTINEL"
+    ).drop("op")
+    got = {
+        (r.symbol, r.bucket_s): (r.sma20, r.boll_up, r.boll_dn, r.rsi14, r.n20)
+        for r in indicators_over_candles(spark, candles).collect()
+    }
+    want = {
+        (r.symbol, r.bucket_s): (r.sma20, r.boll_up, r.boll_dn, r.rsi14, r.n20)
+        for r in q_technical_indicators(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
