@@ -199,3 +199,83 @@ def weighted_group_sample(
     return df.filter(
         group_keep_expr(F.col(id_col), F.col(group_col), fractions, salt)
     )
+
+
+def token_budget_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int | None = None,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    budget_fraction: float | None = None,
+) -> DataFrame:
+    """Solve the per-group sampling rates that realize a target token
+    MIXTURE under a total token budget — the data-mixing step a
+    pretraining pipeline runs after curation (weights say what fraction
+    of the training tokens each source should contribute; availability
+    caps what it CAN contribute).
+
+    rate_g = min(1, weight_g x budget / available_g) — a group with fewer
+    tokens than its allocation is taken whole (the shortfall is visible
+    as rate = 1, not silently redistributed: mixture re-balancing is a
+    policy decision the caller makes explicitly).
+
+    The budget is EITHER ``budget_tokens`` (an absolute count) or
+    ``budget_fraction`` (a fraction of the corpus's total tokens,
+    computed in-plan — no driver collect, so the whole solve stays one
+    deferred job). One aggregation over (group, tokens), n_groups rows
+    out — broadcast back onto the corpus by :func:`token_budget_sample`.
+    Every rate is one double multiply chain + division, bit-replayable
+    in SQL.
+    """
+    if (budget_tokens is None) == (budget_fraction is None):
+        raise ValueError("pass exactly one of budget_tokens or budget_fraction")
+    avail = docs.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("available_tokens")
+    )
+    w = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )[F.col(group_col)]
+    if budget_fraction is not None:
+        total = docs.agg(F.sum(F.col(tokens_col)).cast("long").alias("_total_tokens"))
+        avail = avail.crossJoin(F.broadcast(total))
+        # left-assoc chain mirrored verbatim in the SQL oracle
+        rate = w * F.lit(float(budget_fraction)) * F.col("_total_tokens") / F.col(
+            "available_tokens"
+        )
+    else:
+        rate = w * F.lit(float(budget_tokens)) / F.col("available_tokens")
+    return avail.select(
+        group_col,
+        "available_tokens",
+        F.least(F.lit(1.0), rate).alias("rate"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "mix2|",
+) -> DataFrame:
+    """Apply :func:`token_budget_rates` deterministically: doc kept iff its
+    16-bit content-stable hash bucket falls under floor(rate x 65536) —
+    append-safe, rerun-stable, and exactly reproducible in any SQL engine
+    (the same md5-hex-to-int read the quality classifier uses). The rates
+    table is n_groups rows — always a broadcast join; the corpus never
+    shuffles."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    thr = F.floor(F.col("rate") * F.lit(65536.0)).cast("long")
+    return (
+        docs.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .withColumn("kept", bucket < thr)
+    )

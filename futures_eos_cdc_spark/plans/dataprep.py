@@ -2554,3 +2554,76 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return semantic_dedup(
         e, _trained_centroids(spark, sf_dir, e), threshold=_SEMDEDUP_TAU
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture: per-source sampling rates from target weights
+# ---------------------------------------------------------------------------
+_MIX2_N = 20
+_MIX2_WEIGHTS = {f"src{i}": (i + 1) / 210.0 for i in range(_MIX2_N)}
+_MIX2_FRACTION = 0.7
+
+_MIX2_WT_VALUES = ",\n    ".join(
+    f"('src{i}', CAST({i + 1} AS DOUBLE) / CAST(210 AS DOUBLE))"
+    for i in range(_MIX2_N)
+)
+
+TOKEN_BUDGET_MIXTURE_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+wt AS (SELECT * FROM (VALUES
+    {_MIX2_WT_VALUES}
+) AS t(source, w)),
+avail AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS available_tokens
+  FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d),
+r AS (
+  SELECT a.source,
+    least(CAST(1.0 AS DOUBLE),
+          w.w * CAST(0.7 AS DOUBLE) * tot.total_tokens / a.available_tokens)
+      AS rate
+  FROM avail a JOIN wt w USING (source) CROSS JOIN tot
+),
+h AS (
+  SELECT doc_id, md5('mix2|' || CAST(doc_id AS VARCHAR)) AS hx FROM d
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.n_tokens,
+  round(r.rate, 6) AS rate,
+  ({_HEX4}) < CAST(floor(r.rate * 65536.0) AS BIGINT) AS kept
+FROM d JOIN r USING (source) JOIN h USING (doc_id)
+"""
+
+
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Data mixing under a token budget (operators/sampling.py:
+    token_budget_rates + token_budget_sample): target weights say what
+    fraction of the training tokens each source should contribute
+    (here src_i gets weight (i+1)/210 of a budget equal to 70% of the
+    corpus), availability caps each source's rate at 1, and the keep
+    decision is the content-stable 16-bit hash bucket — the whole solve
+    is one aggregation plus a broadcast of 20 rate rows; the corpus never
+    shuffles."""
+    from ..operators.sampling import token_budget_rates, token_budget_sample
+    from ..operators.text import token_count_expr
+
+    docs = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    rates = token_budget_rates(
+        docs, _MIX2_WEIGHTS, budget_fraction=_MIX2_FRACTION
+    )
+    out = token_budget_sample(docs, rates)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_tokens",
+        F.round(F.col("rate"), 6).alias("rate"),
+        "kept",
+    )

@@ -869,6 +869,8 @@ QUERIES["embedding_kmeans_clusters"] = _bind(_dp.q_kmeans_clusters)
 ORACLES["embedding_kmeans_clusters"] = _dp.KMEANS_CLUSTERS_ORACLE
 QUERIES["semantic_dedup_embeddings"] = _bind(_dp.q_semantic_dedup)
 ORACLES["semantic_dedup_embeddings"] = _dp.SEMANTIC_DEDUP_ORACLE
+QUERIES["token_budget_mixture"] = _bind(_dp.q_token_budget_mixture)
+ORACLES["token_budget_mixture"] = _dp.TOKEN_BUDGET_MIXTURE_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
@@ -1083,6 +1085,7 @@ _WALK_FIRST = [
     "dedup_canonical_docs",
     "quality_classifier_scores",
     "semantic_dedup_embeddings",
+    "token_budget_mixture",
     "line_dedup_docs",
     "duplicate_text_spans",
     "bm25_topk_retrieval",

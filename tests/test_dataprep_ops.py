@@ -745,3 +745,38 @@ def test_minhash_dedup_prebuilt_index_parity(spark, sf_dir, tmp_path):
         minhash_dedup_against_corpus(batch, corpus, corpus_index=idx)
     with _pytest.raises(ValueError):
         minhash_dedup_against_corpus(batch)
+
+
+def test_token_budget_rates_cap_and_contract(spark):
+    """Rates realize the target mixture: uncapped groups get
+    weight*budget/available exactly; over-allocated groups cap at 1; and
+    the one-budget-form contract raises on misuse."""
+    import pytest as _pytest
+
+    from futures_eos_cdc_spark.operators.sampling import token_budget_rates
+
+    docs = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("b", 50), ("c", 800)],
+        "source string, n_tokens long",
+    )
+    # budget 400: a gets .5*400/200 = 1.0 (exact), b 0.25*400/100 = 1.0,
+    # c 0.25*400/800 = 0.125
+    rates = {
+        r.source: (r.rate, r.available_tokens)
+        for r in token_budget_rates(
+            docs, {"a": 0.5, "b": 0.25, "c": 0.25}, budget_tokens=400
+        ).collect()
+    }
+    assert rates == {"a": (1.0, 200), "b": (1.0, 100), "c": (0.125, 800)}
+    # fraction mode: budget = 0.5 * 1100 total tokens -> c = .25*.5*1100/800
+    frac = {
+        r.source: r.rate
+        for r in token_budget_rates(
+            docs, {"a": 0.5, "b": 0.25, "c": 0.25}, budget_fraction=0.5
+        ).collect()
+    }
+    assert frac["c"] == 0.25 * 0.5 * 1100 / 800
+    with _pytest.raises(ValueError):
+        token_budget_rates(docs, {"a": 1.0})
+    with _pytest.raises(ValueError):
+        token_budget_rates(docs, {"a": 1.0}, budget_tokens=10, budget_fraction=0.5)
