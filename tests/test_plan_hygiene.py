@@ -274,3 +274,12 @@ def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_dedup_embeddings")
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_mixture_broadcasts_rates(spark, sf_dir):
+    """The 20-row rates table must broadcast onto the corpus — a sort-merge
+    join here would shuffle every document for 20 rows of rates."""
+    plan = _plan(spark, sf_dir, "token_budget_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
