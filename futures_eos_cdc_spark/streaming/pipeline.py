@@ -196,16 +196,27 @@ def neardup_gate_writer(
     The exact-hash twin (stream_dedup_against_corpus) stays a pure
     stream-static anti-join because its survivor predicate is per-row.
 
-    At 100 TB pass the maintained banded signature index as ``corpus``
-    (the operator docstring's index-table shape) so each micro-batch probes
-    the index instead of recomputing corpus signatures.
+    At 100 TB pass the maintained signature index — the (bands, shingles)
+    tuple from ``operators.dedup.load_neardup_index`` — as ``corpus``:
+    each micro-batch then probes the index tables instead of recomputing
+    corpus signatures (and ``append_to_neardup_index`` with each batch's
+    survivors keeps the index current).
     """
     from ..operators.dedup import minhash_dedup_against_corpus
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        survivors = minhash_dedup_against_corpus(
-            batch_df, corpus, id_col=id_col, text_col=text_col, threshold=threshold
-        )
+        if isinstance(corpus, tuple):
+            survivors = minhash_dedup_against_corpus(
+                batch_df,
+                corpus_index=corpus,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+            )
+        else:
+            survivors = minhash_dedup_against_corpus(
+                batch_df, corpus, id_col=id_col, text_col=text_col, threshold=threshold
+            )
         sink(survivors, epoch_id)
 
     return write

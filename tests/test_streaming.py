@@ -972,6 +972,33 @@ def test_streaming_neardup_gate_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     assert got == want
 
+    # production shape: the gate probes the PREBUILT index tables instead
+    # of re-hashing the corpus — identical survivors
+    from futures_eos_cdc_spark.operators.dedup import (
+        build_neardup_index,
+        load_neardup_index,
+    )
+
+    build_neardup_index(corpus, str(tmp_path / "ndidx"))
+    idx = load_neardup_index(spark, str(tmp_path / "ndidx"))
+    got_idx = set()
+
+    def sink_idx(df, epoch_id):
+        got_idx.update(r.doc_id for r in df.collect())
+
+    q2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(path)
+        .writeStream.foreachBatch(neardup_gate_writer(idx, sink_idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt_idx"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert got_idx == want
+
 
 def test_stream_candle_store_indicators_end_to_end(spark, sf_dir, tmp_path):
     """The full streaming market-data pipeline: signal stream → watermarked
