@@ -245,11 +245,16 @@ def token_budget_rates(
         )
     else:
         rate = w * F.lit(float(budget_tokens)) / F.col("available_tokens")
+    # Groups with no weight are EXCLUDED, not implicitly rate-1: Spark's
+    # least() skips NULLs, so least(1.0, NULL-weight-rate) would silently
+    # admit an unweighted group whole — the opposite of what a mixture
+    # spec means. The explicit when() + filter mirrors an inner join on
+    # the weight table.
     return avail.select(
         group_col,
         "available_tokens",
-        F.least(F.lit(1.0), rate).alias("rate"),
-    )
+        F.when(w.isNotNull(), F.least(F.lit(1.0), rate)).alias("rate"),
+    ).filter(F.col("rate").isNotNull())
 
 
 def token_budget_sample(

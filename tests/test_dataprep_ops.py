@@ -780,3 +780,7 @@ def test_token_budget_rates_cap_and_contract(spark):
         token_budget_rates(docs, {"a": 1.0})
     with _pytest.raises(ValueError):
         token_budget_rates(docs, {"a": 1.0}, budget_tokens=10, budget_fraction=0.5)
+    # groups without a weight are EXCLUDED, never implicitly rate-1
+    # (Spark's least() skips NULLs — the trap this pins down)
+    only_a = token_budget_rates(docs, {"a": 1.0}, budget_tokens=100).collect()
+    assert {r.source for r in only_a} == {"a"}
