@@ -24,8 +24,13 @@ no table-format jars required:
 
 Stats semantics: a file with NO footer stats for a column (or with nulls
 only) is always ADMITTED — skipping must be conservative. min/max are
-compared with Python ordering; use this for numeric/string/date columns
-(the types parquet orders the same way Python does).
+compared with Python ordering; use this for numeric/date columns without
+reservation. For long STRING columns, verify the writer's statistics
+truncation first: parquet writers may truncate min/max at a byte budget,
+and a writer that truncates max without incrementing the final byte
+produces a max LOWER than the true max — an unsound skip. (parquet-mr
+and arrow increment correctly; treat third-party writers as suspect and
+drop string columns from the manifest if unsure.)
 """
 
 from __future__ import annotations
