@@ -1168,7 +1168,10 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
        CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d
 WHERE d.doc_id % 17 <> 0
-  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  -- NOT EXISTS, not NOT IN: one NULL id in the subquery would zero the
+  -- whole result under NOT IN three-valued logic (same hardening as
+  -- DEDUP_INCREMENTAL_ORACLE, ADVICE r5)
+  AND NOT EXISTS (SELECT 1 FROM contaminated c2 WHERE c2.doc_id = d.doc_id)
 """
 
 
