@@ -54,6 +54,16 @@ class _WriterLease:
     protocols (conditional pointer swap + conflict detection), which add
     multi-writer MERGE; until those jars are available, the lease turns the
     documented constraint into an error instead of corruption.
+
+    Why not a poor-man's optimistic CAS here (O_EXCL-create of
+    ``_commits/<seq>``, loser retries)? Because these writers publish FULL
+    merged snapshots: two concurrent merge writers that both CAS-commit
+    would each base their snapshot on the pre-conflict state, so the
+    second commit silently discards the first one's rows — CAS serializes
+    the pointer, not the merge. Safe multi-writer needs per-commit change
+    sets plus conflict detection/replay (what Delta's protocol actually
+    provides). For snapshot-merge semantics, mutual exclusion IS the
+    correct protocol, not a stopgap.
     """
 
     def __init__(self, base_dir: str, run_id: str, ttl_s: float = DEFAULT_LEASE_TTL_S):
