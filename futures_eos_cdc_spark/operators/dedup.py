@@ -383,16 +383,15 @@ def _sized_for_join(df: DataFrame, n_part: int, *key_cols: str) -> DataFrame:
 _STATS_MIN_INPUT_BYTES = 4 << 20
 
 
-def _worth_sizing(df: DataFrame) -> bool:
-    """Whether the input is big enough for data-driven exchange sizing to
-    pay for its stats actions (~0.5-1 s of eager driver jobs at sf0.1).
+def input_bytes_at_most(df: DataFrame, cap: int) -> bool:
+    """True iff the DataFrame's file inputs are KNOWN to total <= cap bytes.
 
-    Decided from the input's parquet file sizes on the driver — zero Spark
-    jobs. Below the threshold the session default is already right (the
-    BENCH_NOTES small-SF oversizing trap is the SAME regime), so skipping
-    the stats there loses nothing. Unknown/remote schemes and unreadable
-    files return True: at cluster scale the stats cost is noise and the
-    sizing is the point.
+    Decided from the input's local file sizes on the driver — zero Spark
+    jobs. Conservative in the scale direction: unknown/remote schemes and
+    unreadable files return False ("not known small"), so gates built on
+    this pick the scale-safe plan on a real cluster where inputs aren't
+    local files. Empty input-file lists (in-memory frames: tests, literals)
+    return True — those are by construction driver-sized.
     """
     import os as _os
     import urllib.parse as _up
@@ -400,23 +399,37 @@ def _worth_sizing(df: DataFrame) -> bool:
     try:
         files = df.inputFiles()
     except Exception:
-        return True
+        return False
     if not files:
-        return False  # in-memory frames (tests, literals)
+        return True  # in-memory frames (tests, literals)
     total = 0
     for f in files:
         if not f.startswith("file:"):
-            return True
+            return False
         p = _up.unquote(f[5:])
         while p.startswith("//"):
             p = p[1:]
         try:
             total += _os.path.getsize(p)
         except OSError:
-            return True
-        if total >= _STATS_MIN_INPUT_BYTES:
-            return True
-    return False
+            return False
+        if total > cap:
+            return False
+    return True
+
+
+def _worth_sizing(df: DataFrame) -> bool:
+    """Whether the input is big enough for data-driven exchange sizing to
+    pay for its stats actions (~0.5-1 s of eager driver jobs at sf0.1).
+
+    Below the threshold the session default is already right (the
+    BENCH_NOTES small-SF oversizing trap is the SAME regime), so skipping
+    the stats there loses nothing. Unknown/remote schemes and in-memory
+    frames resolve in the scale-safe direction via input_bytes_at_most:
+    at cluster scale the stats cost is noise and the sizing is the point;
+    in-memory test frames are tiny and skip it.
+    """
+    return not input_bytes_at_most(df, _STATS_MIN_INPUT_BYTES - 1)
 
 
 def _cached_count(df: DataFrame) -> int:

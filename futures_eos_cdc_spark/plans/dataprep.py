@@ -1370,11 +1370,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     scorer RAG / eval-set mining pipelines run at corpus scale).
 
     Plan at 100 TB: tf is the only corpus-sized aggregate (one exchange on
-    (doc, term)); df is vocabulary-sized and broadcast (same shape as
-    tfidf_top_terms); the query-term table and the one-row corpus stats are
-    broadcast; joining query terms FIRST shrinks everything downstream to
-    docs containing query terms. Ranking is a per-query WindowGroupLimit —
-    top-k never sorts the corpus."""
+    (doc, term)); df is computed ONLY for query terms — the (doc, term)
+    stream is semi-joined to the broadcast query-term table BEFORE the
+    df aggregate, so the aggregate's input is docs-containing-query-terms
+    and its output is |query terms| rows. That kills the r6 scale-killer
+    (a forced broadcast of the full vocabulary-sized df table, 10^8-10^9
+    rows on a web corpus): the broadcast side is now bounded by the query
+    set at every scale. The query-term table and the one-row corpus stats
+    are broadcast; joining query terms FIRST shrinks everything downstream
+    to docs containing query terms. Ranking is a per-query
+    WindowGroupLimit — top-k never sorts the corpus."""
     from ..operators.text import tokens_expr
 
     docs = spread(_t(spark, sf_dir, "documents"))
@@ -1382,7 +1387,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     lens = toks.select("doc_id", F.size("t").cast("long").alias("len_d"))
     ex = toks.select("doc_id", F.explode("t").alias("term"))
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("len_d").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1390,6 +1394,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     qt = spark.createDataFrame(
         [(qid, t) for qid, s in BM25_QUERIES for t in s.split()],
         "query_id long, term string",
+    )
+    # df only for query terms: semi-join the exploded stream to the
+    # (broadcast, few-row) query-term set BEFORE aggregating, so both the
+    # aggregate input and the broadcast df table are query-bounded — never
+    # vocabulary-sized.
+    qterms = qt.select("term").distinct()
+    df_ = (
+        ex.join(F.broadcast(qterms), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
     )
     term_score = (
         f"round(ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d))"
@@ -1445,15 +1459,32 @@ SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 """
 
+# Gate for broadcasting the vocabulary-sized df table in tfidf_top_terms.
+# Heaps' law: vocab ~ corpus^beta (beta~0.5-0.6); at ~256 MiB of document
+# parquet the distinct-term table is ~1-2M rows / tens of MB serialized —
+# the edge of comfortable broadcast. Beyond it (or whenever the input size
+# is unknowable, i.e. any real cluster scheme) the term-keyed sort-merge
+# join is the safe plan. Module-level so tests can force either path.
+TFIDF_BROADCAST_MAX_INPUT_BYTES = 256 << 20
+
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     """Per-document top-3 TF-IDF terms — the corpus-statistics shape every
     training pipeline computes. Three aggregates (tf per doc-term, df per
-    term, N), one broadcast of the term-df table (|vocab| rows, small
-    relative to the corpus; at 100 TB bucket both sides by term instead),
-    and a WindowGroupLimit caps the per-doc sort at k. Ranking uses the
-    ROUNDED score so cross-engine ULP noise in ln() cannot flip the order;
-    ties break on the term itself."""
+    term, N), a size-GATED join of the term-df table, and a
+    WindowGroupLimit caps the per-doc sort at k.
+
+    The df table is |vocab| rows — Heaps' law grows it with the corpus, so
+    a FORCED broadcast is a scale-killer (10^8-10^9 distinct terms on a web
+    corpus OOMs driver+executors). The gate: when the documents input is
+    KNOWN small (local files totalling <= TFIDF_BROADCAST_MAX_INPUT_BYTES),
+    broadcast df — the asserted-fast fixture plan. Otherwise (big local
+    input, or any non-local scheme, i.e. a real cluster) join tf⋈df plainly
+    on term: both sides key on term, Spark plans the term-keyed sort-merge
+    join and tf's exchange partitioning is reused. Ranking uses the ROUNDED
+    score so cross-engine ULP noise in ln() cannot flip the order; ties
+    break on the term itself."""
+    from ..operators.dedup import input_bytes_at_most
     from ..operators.text import tokens_expr
 
     docs = spread(_t(spark, sf_dir, "documents"))
@@ -1464,8 +1495,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     # consumers.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    small = input_bytes_at_most(docs, TFIDF_BROADCAST_MAX_INPUT_BYTES)
+    df_side = F.broadcast(dfreq) if small else dfreq
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(df_side, "term")
         .join(F.broadcast(n))
         .withColumn(
             "tfidf",

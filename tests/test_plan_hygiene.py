@@ -250,10 +250,40 @@ def test_ohlcv_candles_single_exchange(spark, sf_dir):
 
 
 def test_bm25_broadcasts_model_and_query_tables(spark, sf_dir):
-    """The query-term table and the vocabulary-sized df table must
-    broadcast — the corpus-sized tf side never shuffles for them."""
+    """The query-term table and the df table must broadcast — the
+    corpus-sized tf side never shuffles for them — and the df aggregate's
+    input must be semi-joined to the query-term set FIRST, so the broadcast
+    df side is query-term-sized (bounded) rather than vocabulary-sized
+    (unbounded — the r6 100 TB scale-killer)."""
     plan = _plan(spark, sf_dir, "bm25_topk_retrieval")
     assert plan.count("BroadcastHashJoin") >= 3  # qt, df, stats
+    # the query-term restriction of the df aggregate survives optimization
+    assert "LeftSemi" in plan
+
+
+def test_tfidf_df_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
+    """Small (known-local, under-threshold) input → broadcast df: the
+    asserted-fast fixture plan. Forced-large input → the term-keyed
+    sort-merge join: the only plan that survives a web-corpus vocabulary.
+    """
+    from futures_eos_cdc_spark.plans import dataprep
+
+    plan_small = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan_small
+    # Force the large path (input "not known small") AND emulate the large
+    # vocabulary's size estimate by disabling auto-broadcast: the un-hinted
+    # tf⋈df join must fall back to the term-keyed sort-merge join. (At
+    # fixture scale Catalyst's own estimate still broadcasts it — that's
+    # the point of removing only the FORCED hint: the planner keeps its
+    # stats-driven choice.)
+    monkeypatch.setattr(dataprep, "TFIDF_BROADCAST_MAX_INPUT_BYTES", -1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_large = _plan(spark, sf_dir, "tfidf_top_terms")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan_large
 
 
 def test_quality_classifier_scan_shaped(spark, sf_dir):
