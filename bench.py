@@ -96,7 +96,12 @@ def main() -> None:
         import duckdb
 
         from futures_eos_cdc_spark.plans import ORACLES
+        from futures_eos_cdc_spark.plans.dataprep import oracle_overrides_for_sf
 
+        # The IVF-family oracles bake the trained model's auto-derived cell
+        # count (a function of the embeddings row count) into their SQL —
+        # re-render them for THIS SF so both engines replay the same model.
+        oracles = {**ORACLES, **oracle_overrides_for_sf(sf_dir)}
         con = duckdb.connect()
         con.execute(f"SET threads TO {cpus}")
         for t in (
@@ -107,7 +112,7 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         duck: dict[str, float] = {}
-        for name, sql in sorted(ORACLES.items()):
+        for name, sql in sorted(oracles.items()):
             con.execute(sql).fetchall()  # warm-up (buffer pool)
             best = None
             for _ in range(2):  # min-of-2, symmetric with the Spark side
@@ -183,10 +188,12 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
     import threading
 
     from futures_eos_cdc_spark.plans import ORACLES
+    from futures_eos_cdc_spark.plans.dataprep import oracle_overrides_for_sf
     from futures_eos_cdc_spark.sources.scale_synth import ensure_scaled_dir
 
     t_section = time.perf_counter()
     sf1_dir = ensure_scaled_dir(sf_dir, factor=10)
+    oracles = {**ORACLES, **oracle_overrides_for_sf(sf1_dir)}
     out: dict = {"dir": sf1_dir, "factor": 10, "spark": {}, "duckdb": {}}
 
     for name in SF1_QUERIES:
@@ -232,7 +239,7 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
         timer.start()
         t0 = time.perf_counter()
         try:
-            con.execute(ORACLES[name]).fetchall()
+            con.execute(oracles[name]).fetchall()
             out["duckdb"][name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             # The interrupt lands as a generic exception — but so would a

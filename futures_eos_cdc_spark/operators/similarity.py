@@ -107,6 +107,34 @@ def brute_force_topk(
     )
 
 
+AUTO_CELL_TARGET = 32  # target per-cell membership for auto-sized k-means
+AUTO_CELL_MIN = 4
+AUTO_CELL_MAX = 1 << 20  # bound the centroid table (cells*dim doubles on the driver)
+
+
+def auto_n_cells(
+    n_vectors: int,
+    target_cell: int = AUTO_CELL_TARGET,
+    min_cells: int = AUTO_CELL_MIN,
+    max_cells: int = AUTO_CELL_MAX,
+) -> int:
+    """Derive the k-means cell count from the corpus size.
+
+    SemDeDup's cost model (arXiv:2303.09540 — ~11k clusters at LAION scale)
+    requires n_cells to GROW with the corpus so per-cell membership, and
+    therefore per-cell quadratic pair work, stays bounded: cells =
+    ceil(n / target_cell), clamped. With the target constant the expected
+    within-cell pair scan is O(n * target_cell) total — linear in the
+    corpus — instead of O(n^2 / n_cells) with a fixed cell count. The cap
+    bounds the driver-held centroid table (cells x dim doubles) and the
+    per-row assignment expression; past it, raise target_cell instead (the
+    paper's regime: at 100 TB you also shard training by corpus partition).
+    """
+    import math as _math
+
+    return min(max_cells, max(min_cells, _math.ceil(max(n_vectors, 1) / target_cell)))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (Box-Muller over a seeded LCG;
     no numpy dependency in the plan — literals are embedded in the query)."""
@@ -615,11 +643,12 @@ def embedding_near_dup(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 100_000,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
     space with k-means, then inside each cluster drop every vector that has
@@ -643,9 +672,27 @@ def semantic_dedup(
     the DuckDB oracle. Cells above ``max_cell`` are skipped (no drops
     emitted) with the count reported via the standard operator-counter
     surface — the same recall-loss alarm embedding_near_dup uses.
+
+    ``centroids=None`` (the scale-safe default) counts the corpus (one
+    aggregate) and trains ``auto_n_cells(n)`` centroids in place, so
+    per-cell membership — and therefore per-cell quadratic work — stays
+    bounded without the caller having to know the cost model. Pass
+    pre-trained centroids for the train-once-offline deployment (they must
+    then be sized for the corpus; that responsibility travels with them).
     """
     import numpy as np  # noqa: F401 — required by the kernel below
 
+    if centroids is None:
+        dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        n_vectors = embeddings.count()
+        centroids = ivf_train(
+            embeddings,
+            n_cells=auto_n_cells(n_vectors),
+            iters=2,
+            seed=seed,
+            dim=dim,
+            vec_col=vec_col,
+        )
     assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     emb = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
     skipped = embeddings.sparkSession.sparkContext.accumulator(0)

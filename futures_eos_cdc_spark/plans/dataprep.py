@@ -512,6 +512,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 _IVF_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
 
 
+def embeddings_auto_n_cells(sf_dir: str) -> int:
+    """Corpus-derived k-means cell count for the shared trained model
+    (r6 VERDICT item 5): cells = auto_n_cells(row count of
+    ``embeddings.parquet``), read from the parquet FOOTER — no Spark job,
+    and (crucially) computable identically by the oracle-SQL generator, so
+    the replayed training in DuckDB uses the same cell count at every SF.
+    The 500-vector driver fixtures (sf0.001/sf0.01) derive exactly the
+    historical 16, keeping the module-level oracle strings valid there;
+    bench regenerates the three IVF-family oracles per SF via
+    ``oracle_overrides_for_sf``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import auto_n_cells
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return auto_n_cells(pq.ParquetFile(path).metadata.num_rows)
+
+
 def _trained_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> list[list[float]]:
     from ..operators.similarity import ivf_train
 
@@ -522,7 +542,9 @@ def _trained_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> list[l
         # purge stale-session entries (same rationale as sources/tables.py)
         for k in [k for k in _IVF_CENTROIDS if k[0] != app_id]:
             del _IVF_CENTROIDS[k]
-        got = _IVF_CENTROIDS[key] = ivf_train(e, n_cells=16, iters=2, seed=42)
+        got = _IVF_CENTROIDS[key] = ivf_train(
+            e, n_cells=embeddings_auto_n_cells(sf_dir), iters=2, seed=42
+        )
     return got
 
 
@@ -2049,9 +2071,10 @@ ANN_IVF_ORACLE = _ann_ivf_oracle_sql()
 # ---------------------------------------------------------------------------
 _CLUSTER_CAP = 64
 
-KMEANS_CLUSTERS_ORACLE = (
-    _ann_ivf_oracle_sql(tail="assign")
-    + f""",
+def _kmeans_oracle_sql(n_cells: int = 16) -> str:
+    return (
+        _ann_ivf_oracle_sql(n_cells=n_cells, tail="assign")
+        + f""",
 sized AS (
   SELECT c_id AS vec_id, cell,
     count(*) OVER (PARTITION BY cell) AS cluster_size,
@@ -2068,7 +2091,10 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        sample_rank <= {_CLUSTER_CAP} AS kept
 FROM sized
 """
-)
+    )
+
+
+KMEANS_CLUSTERS_ORACLE = _kmeans_oracle_sql()
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
@@ -2554,9 +2580,10 @@ def _sem_fold(expr: str) -> str:
     return f"list_reduce(list_transform({_SEM_RNG}, {expr}), (x, y) -> x + y)"
 
 
-SEMANTIC_DEDUP_ORACLE = (
-    _ann_ivf_oracle_sql(tail="assign")
-    + f""",
+def _semantic_dedup_oracle_sql(n_cells: int = 16) -> str:
+    return (
+        _ann_ivf_oracle_sql(n_cells=n_cells, tail="assign")
+        + f""",
 emb2 AS (
   SELECT c.c_id AS vid, c.cell, e.embedding
   FROM cand c JOIN e ON e.vec_id = c.c_id
@@ -2574,7 +2601,27 @@ SELECT CAST(c.c_id AS BIGINT) AS vec_id,
        NOT EXISTS (SELECT 1 FROM pd WHERE pd.drop_id = c.c_id) AS kept
 FROM cand c
 """
-)
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle_sql()
+
+
+def oracle_overrides_for_sf(sf_dir: str) -> dict[str, str]:
+    """Per-SF regeneration of the oracles whose SQL bakes the trained
+    model's cell count. The module-level strings are generated at the
+    driver-fixture cell count (16, derived from the 500-vector sf0.001 /
+    sf0.01 embeddings); any SF whose corpus derives a different
+    ``embeddings_auto_n_cells`` needs its IVF-family oracles re-rendered
+    with that count — bench.py merges these over ORACLES before timing."""
+    nc = embeddings_auto_n_cells(sf_dir)
+    if nc == 16:
+        return {}
+    return {
+        "ann_cosine_ivf": _ann_ivf_oracle_sql(n_cells=nc),
+        "embedding_kmeans_clusters": _kmeans_oracle_sql(n_cells=nc),
+        "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(n_cells=nc),
+    }
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:

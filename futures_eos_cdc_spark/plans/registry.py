@@ -1081,69 +1081,71 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 1 — NEW this round (never had a driver correctness row)
-    "dedup_canonical_docs",
-    "quality_classifier_scores",
-    "semantic_dedup_embeddings",
-    "token_budget_mixture",
-    "line_dedup_docs",
-    "duplicate_text_spans",
-    "bm25_topk_retrieval",
-    "doc_perplexity_scores",
-    "ohlcv_candles",
-    "gap_fill_price_grid",
-    "pagerank_near_dup",
-    "neardup_incremental_batch",
-    "technical_indicators",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "simhash64_hamming_near_dup",
-    # Priority 2 — implementation changed this round (r5 rows are stale:
-    # SQL-parse pipeline rewrite, data-driven exchange sizing, digest
-    # null-sentinel, oracle NOT EXISTS, ivf precondition)
-    "outbox_event_router",
-    "orders_from_decisions",
-    "market_price_lookup",
-    "signal_decisions",
-    "decision_records",
-    "minhash_lsh_near_dup",
-    "ngram_jaccard_near_dup",
-    "dedup_clusters",
-    "dedup_incremental_batch",
-    "dedup_keep_rows",
-    "exact_dedup_keep_first",
-    "ann_cosine_ivf",
-    "embedding_kmeans_clusters",
-    # Priority 3 — unchanged code, newest row is r4: rotate as many into
-    # the 50-query window as fit. (With 98 queries and 50 checks/round the
-    # union of two rounds can no longer cover everything; the remainder
-    # keep their r4 green rows AND are re-verified every session by
-    # tests/test_oracle_parity.py over the full ORACLES dict.)
-    "q22_idle_wealthy_customers",
-    "train_val_test_split",
-    "tfidf_top_terms",
-    "order_value_percentiles",
-    "grouping_sets_revenue",
-    "range_join_click_attribution",
-    "stratified_sample_per_lang",
-    "order_price_histogram",
-    "window_functions",
-    "moving_aggregates",
-    "full_outer_reconciliation",
-    "skew_salted_aggregate",
-    "distinct_aggregates",
-    "sessionize_events",
-    "asof_join_purchases",
-    "cube_order_stats",
-    "sliding_window_events",
-    "text_stats",
-    "corpus_clean_funnel",
-    "benchmark_contamination",
-    "simhash_buckets",
+    # Round-7 rotation (r6 VERDICT item 3). Priority 1 — the 8 queries
+    # whose newest driver row is r4 (verified by set-union of
+    # CORRECTNESS_r0{1..6}.json): after this round no query's newest row
+    # is older than r5.
+    "above_brand_avg_parts",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_regional_revenue",
     "q6_forecast_revenue",
-    "q4_order_priority",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    # Priority 2 — implementation changed THIS round (need fresh green
+    # rows under the new definition): bm25 query-term-bounded df, tfidf
+    # size-gated df join, pagerank reliable-checkpoint option, SemDeDup
+    # auto-sized cells.
+    "bm25_topk_retrieval",
+    "tfidf_top_terms",
+    "pagerank_near_dup",
+    "semantic_dedup_embeddings",
+    # Priority 3 — newest row is r5; rotate as many into the ~50-query
+    # window as fit. The tail that misses keeps its r5 row (still within
+    # the two-round bar) AND every oracle-backed query is re-verified each
+    # session by tests/test_oracle_parity.py over the full ORACLES dict.
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_sole_blame_suppliers",
+    "ann_cosine_lsh",
+    "cosine_topk_bruteforce",
+    "embedding_near_dup",
+    "decontaminate_docs",
+    "dedup_exact_documents",
+    "doc_chunks",
+    "doc_repetition_stats",
+    "corpus_token_stats",
+    "token_block_segments",
+    "token_blocks",
+    "global_shuffle_shards",
+    "mixture_resample",
+    "multimodal_features",
+    "pii_scrub",
+    "cdc_customer_snapshot",
+    "scd2_customer_history",
+    "events_json_extract",
+    "approx_aggregates",
+    "customers_without_orders",
+    "pivot_by_status",
+    "rollup_subtotals",
+    "set_ops_priority_customers",
+    "signal_strength_histogram",
+    "simhash_hamming_near_dup",
+    "top_customers_by_revenue",
+    "topk_per_group",
+    "zorder_layout_key",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

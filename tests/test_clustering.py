@@ -108,3 +108,27 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert rows[1].pr > rows[2].pr
     assert len({rows[s].pr for s in (2, 3, 4, 5)}) == 1  # spokes symmetric
     assert abs(sum(r.pr for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches the edge table and every checkpoint_every-th
+    round (plus the last) to reliable df.checkpoint() — same contract as
+    connected_components. Values must be BIT-IDENTICAL to the local default
+    (the iteration is deterministic by construction), and checkpoint files
+    must land in the directory."""
+    from futures_eos_cdc_spark.operators.clustering import pagerank
+
+    random.seed(31)
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (tuple(random.sample(range(60), 2)) for _ in range(150))})
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckpt = str(tmp_path / "pr_ckpt")
+    local = sorted(map(tuple, pagerank(df, iters=4).collect()))
+    reliable = sorted(map(tuple, pagerank(
+        df, iters=4, checkpoint_dir=ckpt, checkpoint_every=2
+    ).collect()))
+    assert reliable == local
+    import os
+
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no files"

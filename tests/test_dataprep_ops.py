@@ -285,6 +285,39 @@ def test_ivf_training_deterministic_under_repartitioning(spark, sf_dir):
     assert c1 == c2  # bit-identical, not approximately equal
 
 
+def test_auto_n_cells_derivation(sf_dir):
+    """SemDeDup auto-sizing (r6 VERDICT item 5): cells scale linearly with
+    the corpus at constant per-cell membership, clamped at both ends; the
+    500-vector driver fixture derives exactly the historical 16 so the
+    module-level oracle strings stay valid there, and larger corpora get
+    regenerated oracles via oracle_overrides_for_sf."""
+    from futures_eos_cdc_spark.operators.similarity import auto_n_cells
+    from futures_eos_cdc_spark.plans.dataprep import (
+        embeddings_auto_n_cells,
+        oracle_overrides_for_sf,
+    )
+
+    assert auto_n_cells(500) == 16
+    assert auto_n_cells(0) == auto_n_cells(1) == 4  # floor clamp
+    assert auto_n_cells(32 * 10_000) == 10_000  # linear at constant target
+    assert auto_n_cells(10**12) == 1 << 20  # ceiling clamp
+    # monotone non-decreasing over a sweep
+    vals = [auto_n_cells(n) for n in range(0, 5000, 37)]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    assert embeddings_auto_n_cells(sf_dir) == 16
+    assert oracle_overrides_for_sf(sf_dir) == {}
+    ov = oracle_overrides_for_sf("/root/testdata/sf0.1")  # 2000 vectors → 63
+    assert set(ov) == {
+        "ann_cosine_ivf",
+        "embedding_kmeans_clusters",
+        "semantic_dedup_embeddings",
+    }
+    # the regenerated SQL really carries the larger model (init VALUES rows)
+    assert ov["semantic_dedup_embeddings"].count("named_struct") == 0  # sanity: SQL, not Spark expr
+    assert ov["ann_cosine_ivf"].count("::DOUBLE[]") == 63
+
+
 def test_weighted_group_sample_append_safe_and_partitioning_proof(spark, sf_dir):
     """Mixture resampling must commute with ingestion: sampling the union
     of two corpus slices equals the union of sampling each slice (so daily
