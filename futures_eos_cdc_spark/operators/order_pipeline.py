@@ -104,9 +104,8 @@ def decisions_to_orders(
     # fraction of the py4j construction cost. Double literals that the old
     # code pre-computed in Python (1.0 - threshold, QTY_MAX - QTY_BASE) are
     # inlined with repr() so the IEEE values are bit-identical.
-    spark = decisions.sparkSession
-    decisions.createOrReplaceTempView("_orders_dec_in")
-    prices.createOrReplaceTempView("_orders_prices_in")
+    from ..sqlutil import sql_over_views
+
     actionable = ", ".join(f"'{a}'" for a in ACTIONABLE)
     if deterministic:
         order_id = "sha2(concat_ws('|', symbol, window_start_s), 256)"
@@ -120,12 +119,12 @@ def decisions_to_orders(
         f"round({QTY_BASE!r}d + {(QTY_MAX - QTY_BASE)!r}d"
         f" * least(1.0d, greatest(0.0d, {frac})), 2)"
     )
-    return spark.sql(f"""
+    return sql_over_views(lambda v: f"""
 WITH gated AS (
   SELECT *,
     CASE WHEN startswith(action, 'STRONG') THEN confidence * 1.2d
          ELSE confidence END AS adj_confidence
-  FROM _orders_dec_in
+  FROM {v['dec']}
   WHERE action IN ({actionable})
 ), with_id AS (
   SELECT *, {order_id} AS id, {created_at_s} AS created_at_s
@@ -145,8 +144,8 @@ SELECT /*+ BROADCAST(p) */
   w.created_at_s AS updated_at_s,
   w.confidence,
   w.adj_confidence
-FROM with_id w LEFT JOIN _orders_prices_in p ON w.symbol = p.symbol
-""")
+FROM with_id w LEFT JOIN {v['prices']} p ON w.symbol = p.symbol
+""", dec=decisions, prices=prices)
 
 
 def canonical_decimal_sql(x: str, dp: int, int_div: str = "div") -> str:

@@ -295,9 +295,11 @@ def decide(
     the view for a later decide() cannot retroactively change it. The
     sections below document the operator semantics clause by clause.
     """
-    spark = signals.sparkSession
-    signals.createOrReplaceTempView("_sigpipe_decide_in")
-    return spark.sql(_decide_sql("_sigpipe_decide_in", window_seconds, round_dp))
+    from ..sqlutil import sql_over_views
+
+    return sql_over_views(
+        lambda v: _decide_sql(v["sig"], window_seconds, round_dp), sig=signals
+    )
 
 
 def _decide_column_api(
@@ -498,9 +500,8 @@ def to_decision_records(
     # replaces — join + rank + bounded collect — at ~1/30th the py4j
     # construction cost; struct sort is lexicographic on (ts_us, ...) so
     # reverse = most-recent-first).
-    spark = signals.sparkSession
-    signals.createOrReplaceTempView("_sigpipe_recs_sig")
-    decisions.createOrReplaceTempView("_sigpipe_recs_dec")
+    from ..sqlutil import sql_over_views
+
     w_us = WINDOW_SECONDS * 1_000_000
     if deterministic:
         dec_id = "sha2(concat_ws('|', d.symbol, d.window_start_s), 256)"
@@ -508,10 +509,10 @@ def to_decision_records(
     else:
         dec_id = "uuid()"
         ts = "unix_timestamp(current_timestamp())"
-    return spark.sql(f"""
+    return sql_over_views(lambda v: f"""
 WITH b AS (
   SELECT *, CAST((ts_us div {w_us}) * {WINDOW_SECONDS} AS BIGINT) AS window_start_s
-  FROM _sigpipe_recs_sig
+  FROM {v['sig']}
 ), r AS (
   SELECT *, row_number() OVER (
     PARTITION BY symbol, window_start_s, timeframe
@@ -527,7 +528,7 @@ WITH b AS (
 SELECT {dec_id} AS id,
   d.symbol, d.action, d.confidence, d.suggested_price, d.suggested_qty,
   s.signals, {ts} AS timestamp_s, d.reason, d.window_start_s
-FROM _sigpipe_recs_dec d
+FROM {v['dec']} d
 JOIN sig_arrays s
   ON d.symbol = s.symbol AND d.window_start_s = s.window_start_s
-""")
+""", sig=signals, dec=decisions)

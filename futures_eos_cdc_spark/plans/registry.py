@@ -393,12 +393,13 @@ def q_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.signal_pipeline import signals_from_events
 
+    from ..sqlutil import sql_over_views
+
     sig = signals_from_events(_t(spark, sf_dir, "events"))
-    sig.createOrReplaceTempView("_ohlcv_in")
-    return spark.sql(f"""
+    return sql_over_views(lambda v: f"""
 WITH b AS (
   SELECT *, CAST((ts_us div {CANDLE_SECONDS * 1_000_000}) * {CANDLE_SECONDS} AS BIGINT) AS bucket_s
-  FROM _ohlcv_in
+  FROM {v['sig']}
 ), r AS (
   SELECT *,
     row_number() OVER (PARTITION BY symbol, bucket_s
@@ -417,7 +418,7 @@ SELECT symbol, bucket_s,
         / CAST(sum(CAST(qty AS DECIMAL(38,10))) AS DOUBLE), 6) AS vwap,
   CAST(count(1) AS BIGINT) AS n_trades
 FROM r GROUP BY symbol, bucket_s
-""")
+""", sig=sig)
 
 
 def _indicator_select(dec_to_dbl) -> str:
@@ -519,11 +520,13 @@ def indicators_over_candles(spark: SparkSession, candles: DataFrame) -> DataFram
     OHLCV aggregation; the streaming pipeline applies it to the
     continuously-maintained candle store snapshot (same SQL text, so
     stream-fed and batch indicator values agree exactly)."""
-    candles.createOrReplaceTempView("_tech_candles")
-    return spark.sql(
-        "WITH c AS (SELECT * FROM _tech_candles)"
+    from ..sqlutil import sql_over_views
+
+    return sql_over_views(
+        lambda v: f"WITH c AS (SELECT * FROM {v['candles']})"
         + _INDICATOR_PRE
-        + _indicator_select(lambda e: f"CAST({e} AS DOUBLE)")
+        + _indicator_select(lambda e: f"CAST({e} AS DOUBLE)"),
+        candles=candles,
     )
 
 
@@ -578,13 +581,14 @@ def q_gap_fill_price_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.signal_pipeline import signals_from_events
 
+    from ..sqlutil import sql_over_views
+
     sig = signals_from_events(_t(spark, sf_dir, "events"))
-    sig.createOrReplaceTempView("_gapfill_in")
-    return spark.sql(f"""
+    return sql_over_views(lambda v: f"""
 WITH b AS (
   SELECT symbol, price, ts_us, signal_id,
          CAST((ts_us div {CANDLE_SECONDS * 1_000_000}) * {CANDLE_SECONDS} AS BIGINT) AS bucket_s
-  FROM _gapfill_in
+  FROM {v['sig']}
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY symbol, bucket_s
                                ORDER BY ts_us DESC, signal_id DESC) AS rn
@@ -603,7 +607,7 @@ SELECT g.symbol, g.bucket_s,
   c.close IS NULL AS is_gap
 FROM grid g LEFT JOIN closes c
   ON g.symbol = c.symbol AND g.bucket_s = c.bucket_s
-""")
+""", sig=sig)
 
 
 # ---------------------------------------------------------------------------
@@ -650,11 +654,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs are session-cardinality, far smaller than events). The stage
     rows and denominators are scalar-subquery broadcasts.
     """
-    _t(spark, sf_dir, "events").createOrReplaceTempView("_funnel_in")
-    return spark.sql(f"""
+    from ..sqlutil import sql_over_views
+
+    return sql_over_views(lambda v_: f"""
 WITH e AS (
   SELECT user_id, (ts div 1000) div {_DAY_US} AS day, event_type, ts div 1000 AS us
-  FROM _funnel_in
+  FROM {v_['events']}
 ), v AS (
   SELECT user_id, day, min(CASE WHEN event_type = 'view' THEN us END) AS tv
   FROM e GROUP BY 1, 2
@@ -676,7 +681,7 @@ FROM (
   UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
   UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
 )
-""")
+""", events=_t(spark, sf_dir, "events"))
 
 
 COHORT_ORACLE = f"""
@@ -703,10 +708,11 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join; the distinct-count aggregate keys on (cohort, offset) whose
     cardinality is days², tiny. All-integer arithmetic — nothing to
     round."""
-    _t(spark, sf_dir, "events").createOrReplaceTempView("_cohort_in")
-    return spark.sql(f"""
+    from ..sqlutil import sql_over_views
+
+    return sql_over_views(lambda v: f"""
 WITH e AS (
-  SELECT user_id, (ts div 1000) div {_DAY_US} AS day FROM _cohort_in
+  SELECT user_id, (ts div 1000) div {_DAY_US} AS day FROM {v['events']}
 ), u AS (
   SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
 )
@@ -715,7 +721,7 @@ SELECT CAST(u.cohort_day AS BIGINT) AS cohort_day,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM e JOIN u ON e.user_id = u.user_id
 GROUP BY 1, 2
-""")
+""", events=_t(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

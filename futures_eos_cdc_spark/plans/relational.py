@@ -453,18 +453,20 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     sets via Expand (3x row replication pre-aggregation) — one scan + one
     exchange instead of three separate queries. gid disambiguates which
     set each row came from (NULL dimension values are genuine NULLs)."""
+    from ..sqlutil import sql_over_views
+
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("_gs_orders")
-    return o.sparkSession.sql(
-        """
+    return sql_over_views(
+        lambda v: f"""
         SELECT o_orderpriority, o_orderstatus,
           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
             AS gid,
           CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
           count(*) AS n
-        FROM _gs_orders
+        FROM {v['orders']}
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        """
+        """,
+        orders=o,
     )
 
 
