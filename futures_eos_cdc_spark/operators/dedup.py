@@ -82,7 +82,17 @@ def content_digest_expr(content_cols: list[str], df: DataFrame | None = None) ->
     ['a', 'b', NULL] both digested 'a\\x1fb', so multi-column dedup could
     merge genuinely different rows. Non-null single-column digests are
     unchanged (coalesce is identity there), so existing oracles that replay
-    md5(text) still match."""
+    md5(text) still match.
+
+    DIGEST VERSION NOTE (ADVICE r6): this null handling is digest scheme
+    v2 (round 6+). v1 (rounds ≤5) concat_ws-SKIPPED nulls, so any
+    PERSISTED artifact keyed on v1 digests of null-bearing rows — corpus
+    hash stores fed to ``dedup_incremental``, streaming-dedup state,
+    neardup shingle tables — will not match v2 digests for those rows;
+    rebuild such stores (or re-digest their key column) when upgrading.
+    Known collision by construction: a NULL column and a literal one-byte
+    '\x00' value digest identically — acceptable because no text column
+    contains NUL bytes; choose a different sentinel if yours can."""
     cols = [
         F.coalesce(
             (df[c] if df is not None else F.col(c)).cast("string"), F.lit("\x00")
@@ -580,6 +590,18 @@ def build_neardup_index(
     Maintenance is append-only: call :func:`append_to_neardup_index` with
     each admitted batch (the same expressions produce the rows), so the
     index grows with the corpus and no full recompute ever happens.
+
+    Write ordering = crash consistency (ADVICE r6): ``shingles/`` commits
+    FIRST, ``bands/`` second — bands is the commit point. A crash between
+    the two leaves orphan shingle rows, which are harmless (probes traverse
+    bands → shingles, so a row no band references is never a candidate);
+    the reverse order would leave band rows whose verification set is
+    missing, silently dropping candidate pairs the inner verify join can't
+    score. Plain parquet has no multi-table snapshot isolation, so a probe
+    CONCURRENT with an append can still observe the batch's bands without
+    its shingles (file listings race); gate admission batches against probe
+    schedules, or graduate to a table format with multi-table transactions
+    when available.
     """
     sh = spread(docs).select(
         F.col(id_col),
@@ -589,8 +611,8 @@ def build_neardup_index(
     bands = sig.select(F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")).select(
         id_col, "bk.band", "bk.key"
     )
-    bands.repartition("band", "key").write.mode(mode).parquet(f"{path}/bands")
     sh.write.mode(mode).parquet(f"{path}/shingles")
+    bands.repartition("band", "key").write.mode(mode).parquet(f"{path}/bands")
     sh.unpersist()
 
 
@@ -610,7 +632,12 @@ def append_to_neardup_index(
 
 
 def load_neardup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(bands, shingles) handles for :func:`build_neardup_index` output."""
+    """(bands, shingles) handles for :func:`build_neardup_index` output.
+
+    Consistency contract: bands commit after shingles (see
+    build_neardup_index), so every band row's id has its verification set —
+    the invariant the probe join relies on; orphan shingle rows from a
+    crashed append are unreachable and need no cleanup."""
     return spark.read.parquet(f"{path}/bands"), spark.read.parquet(f"{path}/shingles")
 
 
@@ -1026,6 +1053,127 @@ def simhash64_hamming_pairs(
             "doc_b",
             F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
         )
+    )
+
+
+def _simhash64_block_rows(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig, blk, bval): each signature exploded to its 4 disjoint
+    16-bit Charikar blocks. The signature rides IN the block row — unlike
+    the minhash index's separate shingles table, simhash verification
+    needs only the two signatures, so the persisted index is ONE table and
+    the bands/shingles two-table commit-ordering concern does not arise."""
+    blocks = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({b} AS blk, (shiftright(sig, {16 * b}) & 65535) AS bval)"
+            for b in range(SIMHASH64_BLOCKS)
+        )
+        + "))"
+    )
+    return sigs.select(F.col(id_col), "sig", blocks.alias("bk")).select(
+        id_col, "sig", "bk.blk", "bk.bval"
+    )
+
+
+def build_simhash64_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus 64-bit SimHash block index (r6 VERDICT item
+    8) — the persisted twin of the bands/shingles minhash index, so the
+    streaming admission gate can probe simhash64 without re-hashing the
+    corpus per batch: ONE parquet table ``blocks/`` of (id, sig, blk,
+    bval), written clustered on (blk, bval) so a probe join's shuffle
+    reads each block bucket from one input split (bucket the table on a
+    real deployment, sources/bucketing.py:write_bucketed).
+
+    Maintenance is append-only via :func:`append_to_simhash64_index`; the
+    single-table layout makes a crashed append leave only a clean prefix
+    of the batch's files — no cross-table inconsistency possible.
+    """
+    sigs = with_simhash64(spread(docs), id_col, text_col)
+    _simhash64_block_rows(sigs, id_col).repartition("blk", "bval").write.mode(
+        mode
+    ).parquet(f"{path}/blocks")
+
+
+def append_to_simhash64_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Append newly-admitted docs to an existing simhash64 block index —
+    identical expressions to :func:`build_simhash64_index`, parquet append
+    mode (compact periodically with a rebuild if small-file count grows)."""
+    build_simhash64_index(docs, path, id_col=id_col, text_col=text_col, mode="append")
+
+
+def load_simhash64_index(spark, path: str) -> DataFrame:
+    """The (id, sig, blk, bval) handle for :func:`build_simhash64_index`
+    output."""
+    return spark.read.parquet(f"{path}/blocks")
+
+
+def simhash64_dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH64_BLOCKS - 1,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental simhash64 admission gate: rows of ``new_docs`` with no
+    corpus document at SimHash Hamming ≤ ``max_hamming`` — the simhash
+    twin of :func:`minhash_dedup_against_corpus`, catching the
+    template-edit near-dups (boilerplate page with one changed line) that
+    shingle-Jaccard scores low and exact-hash misses entirely.
+
+    The corpus is EITHER raw ``corpus_docs`` (signatures recomputed
+    inline — tests/small corpora) or a prebuilt ``corpus_index`` block
+    table from :func:`build_simhash64_index` / :func:`load_simhash64_index`
+    — the production path the streaming gate uses.
+
+    Scale shape: the batch side emits 4 block rows per doc; the only
+    shuffle keys on (blk, bval) against the corpus index (clustered on
+    exactly that key); verification is a pure bit_count on the two
+    signatures the join row already carries — no second join. The batch
+    side is small by construction, so its joins broadcast under AQE.
+    """
+    if max_hamming > SIMHASH64_BLOCKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {SIMHASH64_BLOCKS}-block "
+            "pigeonhole guarantee (needs max_hamming+1 blocks)"
+        )
+    if (corpus_docs is None) == (corpus_index is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs (inline recompute) or "
+            "corpus_index (prebuilt block table)"
+        )
+    if corpus_index is None:
+        corpus_index = _simhash64_block_rows(
+            with_simhash64(spread(corpus_docs), id_col, text_col), id_col
+        )
+    new_blocks = _simhash64_block_rows(
+        with_simhash64(spread(new_docs), id_col, text_col), id_col
+    ).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_n"), "blk", "bval"
+    )
+    matched = (
+        new_blocks.join(
+            corpus_index.select(
+                F.col("sig").alias("sig_c"), "blk", "bval"
+            ),
+            ["blk", "bval"],
+        )
+        .filter(F.expr(f"bit_count(sig_n ^ sig_c) <= {max_hamming}"))
+        .select("new_id")
+        .distinct()
+    )
+    return new_docs.join(
+        matched.withColumnRenamed("new_id", id_col), id_col, "left_anti"
     )
 
 

@@ -1061,9 +1061,11 @@ _BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")
 DEDUP_INCREMENTAL_ORACLE = f"""
 WITH corpus AS (
   -- NOT EXISTS instead of NOT IN (ADVICE r5): one NULL text in the corpus
-  -- would make a NULL content_hash and NOT IN would return ZERO rows,
-  -- silently diverging from the Spark side's null-skipping digest. Safe
-  -- today (fixtures have no NULL text), robust to fixture changes.
+  -- would make a NULL content_hash and NOT IN would return ZERO rows.
+  -- Since r6 the Spark digest sentinel-encodes NULL as chr(0) (it no
+  -- longer skips NULLs) — a NULL text digests md5(chr(0)) there, while
+  -- this oracle's md5(NULL) is NULL; the explicit IS NOT NULL filters on
+  -- both sides keep the two in lockstep (and fixtures have no NULL text).
   SELECT DISTINCT md5(text) AS content_hash FROM documents
   WHERE source NOT IN {_BATCH_SOURCES} AND text IS NOT NULL
 ), cand AS (

@@ -222,6 +222,46 @@ def neardup_gate_writer(
     return write
 
 
+def simhash64_gate_writer(
+    corpus,
+    sink,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The simhash64 twin of :func:`neardup_gate_writer` (r6 VERDICT item
+    8): each micro-batch keeps only docs with no corpus document at 64-bit
+    SimHash Hamming ≤ ``max_hamming``, then hands survivors to
+    ``sink(survivors_df, epoch_id)``. Same foreachBatch rationale (the
+    survivor predicate aggregates over a stream-derived join).
+
+    ``corpus`` is either a raw documents DataFrame (signatures recomputed
+    per batch — tests/small corpora) or the persisted block-index
+    DataFrame from ``operators.dedup.load_simhash64_index`` — the
+    production path: each micro-batch's only shuffle keys on the 4
+    (blk, bval) probes against the index's clustering, and
+    ``append_to_simhash64_index`` with each batch's survivors keeps the
+    index current. Index handles are recognized by their schema (the
+    4-column (id, sig, blk, bval) layout) rather than a wrapper type.
+    """
+    from ..operators.dedup import simhash64_dedup_against_corpus
+
+    def _is_index(df: DataFrame) -> bool:
+        return {"sig", "blk", "bval"} <= set(df.columns)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        kwargs = dict(id_col=id_col, text_col=text_col, max_hamming=max_hamming)
+        if _is_index(corpus):
+            survivors = simhash64_dedup_against_corpus(
+                batch_df, corpus_index=corpus, **kwargs
+            )
+        else:
+            survivors = simhash64_dedup_against_corpus(batch_df, corpus, **kwargs)
+        sink(survivors, epoch_id)
+
+    return write
+
+
 # ---------------------------------------------------------------------------
 # The streaming decision aggregate
 # ---------------------------------------------------------------------------

@@ -817,3 +817,60 @@ def test_token_budget_rates_cap_and_contract(spark):
     # (Spark's least() skips NULLs — the trap this pins down)
     only_a = token_budget_rates(docs, {"a": 1.0}, budget_tokens=100).collect()
     assert {r.source for r in only_a} == {"a"}
+
+
+def test_simhash64_dedup_prebuilt_index_parity(spark, sf_dir, tmp_path):
+    """r6 VERDICT item 8: the persisted simhash64 block index (build +
+    append + load) must gate a batch exactly as the inline corpus
+    recompute does, and both must match the brute-force Hamming verdict
+    over the raw signatures."""
+    from futures_eos_cdc_spark.operators.dedup import (
+        append_to_simhash64_index,
+        build_simhash64_index,
+        load_simhash64_index,
+        simhash64_dedup_against_corpus,
+        with_simhash64,
+    )
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").limit(100)
+    base = corpus.collect()[0]
+    batch = spark.createDataFrame(
+        [
+            (10_000_001, base.text),  # Hamming 0 twin of a corpus doc
+            (10_000_002, "utterly unique gibberish nothing shared qq ww ee rr tt yy"),
+        ],
+        "doc_id long, text string",
+    )
+    # brute-force expectation from the raw signatures
+    cor_sigs = [r.sig for r in with_simhash64(corpus).collect()]
+    mask = (1 << 64) - 1
+    want = {
+        r.doc_id
+        for r in with_simhash64(batch).collect()
+        if min(bin((r.sig ^ c) & mask).count("1") for c in cor_sigs) > 3
+    }
+    assert want == {10_000_002}
+
+    half = corpus.limit(50)
+    build_simhash64_index(half, str(tmp_path / "shidx"))
+    append_to_simhash64_index(corpus.subtract(half), str(tmp_path / "shidx"))
+    idx = load_simhash64_index(spark, str(tmp_path / "shidx"))
+    assert idx.count() == 100 * 4  # 4 block rows per corpus doc
+
+    kept_inline = {
+        r.doc_id for r in simhash64_dedup_against_corpus(batch, corpus).collect()
+    }
+    kept_index = {
+        r.doc_id
+        for r in simhash64_dedup_against_corpus(batch, corpus_index=idx).collect()
+    }
+    assert kept_index == kept_inline == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash64_dedup_against_corpus(batch, corpus, corpus_index=idx)
+    with _pytest.raises(ValueError):
+        simhash64_dedup_against_corpus(batch)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash64_dedup_against_corpus(batch, corpus, max_hamming=4)

@@ -1053,3 +1053,49 @@ def test_stream_candle_store_indicators_end_to_end(spark, sf_dir, tmp_path):
         for r in q_technical_indicators(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_simhash64_gate_matches_batch(spark, sf_dir, tmp_path):
+    """r6 VERDICT item 8: the simhash64 foreachBatch admission gate admits
+    exactly the docs the batch operator admits, over BOTH corpus forms —
+    raw documents and the persisted block index."""
+    from futures_eos_cdc_spark.operators.dedup import (
+        build_simhash64_index,
+        load_simhash64_index,
+        simhash64_dedup_against_corpus,
+    )
+    from futures_eos_cdc_spark.streaming.pipeline import simhash64_gate_writer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batch_sources = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    want = {
+        r.doc_id
+        for r in simhash64_dedup_against_corpus(batch_sources, corpus).collect()
+    }
+    assert 0 < len(want) < batch_sources.count()  # the gate really fires
+
+    path = str(tmp_path / "sh64_stream")
+    batch_sources.coalesce(1).write.mode("overwrite").parquet(path)
+
+    build_simhash64_index(corpus, str(tmp_path / "shidx"))
+    idx = load_simhash64_index(spark, str(tmp_path / "shidx"))
+
+    for tag, corpus_form in (("raw", corpus), ("idx", idx)):
+        got = set()
+
+        def sink(df, epoch_id, got=got):
+            got.update(r.doc_id for r in df.collect())
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(path)
+            .writeStream.foreachBatch(simhash64_gate_writer(corpus_form, sink))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert got == want, tag
