@@ -41,6 +41,18 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _list_parquet(path: str) -> list[str]:
+    """The same non-recursive ``*.parquet`` listing every manifest builder
+    uses — shared so coverage checks compare like with like."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def _file_stats(path: str, cols: tuple[str, ...]) -> list[tuple]:
     """(file, column, min, max, n_rows, has_nulls) rows from one footer."""
     import pyarrow.parquet as pq
@@ -85,14 +97,7 @@ def build_scan_manifest(
     production and refresh incrementally on append.
     """
     cols = tuple(cols)
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    else:
-        files = [path]
+    files = _list_parquet(path)
     if not files:
         return []
     sc = spark.sparkContext
@@ -126,14 +131,7 @@ def refresh_scan_manifest(
     that no longer exist are dropped (compaction/GC)."""
     cols = tuple(cols)
     known = {e["file"] for e in manifest}
-    if os.path.isdir(path):
-        files = {
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        }
-    else:
-        files = {path}
+    files = set(_list_parquet(path))
     kept = [e for e in manifest if e["file"] in files]
     new = sorted(files - known)
     if not new:
@@ -201,6 +199,17 @@ def manifest_pruned_read(
     if manifest is None:
         manifest = build_scan_manifest(spark, path, tuple(ranges))
     keep = prune_files(manifest, ranges)
+    # Coverage check (r6 ADVICE): a file on disk but absent from a STALE
+    # caller-supplied manifest (appended after build_scan_manifest) has no
+    # stats to judge it by — the module's conservative-admission contract
+    # ("skipping must be conservative") applies to missing FILE entries
+    # exactly as to missing column stats, so admit it rather than silently
+    # dropping its rows. refresh_scan_manifest is the cheap way to restore
+    # skipping for such files.
+    covered = {e["file"] for e in manifest}
+    unknown = [f for f in _list_parquet(path) if f not in covered]
+    if unknown:
+        keep = sorted(set(keep) | set(unknown))
 
     def residual(df: DataFrame) -> DataFrame:
         for col, (lo, hi) in ranges.items():

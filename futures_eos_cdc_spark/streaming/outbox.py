@@ -33,6 +33,11 @@ class ConcurrentWriterError(RuntimeError):
 
 
 DEFAULT_LEASE_TTL_S = 600.0
+# Reader-protection window for versioned-store GC: a published version
+# directory younger than this is never deleted, whatever keep_versions says
+# (see _VersionedParquet docstring). Sized like the lease TTL: both bound
+# "how long can one scan/batch legitimately run".
+DEFAULT_GC_GRACE_S = 300.0
 
 
 class _WriterLease:
@@ -50,6 +55,13 @@ class _WriterLease:
 
     TTL staleness (not pid-liveness) is deliberate: it is the only signal
     that works on a shared filesystem where writers run on different hosts.
+    SIZE ``ttl_s`` ABOVE the worst-case micro-batch (merge + parquet write)
+    duration: the heartbeat renews at batch start and again at the pointer
+    swap, so a batch longer than the TTL lets a second writer take the
+    lease mid-batch. The pre-swap re-verification then aborts THIS writer's
+    publish before the commit point (no lineage interleaving — see
+    ``_VersionedParquet.publish``), but the takeover itself is still a
+    failed query; a generous TTL avoids it outright.
     Upgrade path: Delta/Iceberg replace this file with optimistic commit
     protocols (conditional pointer swap + conflict detection), which add
     multi-writer MERGE; until those jars are available, the lease turns the
@@ -251,6 +263,7 @@ def parquet_cdc_merge_writer(
     tiebreak_cols: list[str] | None = None,
     lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
     keep_versions: int = 2,
+    gc_grace_s: float = DEFAULT_GC_GRACE_S,
 ):
     """foreachBatch writer that continuously maintains the CDC current-state
     snapshot: each micro-batch of changes is merged latest-wins into the
@@ -278,9 +291,13 @@ def parquet_cdc_merge_writer(
     after ``lease_ttl_s`` without heartbeats.
 
     ``keep_versions``: how many published snapshot versions GC retains for
-    time travel via ``read_cdc_snapshot(spark, base, version=...)``.
+    time travel via ``read_cdc_snapshot(spark, base, version=...)``;
+    ``gc_grace_s`` additionally shields versions younger than the window
+    from GC so concurrent time-travel readers never lose files mid-scan.
     """
-    store = _VersionedParquet(base_dir, keep_versions=keep_versions)
+    store = _VersionedParquet(
+        base_dir, keep_versions=keep_versions, gc_grace_s=gc_grace_s
+    )
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
     lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
     lease.acquire()
@@ -306,7 +323,9 @@ def parquet_cdc_merge_writer(
             changes, key_cols, ts_col=ts_col, op_col=op_col,
             tiebreak_cols=tiebreak_cols,
         )
-        store.publish(merged, epoch_id, run_id)
+        store.publish(
+            merged, epoch_id, run_id, pre_swap_check=lease.check_and_renew
+        )
 
     write.release = lease.release
     return write
@@ -332,16 +351,32 @@ class _VersionedParquet:
     finish its scan). The log itself is never truncated: ``history()``
     lists every publish, with ``retained`` flags.
 
+    ``gc_grace_s`` (default 300) is the reader-protection window: GC never
+    deletes a version directory younger than this, regardless of
+    ``keep_versions``. The single-writer lease protects WRITERS from each
+    other, but not a READER that resolved ``version_path(N)`` and then has
+    its files deleted mid-scan by the writer's next publish — the exact
+    Iceberg/Delta "vacuum retention" hazard, closed the same way: age-based
+    retention on top of count-based. Size the grace above the slowest
+    expected snapshot scan. ``gc_grace_s=0`` restores pure count-based GC
+    (tests that assert immediate collection use it).
+
     Crash note: a crash between parquet write and pointer swap leaves a log
     entry whose version never became current — harmless (its dir is intact
     for time travel, and GC counts it toward retention).
     """
 
-    def __init__(self, base_dir: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        base_dir: str,
+        keep_versions: int = 2,
+        gc_grace_s: float = DEFAULT_GC_GRACE_S,
+    ):
         self.base_dir = base_dir
         self.pointer = os.path.join(base_dir, "_CURRENT")
         self.log = os.path.join(base_dir, "_VERSIONS.log")
         self.keep_versions = max(1, keep_versions)
+        self.gc_grace_s = gc_grace_s
 
     def current(self) -> tuple[str | None, int, str, str]:
         if os.path.exists(self.pointer):
@@ -380,8 +415,21 @@ class _VersionedParquet:
         return entries
 
     def publish(
-        self, df: DataFrame, epoch_id: int, run_id: str = "", fingerprint: str = ""
+        self,
+        df: DataFrame,
+        epoch_id: int,
+        run_id: str = "",
+        fingerprint: str = "",
+        pre_swap_check=None,
     ) -> None:
+        """Write + log + pointer swap (+ GC). ``pre_swap_check``: callable
+        invoked AFTER the (possibly long) parquet write, immediately before
+        the ``_CURRENT`` swap — the commit point. The lease-holding writers
+        pass ``lease.check_and_renew`` so a lease lost DURING a long merge
+        write (batch > ttl; the r6 ADVICE hazard) aborts before the swap
+        instead of interleaving snapshot lineages with the writer that took
+        over: the raise leaves a log entry whose version never became
+        current (the documented harmless crash shape)."""
         hist = self.history()
         seq = hist[-1]["seq"] + 1 if hist else 0
         vname = f"snapshot_epoch{epoch_id}_{uuid.uuid4().hex[:8]}"
@@ -391,6 +439,8 @@ class _VersionedParquet:
                 f"{seq} {vname} {epoch_id} {run_id or '-'} "
                 f"{fingerprint or '-'} {time.time()}\n"
             )
+        if pre_swap_check is not None:
+            pre_swap_check()
         tmp = f"{self.pointer}.tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             fh.write(f"{vname} {epoch_id} {run_id} {fingerprint}")
@@ -401,9 +451,26 @@ class _VersionedParquet:
         retained = {
             e["dir"] for e in (hist[-prev_keep:] if prev_keep > 0 else [])
         } | {vname}
+        # Age-based reader protection: a version younger than gc_grace_s may
+        # still be mid-scan by a reader that resolved it before this publish
+        # — never delete it. Publish time comes from the log; a directory
+        # with no log entry (crash between parquet write and log append)
+        # falls back to its mtime, which errs toward keeping it.
+        now = time.time()
+        ts_by_dir = {e["dir"]: e["ts"] for e in hist}
         for d in os.listdir(self.base_dir):
-            if d.startswith("snapshot_") and d not in retained:
-                shutil.rmtree(os.path.join(self.base_dir, d), ignore_errors=True)
+            if not d.startswith("snapshot_") or d in retained:
+                continue
+            full = os.path.join(self.base_dir, d)
+            born = ts_by_dir.get(d)
+            if born is None:
+                try:
+                    born = os.path.getmtime(full)
+                except OSError:
+                    born = now
+            if now - born < self.gc_grace_s:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
 
     def version_path(self, seq: int) -> str:
         """Path of a retained published version by log seq (negative seq
@@ -452,6 +519,7 @@ def parquet_incremental_agg_writer(
     checkpoint_fingerprint: str | None = None,
     lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
     keep_versions: int = 2,
+    gc_grace_s: float = DEFAULT_GC_GRACE_S,
 ):
     """foreachBatch writer maintaining a streaming materialized view of
     mergeable per-key aggregates (count / sum / min / max): each micro-batch
@@ -487,7 +555,9 @@ def parquet_incremental_agg_writer(
     sum_cols = sum_cols or []
     min_cols = min_cols or []
     max_cols = max_cols or []
-    store = _VersionedParquet(base_dir, keep_versions=keep_versions)
+    store = _VersionedParquet(
+        base_dir, keep_versions=keep_versions, gc_grace_s=gc_grace_s
+    )
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
     lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
     lease.acquire()
@@ -553,7 +623,13 @@ def parquet_incremental_agg_writer(
         view = _partial(batch_df)
         if cur:
             view = _merge(spark.read.parquet(cur), view)
-        store.publish(view, epoch_id, run_id, checkpoint_fingerprint or "")
+        store.publish(
+            view,
+            epoch_id,
+            run_id,
+            checkpoint_fingerprint or "",
+            pre_swap_check=lease.check_and_renew,
+        )
 
     write.release = lease.release
     return write

@@ -245,3 +245,38 @@ def test_manifest_incremental_refresh(spark, sf_dir, tmp_path):
     _os.remove(gone)
     m3 = refresh_scan_manifest(spark, out, ["o_totalprice"], m2)
     assert gone not in {e["file"] for e in m3}
+
+
+def test_manifest_stale_coverage_admits_unknown_files(spark, sf_dir, tmp_path):
+    """r6 ADVICE #2: files appended AFTER the manifest was built have no
+    stats — a pruned read over the stale manifest must ADMIT them (the
+    conservative-admission contract extends to missing file entries), so
+    results equal a full-scan filter instead of silently losing the
+    appended rows."""
+    from futures_eos_cdc_spark.sources.manifest import (
+        build_scan_manifest,
+        manifest_pruned_read,
+        prune_files,
+    )
+
+    out = str(tmp_path / "stale")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    first = orders.where("o_totalprice < 100000")
+    first.coalesce(2).write.parquet(out)
+    stale = build_scan_manifest(spark, out, ["o_totalprice"])
+
+    # append files the manifest has never seen — including rows that MATCH
+    late = orders.where("o_totalprice >= 100000")
+    assert late.count() > 0
+    late.coalesce(1).write.mode("append").parquet(out)
+
+    lo = 150_000.0
+    got = manifest_pruned_read(spark, out, {"o_totalprice": (lo, None)}, stale)
+    want = orders.filter(orders.o_totalprice >= lo)
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )
+    # and the stats-bearing files still skip: the stale manifest prunes
+    # every covered file (all < 100k), so only the unknown file is read
+    assert prune_files(stale, {"o_totalprice": (lo, None)}) == []
+    assert len(set(got.inputFiles())) == 1

@@ -258,7 +258,9 @@ def test_cdc_snapshot_time_travel(spark, tmp_path):
     # still listed; reading it names the keep_versions remedy
     base2 = str(tmp_path / "cdc_tt2")
     os.makedirs(base2)
-    write2 = parquet_cdc_merge_writer(base2, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"])
+    write2 = parquet_cdc_merge_writer(
+        base2, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"], gc_grace_s=0
+    )
     for i, b in enumerate(batches):
         write2(b, i + 1)
     write2.release()
@@ -337,14 +339,16 @@ def test_agg_writer_cross_run_regression_fails_loudly(spark, tmp_path):
 
 def test_versioned_publish_retains_previous_snapshot(spark, tmp_path):
     """GC keeps version N-1 so an in-flight reader of the just-superseded
-    snapshot can finish its scan; older versions are deleted."""
+    snapshot can finish its scan; older versions are deleted (zero grace
+    here isolates the count-based rule; the grace window has its own
+    test)."""
     import os
 
     from futures_eos_cdc_spark.streaming.outbox import _VersionedParquet
 
     base = str(tmp_path / "versions")
     os.makedirs(base)
-    store = _VersionedParquet(base)
+    store = _VersionedParquet(base, gc_grace_s=0)
     df = spark.createDataFrame([(1,)], "x long")
     store.publish(df, 1, "r")
     v1 = os.path.basename(store.current()[0])
@@ -512,7 +516,7 @@ def test_versioned_store_keep_versions_one_gcs_all_but_current(spark, tmp_path):
 
     base = str(tmp_path / "kv1")
     os.makedirs(base)
-    store = _VersionedParquet(base, keep_versions=1)
+    store = _VersionedParquet(base, keep_versions=1, gc_grace_s=0)
     df = spark.createDataFrame([(1, "a")], "id long, val string")
     store.publish(df, 1)
     store.publish(df, 2)
@@ -521,3 +525,73 @@ def test_versioned_store_keep_versions_one_gcs_all_but_current(spark, tmp_path):
     assert [e["retained"] for e in hist] == [False, False, True]
     snaps = [d for d in os.listdir(base) if d.startswith("snapshot_")]
     assert len(snaps) == 1
+
+
+def test_gc_grace_protects_concurrent_time_travel_reader(spark, tmp_path):
+    """r6 VERDICT item 6: a reader that resolved an old version's path must
+    not have its files deleted by a concurrent publish+GC. With the default
+    grace window, keep_versions=1 still leaves the young superseded
+    versions on disk (age-based retention on top of count-based); the
+    zero-grace control shows GC would otherwise have removed them."""
+    import os
+
+    from futures_eos_cdc_spark.streaming.outbox import _VersionedParquet
+
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+
+    base = str(tmp_path / "graced")
+    os.makedirs(base)
+    store = _VersionedParquet(base, keep_versions=1)  # default gc_grace_s
+    store.publish(df, 1)
+    reader_path = store.version_path(0)  # reader resolves BEFORE the swaps
+    store.publish(df, 2)
+    store.publish(df, 3)  # two publishes later: v0 is outside keep_versions
+    # ...but inside the grace window: the resolved path is still readable
+    assert os.path.isdir(reader_path)
+    assert spark.read.parquet(reader_path).count() == 1
+    hist = store.history()
+    assert [e["retained"] for e in hist] == [True, True, True]
+
+    # zero-grace control: identical sequence, v0/v1 are gone
+    base2 = str(tmp_path / "ungraced")
+    os.makedirs(base2)
+    store2 = _VersionedParquet(base2, keep_versions=1, gc_grace_s=0)
+    store2.publish(df, 1)
+    store2.publish(df, 2)
+    store2.publish(df, 3)
+    assert [e["retained"] for e in store2.history()] == [False, False, True]
+
+
+def test_lease_lost_mid_publish_aborts_before_pointer_swap(spark, tmp_path):
+    """r6 ADVICE #1: a micro-batch longer than the lease TTL lets a second
+    writer take over; the first writer's publish must then abort at the
+    pre-swap re-verification — the _CURRENT pointer never swaps, so the
+    takeover writer's lineage is not interleaved."""
+    import os
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        ConcurrentWriterError,
+        _VersionedParquet,
+        _WriterLease,
+    )
+
+    base = str(tmp_path / "midswap")
+    os.makedirs(base)
+    store = _VersionedParquet(base)
+    lease = _WriterLease(base, "writer-A", ttl_s=600)
+    lease.acquire()
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    store.publish(df, 1, "writer-A", pre_swap_check=lease.check_and_renew)
+    before = store.current()
+
+    # simulate a takeover DURING writer-A's long merge: writer-B now holds
+    with open(os.path.join(base, "_WRITER_LOCK"), "w") as fh:
+        fh.write("writer-B 0 0")
+    with pytest.raises(ConcurrentWriterError, match="took over"):
+        store.publish(df, 2, "writer-A", pre_swap_check=lease.check_and_renew)
+    assert store.current() == before  # commit point never reached
+    # the aborted publish leaves only the documented harmless artifact: a
+    # log entry whose version never became current
+    assert [e["epoch"] for e in store.history()] == [1, 2]
