@@ -343,6 +343,111 @@ def reassemble_deduped_docs(
     )
 
 
+def contained_docs(
+    docs: DataFrame,
+    gram_n: int = 16,
+    max_gram_occ: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-containment dedup: every (doc_a, doc_b, pos) where doc_a's
+    full text appears verbatim inside a strictly longer doc_b at 1-based
+    ``pos`` (the FIRST occurrence) — the "page republished inside a larger
+    page" case that exact dedup (equality) and near-dup (whole-document
+    similarity) both miss: a 200-char quote inside a 20 KB page has tiny
+    whole-doc Jaccard yet is a verbatim duplicate of the short doc.
+
+    The naive plan is ``contains(b.text, a.text)`` over a cross join — dead
+    at corpus scale. Spark-first blocking via ALIGNED char grams (the same
+    idea as ``duplicate_spans``' gram diagonals, specialised to whole-doc
+    probes so the big side stays linear):
+
+    - container side: NON-overlapping ``gram_n``-char grams at positions
+      1, n+1, 2n+1, … — total gram bytes == corpus bytes (amplification
+      ×1, unlike every-position grams at ×n).
+    - containee side: the ``gram_n`` grams starting at offsets 1..n. Any
+      occurrence of A (|A| ≥ 2n−1) inside B covers at least one aligned
+      B-gram whose start lies within A's first n characters, so the
+      (aligned-gram == probe-gram) equi-join yields a candidate superset
+      for every doc long enough to probe; probe cost is a constant n²
+      chars per doc.
+    - verification: candidates carry the implied occurrence start
+      p = q − o + 1; two equi-joins back to the docs table fetch the two
+      texts once per candidate pair and check
+      ``substring(b.text, p, len_a) == a.text`` exactly.
+
+    Grams are md5'd to constant-width 16-byte join keys. Boilerplate probe
+    grams (occurring > ``max_gram_occ`` times among the aligned grams)
+    are excluded before the join — same declared-semantics cap as
+    ``duplicate_spans``: a viral gram in 1e6 docs would emit 1e6-fan-out
+    candidates per probing doc. Containees shorter than 2·gram_n−1 cannot
+    be probed at this gram size and are dropped (coverage floor is part of
+    the operator's contract; run a second pass with a smaller ``gram_n``
+    for the short tail — short docs make that pass cheap).
+
+    Scale shape: one linear gram scan per side, one equi-join on 16-byte
+    keys with a corpus-frequency cap, verification joins keyed by doc id.
+    No window over corpus-scale groups, no all-pairs stage.
+    """
+    n = gram_n
+    d = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).cast("long").alias("len"),
+    )
+    aligned = d.filter(F.col("len") >= n).select(
+        F.col("doc").alias("doc_b"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("len") - (n - 1), F.lit(n))
+        ).alias("q"),
+        "txt",
+    ).select(
+        "doc_b", "q", F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g")
+    )
+    probes = d.filter(F.col("len") >= 2 * n - 1).select(
+        F.col("doc").alias("doc_a"),
+        F.col("len").alias("len_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("o"),
+        "txt",
+    ).select(
+        "doc_a", "len_a", "o",
+        F.md5(F.substring("txt", F.col("o"), n).cast("binary")).alias("g"),
+    )
+    ok = aligned.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ")).filter(
+        F.col("n_occ") <= max_gram_occ
+    )
+    cand = (
+        probes.join(ok.select("g"), "g")
+        .join(aligned, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("q") - F.col("o") + 1).alias("p"),
+            "len_a",
+        )
+        .filter(F.col("p") >= 1)
+        .distinct()
+    )
+    a_txt = d.select(F.col("doc").alias("doc_a"), F.col("txt").alias("txt_a"))
+    b_txt = d.select(
+        F.col("doc").alias("doc_b"), F.col("txt").alias("txt_b"),
+        F.col("len").alias("len_b"),
+    )
+    return (
+        cand.join(a_txt, "doc_a")
+        .join(b_txt, "doc_b")
+        .filter(
+            (F.col("len_a") < F.col("len_b"))
+            & (F.col("p") + F.col("len_a") - 1 <= F.col("len_b"))
+            & (F.col("txt_b").substr(F.col("p"), F.col("len_a")) == F.col("txt_a"))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("p").cast("long").alias("pos"))
+        .select("doc_a", "doc_b", "pos")
+    )
+
+
 CANDIDATE_PART_ROWS = 60_000  # ≈ the measured-good 8.1M prefix rows / 128 parts
 CANDIDATE_PART_CAP = 4096
 

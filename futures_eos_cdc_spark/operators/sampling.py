@@ -284,3 +284,41 @@ def token_budget_sample(
         docs.join(F.broadcast(rates.select(group_col, "rate")), group_col)
         .withColumn("kept", bucket < thr)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` rows per group,
+    chosen by content-stable hash rank — the domain-cap step web-corpus
+    curation runs so one mega-domain (a crawler trap, a mirror farm)
+    cannot dominate the training mixture no matter how many pages it
+    contributed.
+
+    Selection must be deterministic and re-run-stable, so rank is
+    row_number ordered by (md5(salt|id), id) within the group — a
+    pseudorandom but reproducible order; the id tie-break makes it total
+    even under hash collisions. Rows keep a ``src_rank`` column so callers
+    can audit how deep into each group the cap cut.
+
+    Scale shape: ONE hash exchange on ``group_col``, and the rank-≤-cap
+    predicate is a rank LIMIT, which Spark's WindowGroupLimit pushes below
+    the sort — each partition keeps a cap-size heap instead of fully
+    sorting its groups (the same physical shape the registry's
+    topk_per_group asserts). Group skew is real at web scale (one domain
+    = billions of rows): AQE skew-split handles the shuffle, and the
+    group-limit heap bounds per-task memory at O(cap).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= cap)
+        .withColumn("src_rank", F.col("src_rank").cast("long"))
+    )

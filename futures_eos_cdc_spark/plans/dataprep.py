@@ -2712,3 +2712,84 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.round(F.col("rate"), 6).alias("rate"),
         "kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string self-join (FastSS deletion neighborhoods)
+# ---------------------------------------------------------------------------
+FUZZY_PART_NAMES_ORACLE = """
+WITH v AS (SELECT DISTINCT p_name AS s FROM part)
+SELECT a.s AS s_a, b.s AS s_b, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM v a JOIN v b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+"""
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Approximate record linkage (operators/linkage.py): all part-name
+    pairs within edit distance 2, found via FastSS deletion-neighborhood
+    blocking — distinct-value collapse, C(len,2) deletion-variant keys,
+    one equi-join, exact JVM levenshtein verification. The oracle is the
+    O(v^2) brute force, affordable only because v = distinct names."""
+    from ..operators.linkage import fuzzy_string_self_join
+
+    return fuzzy_string_self_join(
+        _t(spark, sf_dir, "part").select("p_name"), "p_name", max_dist=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document containment dedup (aligned-gram blocking)
+# ---------------------------------------------------------------------------
+DOC_CONTAINMENT_ORACLE = """
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(strpos(b.text, a.text) AS BIGINT) AS pos
+FROM documents a JOIN documents b
+  ON a.doc_id <> b.doc_id AND length(a.text) < length(b.text)
+WHERE length(a.text) >= 31 AND strpos(b.text, a.text) > 0
+"""
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Containment dedup (operators/dedup.py: contained_docs): docs whose
+    full text appears verbatim inside a strictly longer doc, blocked by
+    aligned 16-char grams (container side linear, n probes per containee)
+    and verified with an exact substring check. The oracle is the brute
+    cross-join ``strpos``; the 31-char floor is the operator's declared
+    2*gram_n-1 probe-coverage bound (no fixture doc is shorter)."""
+    from ..operators.dedup import contained_docs
+
+    return contained_docs(spread(_t(spark, sf_dir, "documents")), gram_n=16)
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (domain cap)
+# ---------------------------------------------------------------------------
+DOMAIN_CAP_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS src_rank
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(src_rank AS BIGINT) AS src_rank
+FROM r WHERE src_rank <= 10
+"""
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Domain-cap curation (operators/sampling.py: cap_per_group): at most
+    10 docs per source, selected by content-stable hash rank so the pick
+    is deterministic and append-stable. One exchange on source; the
+    rank<=cap predicate plans as WindowGroupLimit (heap per group, no full
+    sort) — asserted in test_plan_hygiene."""
+    from ..operators.sampling import cap_per_group
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+    return cap_per_group(docs, "source", 10, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "src_rank"
+    )

@@ -877,6 +877,12 @@ QUERIES["semantic_dedup_embeddings"] = _bind(_dp.q_semantic_dedup)
 ORACLES["semantic_dedup_embeddings"] = _dp.SEMANTIC_DEDUP_ORACLE
 QUERIES["token_budget_mixture"] = _bind(_dp.q_token_budget_mixture)
 ORACLES["token_budget_mixture"] = _dp.TOKEN_BUDGET_MIXTURE_ORACLE
+QUERIES["fuzzy_join_part_names"] = _bind(_dp.q_fuzzy_part_names)
+ORACLES["fuzzy_join_part_names"] = _dp.FUZZY_PART_NAMES_ORACLE
+QUERIES["doc_containment_dedup"] = _bind(_dp.q_doc_containment)
+ORACLES["doc_containment_dedup"] = _dp.DOC_CONTAINMENT_ORACLE
+QUERIES["domain_cap_sample"] = _bind(_dp.q_domain_cap_sample)
+ORACLES["domain_cap_sample"] = _dp.DOMAIN_CAP_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
@@ -1087,6 +1093,10 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
+    # Priority 0 — NEW this round (never had a driver row).
+    "fuzzy_join_part_names",
+    "doc_containment_dedup",
+    "domain_cap_sample",
     # Round-7 rotation (r6 VERDICT item 3). Priority 1 — the 8 queries
     # whose newest driver row is r4 (verified by set-union of
     # CORRECTNESS_r0{1..6}.json): after this round no query's newest row

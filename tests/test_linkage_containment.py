@@ -1,0 +1,169 @@
+"""Round-7 operators: FastSS fuzzy join (operators/linkage.py), aligned-gram
+containment dedup, and the per-source cap sampler — each pinned against a
+Spark-side brute force on adversarial synthetic rows (the registry queries
+pin them against the DuckDB oracle on the fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from futures_eos_cdc_spark.operators.dedup import contained_docs
+from futures_eos_cdc_spark.operators.linkage import (
+    fuzzy_link_values,
+    fuzzy_string_self_join,
+)
+from futures_eos_cdc_spark.operators.sampling import cap_per_group
+
+# substitution / insertion / deletion / transposition-as-2-edits / unicode /
+# near-miss (dist 3) cases; FastSS must reproduce the brute force EXACTLY.
+_NAMES = [
+    "almond antique blue",
+    "almond antique blues",   # insertion (dist 1)
+    "almond antique blu",     # deletion (dist 1)
+    "almond antique blee",    # 2 substitutions from blue
+    "almond antiqeu blue",    # transposition = 2 edits
+    "almond vintage blue",    # dist 7 from blue — must NOT pair
+    "café au lait",
+    "cafe au lait",           # unicode substitution (dist 1)
+    "x",
+    "xy",                     # short strings: neighborhood includes ""
+    "",
+]
+
+
+def _names_df(spark):
+    return spark.createDataFrame([(s,) for s in _NAMES], ["s"])
+
+
+def _brute_pairs(spark, lo, hi):
+    df = _names_df(spark)
+    a, b = df.alias("a"), df.alias("b")
+    return {
+        (r.s_a, r.s_b, r.dist)
+        for r in a.join(b, F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+            F.levenshtein("a.s", "b.s").cast("int").alias("dist"),
+        )
+        .filter((F.col("dist") >= lo) & (F.col("dist") <= hi))
+        .collect()
+    }
+
+
+def test_fuzzy_self_join_matches_brute_force_dist1(spark):
+    got = {
+        tuple(r)
+        for r in fuzzy_string_self_join(_names_df(spark), "s", max_dist=1).collect()
+    }
+    assert got == _brute_pairs(spark, 1, 1)
+    assert got  # the fixture has dist-1 pairs; an empty pass proves nothing
+
+
+def test_fuzzy_self_join_matches_brute_force_dist2(spark):
+    got = {
+        tuple(r)
+        for r in fuzzy_string_self_join(_names_df(spark), "s", max_dist=2).collect()
+    }
+    want = _brute_pairs(spark, 1, 2)
+    assert got == want
+    assert any(d == 2 for *_xs, d in want)
+
+
+def test_fuzzy_self_join_rejects_insane_dist(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        fuzzy_string_self_join(_names_df(spark), "s", max_dist=3)
+
+
+def test_fuzzy_link_values_includes_exact_and_both_orientations(spark):
+    left = spark.createDataFrame(
+        [("acme corp",), ("acme c0rp",), ("zzz",)], ["name"]
+    )
+    right = spark.createDataFrame(
+        [("acme corp",), ("acme corps",), ("yyy",)], ["vendor"]
+    )
+    got = {
+        tuple(r)
+        for r in fuzzy_link_values(left, right, "name", "vendor", max_dist=1).collect()
+    }
+    assert got == {
+        ("acme corp", "acme corp", 0),     # exact matches kept
+        ("acme corp", "acme corps", 1),
+        ("acme c0rp", "acme corp", 1),
+    }
+
+
+def _cont_docs(spark):
+    # pad to ≥31 chars (= 2*16-1, the gram_n=16 probe-coverage floor)
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit "
+    inner = "the quoted passage that gets republished verbatim"
+    zh = "这是一个用来测试多字节字符位置运算的中文文档正文内容" + "统计" * 6
+    rows = [
+        (1, inner),                              # contained in 2, 3, 4
+        (2, filler + inner),                     # middle occurrence
+        (3, inner + " " + filler),               # prefix occurrence (pos 1)
+        (4, filler + inner + filler + inner),    # two occurrences → min pos
+        (5, filler * 3),                         # contains nothing relevant
+        (6, zh),                                 # contained in 7 (multibyte)
+        (7, filler + zh + filler),
+        (8, "short doc under the floor"),        # 24 chars: never probed
+        (9, filler + "short doc under the floor" + filler),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_contained_docs_matches_brute_force(spark):
+    d = _cont_docs(spark)
+    got = {tuple(r) for r in contained_docs(d, gram_n=16).collect()}
+    a, b = d.alias("a"), d.alias("b")
+    want = {
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.length("a.text") < F.length("b.text"))
+            & (F.length("a.text") >= 31)
+            & F.col("b.text").contains(F.col("a.text")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("cast(locate(a.text, b.text) as long)").alias("pos"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the cases the blocking must catch: prefix (pos 1), multi-occurrence
+    # (first pos wins), multibyte chars, and the short-doc exclusion
+    assert (1, 3, 1) in got
+    # doc 4 holds two copies of doc 1; pos must be the FIRST (after the
+    # 55-char filler → position 56, char-counted)
+    assert (1, 4, 56) in got
+    assert any(p[0] == 6 and p[1] == 7 for p in got)
+    assert not any(p[0] == 8 for p in got)
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = sorted(tuple(r) for r in cap_per_group(df, "source", 7, "doc_id").collect())
+    out2 = sorted(
+        tuple(r)
+        for r in cap_per_group(
+            df.repartition(13), "source", 7, "doc_id"
+        ).collect()
+    )
+    assert out1 == out2  # partitioning-independent selection
+    per = {}
+    for _id, src, rank in out1:
+        per.setdefault(src, []).append(rank)
+    assert all(sorted(v) == list(range(1, 8)) for v in per.values())
+
+
+def test_cap_per_group_plans_window_group_limit(spark):
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    plan = cap_per_group(df, "source", 7, "doc_id")._jdf.queryExecution().toString()
+    assert "WindowGroupLimit" in plan
