@@ -352,11 +352,40 @@ def ivf_train(
             "count-from-grid centroid averaging)"
         )
     centroids = _hyperplanes(dim, n_cells, seed)
-    v = embeddings.select(F.col(vec_col).alias("vec"))
+    # pre-cast once: the fold path casts element-wise anyway, and the Arrow
+    # kernel path needs a concrete array<double> output schema
+    v = embeddings.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    use_kernel = n_cells * dim > _ASSIGN_EXPR_MAX_TERMS
+    if use_kernel:
+        import numpy as _np_train
+
+        def _lloyd_assign(cents):
+            C = _np_train.asarray(cents, dtype=_np_train.float64)
+
+            def assign(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = _np.vstack(pdf["vec"].to_numpy()).astype(_np.float64)
+                    yield _pd.DataFrame(
+                        {"cell": _nearest_cells(x, C), "vec": pdf["vec"]}
+                    )
+
+            return v.mapInPandas(assign, "cell int, vec array<double>")
+
     for _ in range(iters):
-        assigned = v.withColumn(
-            "cell", _cell_ranking_expr("vec", centroids).getItem(0)
-        )
+        # same routing (and bit-identical assignment) as ivf_assign: the
+        # literal expression is O(n_cells * dim) PER ROW — auto-sized cell
+        # counts make Lloyd steps quadratic in the corpus without the kernel
+        if use_kernel:
+            assigned = _lloyd_assign(centroids)
+        else:
+            assigned = v.withColumn(
+                "cell", _cell_ranking_expr("vec", centroids).getItem(0)
+            )
         # (cell, dim_idx) grid: dim_sums is n_cells x dim rows of scalar
         # sums; counts is n_cells rows. Both are partial-aggregated
         # map-side, so the shuffle carries O(n_cells * dim) doubles total.
@@ -400,6 +429,80 @@ def ivf_train(
     return centroids
 
 
+# The literal-expression assignment embeds n_cells x dim constant terms in
+# ONE expression — ideal while small (pure JVM, zero Python), but the
+# expression itself grows with the corpus once n_cells is auto-sized:
+# measured on semantic_dedup, 157 cells x 64 dims is fine (1.7 s at sf0.1)
+# but 1563 cells x 64 dims = 100k fold terms PER ROW took 32 s at 10x and
+# 15625 cells would not finish — the per-row cost is O(n_cells * dim), i.e.
+# O(n^2) corpus-total under auto-sizing. Past this term budget, assignment
+# routes to a vectorized Arrow kernel (BLAS matmul pre-filter + exact
+# left-fold re-score of the epsilon band), which is bit-identical to the
+# fold (see _nearest_cells) at O(flops) instead of O(interpreted-ops).
+_ASSIGN_EXPR_MAX_TERMS = 4096
+
+
+def _nearest_cells(x, C):
+    """Per-row nearest-centroid ids for a batch, bit-identical to the SQL
+    ``array_sort(named_struct(d, cell))`` fold path:
+
+    - BLAS matmul gives APPROXIMATE squared distances (wrong only in the
+      last ~1e-13 relative ULPs vs the fold's left-to-right order);
+    - every cell within a 1e-6 band of the approx minimum (a >1e6x
+      superset of the possible reorder) is RE-SCORED exactly — a per-dim
+      left fold, the same op order as ``aggregate(zip_with(...))`` — and
+      argmin over exact distances with numpy's first-index tie-break
+      reproduces the struct sort's (d, cell) ordering exactly.
+    """
+    import numpy as _np
+
+    d2 = x @ (-2.0 * C.T) + (C * C).sum(axis=1)[None, :]  # + |x|^2 const/row
+    best = d2.min(axis=1)
+    cells = _np.empty(len(x), dtype=_np.int64)
+    for i in range(len(x)):
+        cand = _np.nonzero(d2[i] <= best[i] + 1e-6)[0]
+        if len(cand) == 1:
+            cells[i] = cand[0]
+            continue
+        acc = _np.zeros(len(cand))
+        for d in range(x.shape[1]):
+            diff = x[i, d] - C[cand, d]
+            acc += diff * diff
+        cells[i] = cand[int(_np.argmin(acc))]
+    return cells
+
+
+def _assign_cells_kernel(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell) assignment via the Arrow kernel — the scale path once the
+    centroid table outgrows the literal expression. The centroid matrix
+    rides the task closure (n_cells x dim doubles, bounded by
+    AUTO_CELL_MAX); vectors never shuffle — assignment is a map."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "cell": _nearest_cells(x, C)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell int"
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -409,7 +512,13 @@ def ivf_assign(
     """(id, cell) hard assignment to trained centroids — k-means cluster
     membership as a pure projection (ties on cell id, deterministic).
     The IVF index's partitioning step, exposed for corpus-curation use
-    (cluster sizes, cluster-balanced sampling, semantic dedup)."""
+    (cluster sizes, cluster-balanced sampling, semantic dedup).
+
+    Below ``_ASSIGN_EXPR_MAX_TERMS`` (= n_cells x dim) the assignment is
+    one literal JVM expression; above it, the bit-identical Arrow kernel
+    (see _nearest_cells) — same rows either way."""
+    if len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS:
+        return _assign_cells_kernel(embeddings, centroids, id_col, vec_col)
     return embeddings.select(
         F.col(id_col),
         _cell_ranking_expr(vec_col, centroids).getItem(0).alias("cell"),

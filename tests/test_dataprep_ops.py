@@ -874,3 +874,28 @@ def test_simhash64_dedup_prebuilt_index_parity(spark, sf_dir, tmp_path):
         simhash64_dedup_against_corpus(batch)
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash64_dedup_against_corpus(batch, corpus, max_hamming=4)
+
+
+def test_ivf_assign_kernel_bit_identical_to_expression(spark, sf_dir):
+    """The Arrow assignment kernel (the auto-sized-cells scale path) must
+    reproduce the literal-expression fold EXACTLY — argmin cell ids equal
+    on every vector, including band ties (epsilon re-score)."""
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    e = _emb(spark, sf_dir)
+    cents = S._hyperplanes(64, 157, 7)  # >4096 terms: the kernel regime
+    expr = sorted(
+        tuple(r)
+        for r in e.select(
+            "vec_id",
+            S._cell_ranking_expr("embedding", cents).getItem(0).alias("cell"),
+        ).collect()
+    )
+    kern = sorted(
+        tuple(r)
+        for r in S._assign_cells_kernel(e, cents, "vec_id", "embedding").collect()
+    )
+    assert expr == kern
+    # and the router picks the kernel in this regime (no giant expression)
+    routed = S.ivf_assign(e, cents)
+    assert "MapInPandas" in routed._jdf.queryExecution().toString()
