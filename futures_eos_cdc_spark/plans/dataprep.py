@@ -1958,13 +1958,13 @@ def _ann_ivf_oracle_sql(
 
     Empty cells keep their previous centroid (COALESCE ≡ ivf_train's
     copy-then-overwrite loop).
-    """
-    from ..operators.similarity import _hyperplanes
 
-    init_rows = ",\n    ".join(
-        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(_hyperplanes(dim, n_cells, seed))
-    )
+    Init (round 7) samples the n_cells data vectors with the smallest
+    content-stable hash — zero arithmetic, so init parity is trivial; the
+    pre-r7 Gaussian init collapsed to a handful of occupied cells at
+    auto-sized cell counts (see ivf_train's docstring).
+    """
+    init_order = f"md5('ivfinit{seed}|' || CAST(vec_id AS VARCHAR)), vec_id"
     rng = f"range(1, {dim + 1})"
 
     def dist2(vec_sql: str, cvec_sql: str) -> str:
@@ -2021,9 +2021,11 @@ c{step} AS (
 
     prefix = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-init AS (SELECT * FROM (VALUES
-    {init_rows}
-) AS t(cell, cvec)),
+init AS (
+  SELECT row_number() OVER (ORDER BY {init_order}) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM e ORDER BY {init_order} LIMIT {n_cells}
+),
 {steps},
 dfin AS (
   SELECT e.vec_id, {final}.cell,
