@@ -584,6 +584,49 @@ def ivf_assign(
     )
 
 
+def _make_probe_fn(C, nprobe: int, id_col: str, vec_col: str):
+    """mapInPandas function: (q_id, q_vec, cell) exploded to each query's
+    nprobe nearest cells, in the SAME (distance, cell) order as
+    ``slice(_cell_ranking_expr(...), 1, nprobe)`` — approx distances pick a
+    candidate band around the nprobe-th, the band is re-scored with the
+    exact per-dim left fold, and the final sort is (exact d, cell). Bound
+    locally (by-value pickle) like _make_assign_fn."""
+    import numpy as np
+
+    n_cells = len(C)
+    take = min(nprobe, n_cells)
+    c_sq = (np.asarray(C) * np.asarray(C)).sum(axis=1)
+
+    def probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            d2 = x @ (-2.0 * C.T) + c_sq[None, :]
+            ids, vecs, cells = [], [], []
+            for i in range(len(pdf)):
+                row = d2[i]
+                part = _np.partition(row, take - 1)
+                cand = _np.nonzero(row <= part[take - 1] + 1e-6)[0]
+                acc = _np.zeros(len(cand))
+                for dd in range(x.shape[1]):
+                    diff = x[i, dd] - C[cand, dd]
+                    acc += diff * diff
+                order = _np.lexsort((cand, acc))[:take]
+                for j in order:
+                    ids.append(pdf[id_col].iloc[i])
+                    vecs.append(x[i])
+                    cells.append(int(cand[j]))
+            yield _pd.DataFrame(
+                {"q_id": ids, "q_vec": vecs, "cell": cells}
+            )
+
+    return probe
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -595,6 +638,7 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    _force_expr: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: partition vectors into Voronoi cells
     around trained centroids; each query probes only its `nprobe` nearest
@@ -604,23 +648,42 @@ def ann_topk_ivf(
     you'd persist the table partitioned/bucketed BY cell so the probe join is
     shuffle-free on the big side); queries explode to nprobe rows and
     broadcast; expected candidate count is nprobe/n_cells of the corpus.
+    Both the corpus assignment and the query probe ranking route through
+    the Arrow kernels past _ASSIGN_EXPR_MAX_TERMS (same bit-parity
+    discipline — the literal expression is O(n_cells * dim) per row, which
+    under auto-sized cell counts is the O(n^2) shape round 7 measured).
     """
     if centroids is None:
         centroids = ivf_train(
             embeddings, n_cells, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
         )
-    c = embeddings.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        _cell_ranking_expr(vec_col, centroids).getItem(0).alias("cell"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
-        ).alias("cell"),
-    )
+    if len(centroids) * dim > _ASSIGN_EXPR_MAX_TERMS and not _force_expr:
+        import numpy as np
+
+        C = np.asarray(centroids, dtype=np.float64)
+        assigned = _assign_cells_kernel(embeddings, centroids, id_col, vec_col)
+        c = embeddings.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ).join(
+            assigned.select(F.col(id_col).alias("c_id"), "cell"), "c_id"
+        )
+        q = queries.select(id_col, vec_col).mapInPandas(
+            _make_probe_fn(C, nprobe, id_col, vec_col),
+            "q_id long, q_vec array<double>, cell int",
+        )
+    else:
+        c = embeddings.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            _cell_ranking_expr(vec_col, centroids).getItem(0).alias("cell"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
+            ).alias("cell"),
+        )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("c_id"))

@@ -953,3 +953,27 @@ def test_assign_kernel_closure_pickles_self_contained():
         subprocess.run(
             [sys.executable, "-c", code], cwd="/", check=True, timeout=120
         )
+
+
+def test_ann_ivf_kernel_path_matches_expression_path(spark, sf_dir):
+    """Past _ASSIGN_EXPR_MAX_TERMS, ann_topk_ivf routes corpus assignment
+    AND query probe ranking through the Arrow kernels; the result set must
+    equal the literal-expression plan bit-for-bit (same candidate cells in
+    the same probe order -> same top-k)."""
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    cents = S._hyperplanes(64, 157, 11)  # 157*64 terms: kernel regime
+    kern = sorted(
+        tuple(r)
+        for r in S.ann_topk_ivf(e, q, k=3, nprobe=4, centroids=cents).collect()
+    )
+    expr = sorted(
+        tuple(r)
+        for r in S.ann_topk_ivf(
+            e, q, k=3, nprobe=4, centroids=cents, _force_expr=True
+        ).collect()
+    )
+    assert kern == expr
+    assert kern  # non-vacuous
