@@ -2795,3 +2795,60 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return cap_per_group(docs, "source", 10, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"), "source", "src_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (cluster-atomic assignment)
+# ---------------------------------------------------------------------------
+from ..operators.sampling import split_label_sql as _split_label_sql  # noqa: E402
+
+_LSPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM ( {MINHASH_ORACLE} )
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+cc AS (
+  SELECT u AS id, u AS comp FROM sym
+  UNION
+  SELECT s.u, cc.comp FROM sym s JOIN cc ON cc.id = s.v
+),
+comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+r AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_rep
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(group_rep AS BIGINT) AS group_rep,
+       {_split_label_sql('group_rep', _LSPLIT_WEIGHTS, 'lsplit')} AS split
+FROM r
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: hash_split keyed by the near-dup CLUSTER representative (the
+    connected component's min doc_id; singletons are their own group), so
+    a document and its near-twins always land in the SAME split. Plain
+    per-doc hash splitting puts ~2*p*q of every dup pair across the
+    train/test boundary — the classic eval-contamination bug a curation
+    pipeline must close.
+
+    Scale shape: minhash pairs + alternating-star components (ids-only
+    shuffles) over the dup subset only; the corpus-wide work is one left
+    join against that small component table and a scan-shaped md5 CASE.
+    """
+    from ..operators.clustering import connected_components
+    from ..operators.sampling import split_label_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    comp = connected_components(pairs, id_a="doc_a", id_b="doc_b")
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    return docs.join(comp, docs.doc_id == comp.id, "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        rep.cast("long").alias("group_rep"),
+        split_label_expr(rep, _LSPLIT_WEIGHTS, salt="lsplit").alias("split"),
+    )

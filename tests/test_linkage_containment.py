@@ -167,3 +167,30 @@ def test_cap_per_group_plans_window_group_limit(spark):
     df = spark.createDataFrame(rows, ["doc_id", "source"])
     plan = cap_per_group(df, "source", 7, "doc_id")._jdf.queryExecution().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_leakage_safe_split_keeps_near_dup_pairs_together(spark, sf_dir):
+    """THE property the query exists for: no near-dup pair may straddle a
+    split boundary (plain per-doc hashing puts ~2pq of pairs across it)."""
+    from futures_eos_cdc_spark.operators.dedup import minhash_lsh_pairs
+    from futures_eos_cdc_spark.plans.dataprep import q_leakage_safe_split
+
+    def _t(s, d, t):
+        return s.read.parquet(f"{d}/{t}.parquet")
+
+    out = q_leakage_safe_split(spark, sf_dir, _t)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.4).collect()
+    ]
+    assert pairs  # fixture must exercise the property
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], (a, b)
+    # and the split is still a split: all three labels present, ~80/10/10
+    from collections import Counter
+
+    c = Counter(split_of.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
