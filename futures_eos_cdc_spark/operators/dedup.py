@@ -307,6 +307,77 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr's CUT stage: given :func:`duplicate_spans` output, remove
+    each duplicated passage from the HIGHER-id doc of the pair (the doc_a
+    occurrence is the kept copy — deterministic one-copy-survives, the
+    published approach's policy of keeping a single occurrence corpus-wide)
+    and report the cleaned text's fingerprint. Output is one row per doc:
+    (doc_id, n_tokens, n_removed, cleaned_md5) — the md5 proves the exact
+    reconstruction without shipping corpus text anywhere (same contract as
+    ``reassemble_deduped_docs``).
+
+    Cleaned text = the kept tokens re-joined with single spaces (token-space
+    cuts, matching duplicate_spans' token-position spans; declared
+    whitespace normalization).
+
+    Scale shape: one posexplode of the corpus tokens (linear), an anti join
+    against the cut-range table keyed by doc id (ranges per doc are that
+    doc's own span count — never corpus-scale; the range predicate rides
+    the equi-join as a filter), and one groupBy(doc) reassembly bounded by
+    per-doc token counts. No all-pairs stage, no corpus-scale window.
+    """
+    ranges = spans.select(
+        F.col("doc_b").alias("doc"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("len_tokens") - 1).alias("e"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    )
+    pos = toks.select(
+        "doc", F.posexplode(F.col("arr")).alias("i0", "tok")
+    ).select("doc", (F.col("i0") + 1).alias("p"), "tok")
+    kept = pos.join(
+        ranges,
+        (pos["doc"] == ranges["doc"])
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )
+    empty_md5 = F.md5(F.lit("").cast("binary"))
+    return toks.select("doc", F.size("arr").alias("n_tokens")).join(
+        agg, "doc", "left"
+    ).select(
+        F.col("doc").cast("long").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
+    )
+
+
 def reassemble_deduped_docs(
     flagged: DataFrame,
     doc_col: str = "doc_id",
@@ -372,9 +443,16 @@ def contained_docs(
       for every doc long enough to probe; probe cost is a constant n²
       chars per doc.
     - verification: candidates carry the implied occurrence start
-      p = q − o + 1; two equi-joins back to the docs table fetch the two
-      texts once per candidate pair and check
-      ``substring(b.text, p, len_a) == a.text`` exactly.
+      p = q − o + 1 plus the containee's md5 and length — CONSTANT-WIDTH
+      rows; they are then grouped per container and checked inside one
+      higher-order filter against the container's text
+      (``md5(substring(b.text, p, len_a)) == md5(a.text)``). Texts never
+      ship per candidate: the first implementation joined both full texts
+      onto every candidate row and went 51x per decade at the 100x corpus
+      (candidates are corpus-linear but text-weighted); this shape moves
+      only 4 ints + one 32-char digest per candidate. Equality is by md5,
+      the same content-digest identity the engine's whole dedup family
+      keys on (collision odds ~2^-128).
 
     Grams are md5'd to constant-width 16-byte join keys. Boilerplate probe
     grams (occurring > ``max_gram_occ`` times among the aligned grams)
@@ -387,7 +465,11 @@ def contained_docs(
 
     Scale shape: one linear gram scan per side, one equi-join on 16-byte
     keys with a corpus-frequency cap, verification joins keyed by doc id.
-    No window over corpus-scale groups, no all-pairs stage.
+    No window over corpus-scale groups, no all-pairs stage. The gram-keyed
+    exchanges are sized from data stats (candidate_partitions) past the
+    _worth_sizing input gate — the unsized 100x run spilled exactly like
+    ngram's r6 case (5.1 s at 10x -> 188.6 s at 100x through 32 default
+    partitions; ~17M gram rows want ~160).
     """
     n = gram_n
     d = docs.select(
@@ -395,14 +477,29 @@ def contained_docs(
         F.col(text_col).alias("txt"),
         F.length(text_col).cast("long").alias("len"),
     )
+    n_part = 0
+    if _worth_sizing(docs):
+        stats = d.select(
+            F.sum(F.floor(F.col("len") / n)).alias("ga"),
+            F.count(F.lit(1)).alias("nd"),
+        ).first()
+        n_part = candidate_partitions(
+            docs.sparkSession,
+            int(stats["ga"] or 0),
+            int(stats["nd"] or 0) * n,
+        )
     aligned = d.filter(F.col("len") >= n).select(
         F.col("doc").alias("doc_b"),
+        F.col("len").alias("len_b"),
         F.explode(
             F.sequence(F.lit(1), F.col("len") - (n - 1), F.lit(n))
         ).alias("q"),
         "txt",
     ).select(
-        "doc_b", "q", F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g")
+        "doc_b",
+        "len_b",
+        "q",
+        F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g"),
     )
     probes = d.filter(F.col("len") >= 2 * n - 1).select(
         F.col("doc").alias("doc_a"),
@@ -413,6 +510,11 @@ def contained_docs(
         "doc_a", "len_a", "o",
         F.md5(F.substring("txt", F.col("o"), n).cast("binary")).alias("g"),
     )
+    aligned = _sized_for_join(aligned, n_part, "g")
+    probes = _sized_for_join(probes, n_part, "g")
+    # aligned is hash-partitioned on g when sized, so the freq groupBy needs
+    # no exchange and the candidate join reuses the same exchange (the
+    # ngram_jaccard_pairs ReusedExchange pattern)
     ok = aligned.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ")).filter(
         F.col("n_occ") <= max_gram_occ
     )
@@ -426,26 +528,48 @@ def contained_docs(
             (F.col("q") - F.col("o") + 1).alias("p"),
             "len_a",
         )
-        .filter(F.col("p") >= 1)
+        # geometric pruning before the distinct: spurious gram matches that
+        # cannot be an occurrence (start before 1, overrun the container,
+        # containee not strictly shorter) never reach the verify stage
+        .filter(
+            (F.col("p") >= 1)
+            & (F.col("p") + F.col("len_a") - 1 <= F.col("len_b"))
+            & (F.col("len_a") < F.col("len_b"))
+        )
         .distinct()
     )
-    a_txt = d.select(F.col("doc").alias("doc_a"), F.col("txt").alias("txt_a"))
-    b_txt = d.select(
-        F.col("doc").alias("doc_b"), F.col("txt").alias("txt_b"),
-        F.col("len").alias("len_b"),
+    a_dig = d.select(
+        F.col("doc").alias("doc_a"),
+        F.md5(F.col("txt").cast("binary")).alias("ha"),
     )
-    return (
-        cand.join(a_txt, "doc_a")
-        .join(b_txt, "doc_b")
-        .filter(
-            (F.col("len_a") < F.col("len_b"))
-            & (F.col("p") + F.col("len_a") - 1 <= F.col("len_b"))
-            & (F.col("txt_b").substr(F.col("p"), F.col("len_a")) == F.col("txt_a"))
+    per_b = (
+        cand.join(a_dig, "doc_a")
+        .groupBy("doc_b")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("doc_a"), F.col("p"), F.col("len_a"), F.col("ha"))
+            ).alias("cl")
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min("p").cast("long").alias("pos"))
-        .select("doc_a", "doc_b", "pos")
     )
+    hit = (
+        per_b.join(d.select(F.col("doc").alias("doc_b"), "txt"), "doc_b")
+        .select(
+            "doc_b",
+            F.explode(
+                F.filter(
+                    F.col("cl"),
+                    lambda c: F.md5(
+                        F.col("txt").substr(c["p"], c["len_a"]).cast("binary")
+                    )
+                    == c["ha"],
+                )
+            ).alias("c"),
+        )
+        .select(F.col("c.doc_a").alias("doc_a"), "doc_b", F.col("c.p").alias("p"))
+    )
+    return hit.groupBy("doc_a", "doc_b").agg(
+        F.min("p").cast("long").alias("pos")
+    ).select("doc_a", "doc_b", "pos")
 
 
 CANDIDATE_PART_ROWS = 60_000  # ≈ the measured-good 8.1M prefix rows / 128 parts

@@ -2118,7 +2118,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
     from ..operators.similarity import ivf_assign
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = spread(_t(spark, sf_dir, "embeddings"))
     assigned = ivf_assign(e, _trained_centroids(spark, sf_dir, e))
     w_rank = Window.partitionBy("cell").orderBy(
         F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))),
@@ -2852,3 +2852,52 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         rep.cast("long").alias("group_rep"),
         split_label_expr(rep, _LSPLIT_WEIGHTS, salt="lsplit").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr cut: remove duplicated spans from the higher-id doc
+# ---------------------------------------------------------------------------
+SPAN_REMOVAL_ORACLE = rf"""
+WITH spans AS ( {DUP_SPANS_ORACLE} ),
+ranges AS (
+  SELECT doc_b AS doc_id, start_b AS s, start_b + len_tokens - 1 AS e
+  FROM spans
+),
+arrs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p, arr[t.p] AS tok
+  FROM arrs, unnest(generate_series(1, len(arr), 1)) AS t(p)
+),
+kept AS (
+  SELECT pos.* FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+                    WHERE r.doc_id = pos.doc_id AND pos.p BETWEEN r.s AND r.e)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(len(a.arr) AS BIGINT) AS n_tokens,
+       CAST(len(a.arr) - COALESCE(g.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(g.cleaned_md5, md5('')) AS cleaned_md5
+FROM arrs a LEFT JOIN agg g USING (doc_id)
+"""
+
+
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """ExactSubstr end-to-end: detect cross-document duplicated passages
+    (gram diagonals, q_duplicate_spans' exact parameters) and CUT them from
+    the higher-id doc, keeping one occurrence corpus-wide — the action the
+    published exact-substring dedup actually takes, with the cleaned text
+    proven by md5 (operators/dedup.py: remove_duplicate_spans)."""
+    from ..operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    spans = duplicate_spans(
+        docs, k=SPAN_K, min_len=SPAN_MIN_LEN, max_gram_occ=SPAN_MAX_OCC
+    )
+    return remove_duplicate_spans(docs, spans)

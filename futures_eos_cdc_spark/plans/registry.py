@@ -885,6 +885,8 @@ QUERIES["domain_cap_sample"] = _bind(_dp.q_domain_cap_sample)
 ORACLES["domain_cap_sample"] = _dp.DOMAIN_CAP_ORACLE
 QUERIES["leakage_safe_split"] = _bind(_dp.q_leakage_safe_split)
 ORACLES["leakage_safe_split"] = _dp.LEAKAGE_SAFE_SPLIT_ORACLE
+QUERIES["duplicate_span_removal"] = _bind(_dp.q_duplicate_span_removal)
+ORACLES["duplicate_span_removal"] = _dp.SPAN_REMOVAL_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
@@ -1100,6 +1102,7 @@ _WALK_FIRST = [
     "doc_containment_dedup",
     "domain_cap_sample",
     "leakage_safe_split",
+    "duplicate_span_removal",
     # Round-7 rotation (r6 VERDICT item 3). Priority 1 — the 8 queries
     # whose newest driver row is r4 (verified by set-union of
     # CORRECTNESS_r0{1..6}.json): after this round no query's newest row

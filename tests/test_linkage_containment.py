@@ -194,3 +194,48 @@ def test_leakage_safe_split_keeps_near_dup_pairs_together(spark, sf_dir):
     c = Counter(split_of.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_remove_duplicate_spans_cuts_higher_id_copy(spark):
+    """ExactSubstr cut policy on a planted corpus: the shared passage
+    survives in the LOWEST-id doc and is cut from every later doc; cleaned
+    fingerprints equal locally reconstructed expectations; untouched docs
+    report n_removed=0 with their original fingerprint."""
+    import hashlib
+
+    from futures_eos_cdc_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens >= min_len
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"ten twenty {shared} thirty forty"),
+        (3, f"{shared} hundred"),
+        (4, "completely unrelated text with zero overlap tokens"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(docs, k=3, min_len=4)
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in remove_duplicate_spans(docs, spans).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 is the lowest id in every pair -> keeps its copy untouched
+    assert out[1] == (9, 0, md5(rows[0][1]))
+    assert out[4] == (7, 0, md5(rows[3][1]))
+    # docs 2 and 3 lose exactly the shared 6 tokens
+    assert out[2] == (10, 6, md5("ten twenty thirty forty"))
+    assert out[3] == (7, 6, md5("hundred"))
+    # and the cleaned corpus is span-free: re-running detection on the
+    # reconstructed texts finds nothing
+    cleaned = spark.createDataFrame(
+        [(1, rows[0][1]), (2, "ten twenty thirty forty"),
+         (3, "hundred"), (4, rows[3][1])],
+        ["doc_id", "text"],
+    )
+    assert duplicate_spans(cleaned, k=3, min_len=4).count() == 0

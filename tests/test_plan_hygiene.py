@@ -313,3 +313,44 @@ def test_token_budget_mixture_broadcasts_rates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r7_queries_no_cartesian_products(spark, sf_dir):
+    """The candidate-generation rewrites exist to AVOID the quadratic plan:
+    none of the round-7 queries may fall back to a cartesian join."""
+    for name in (
+        "fuzzy_join_part_names",
+        "doc_containment_dedup",
+        "domain_cap_sample",
+        "leakage_safe_split",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_domain_cap_plans_window_group_limit_in_query(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "domain_cap_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_containment_gram_cap_precedes_candidate_join(spark, sf_dir):
+    """The max_gram_occ frequency cap must run BEFORE the probe-gram join
+    (optimized plan: the aggregate feeding the join filters on n_occ), so
+    a viral gram never reaches candidate generation."""
+    opt = _optimized(spark, sf_dir, "doc_containment_dedup")
+    # the cap survives optimization as a filter over the grouped gram counts
+    assert any(
+        "Filter" in line and "n_occ" in line for line in opt.splitlines()
+    ), opt[:2000]
+
+
+def test_fuzzy_join_is_equi_join_on_variant_keys(spark, sf_dir):
+    """FastSS candidates come from a hash-partitioned equi-join on the
+    deletion-variant key — SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin
+    are all fine; what must NOT happen is a theta-join on levenshtein."""
+    plan = _plan(spark, sf_dir, "fuzzy_join_part_names")
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
