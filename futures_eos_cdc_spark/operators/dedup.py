@@ -471,24 +471,42 @@ def contained_docs(
     ngram's r6 case (5.1 s at 10x -> 188.6 s at 100x through 32 default
     partitions; ~17M gram rows want ~160).
     """
+    return _containment_hits(docs, docs, gram_n, max_gram_occ, id_col, text_col)
+
+
+def _containment_hits(
+    probe_docs: DataFrame,
+    container_docs: DataFrame,
+    gram_n: int,
+    max_gram_occ: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared core of :func:`contained_docs` (both sides = the corpus) and
+    :func:`contained_in_corpus` (probes = the new batch, containers = the
+    corpus): (doc_a ∈ probe side contained in doc_b ∈ container side, pos).
+    See contained_docs for the blocking/verification design."""
     n = gram_n
-    d = docs.select(
+    d_p = probe_docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).cast("long").alias("len"),
+    )
+    d_c = container_docs.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("txt"),
         F.length(text_col).cast("long").alias("len"),
     )
     n_part = 0
-    if _worth_sizing(docs):
-        stats = d.select(
-            F.sum(F.floor(F.col("len") / n)).alias("ga"),
-            F.count(F.lit(1)).alias("nd"),
-        ).first()
+    if _worth_sizing(container_docs):
+        stats = d_c.select(F.sum(F.floor(F.col("len") / n)).alias("ga")).first()
+        n_probe = d_p.count()
         n_part = candidate_partitions(
-            docs.sparkSession,
+            container_docs.sparkSession,
             int(stats["ga"] or 0),
-            int(stats["nd"] or 0) * n,
+            n_probe * n,
         )
-    aligned = d.filter(F.col("len") >= n).select(
+    aligned = d_c.filter(F.col("len") >= n).select(
         F.col("doc").alias("doc_b"),
         F.col("len").alias("len_b"),
         F.explode(
@@ -501,7 +519,7 @@ def contained_docs(
         "q",
         F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g"),
     )
-    probes = d.filter(F.col("len") >= 2 * n - 1).select(
+    probes = d_p.filter(F.col("len") >= 2 * n - 1).select(
         F.col("doc").alias("doc_a"),
         F.col("len").alias("len_a"),
         F.explode(F.sequence(F.lit(1), F.lit(n))).alias("o"),
@@ -538,7 +556,7 @@ def contained_docs(
         )
         .distinct()
     )
-    a_dig = d.select(
+    a_dig = d_p.select(
         F.col("doc").alias("doc_a"),
         F.md5(F.col("txt").cast("binary")).alias("ha"),
     )
@@ -552,7 +570,7 @@ def contained_docs(
         )
     )
     hit = (
-        per_b.join(d.select(F.col("doc").alias("doc_b"), "txt"), "doc_b")
+        per_b.join(d_c.select(F.col("doc").alias("doc_b"), "txt"), "doc_b")
         .select(
             "doc_b",
             F.explode(
@@ -570,6 +588,37 @@ def contained_docs(
     return hit.groupBy("doc_a", "doc_b").agg(
         F.min("p").cast("long").alias("pos")
     ).select("doc_a", "doc_b", "pos")
+
+
+def contained_in_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    gram_n: int = 16,
+    max_gram_occ: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment ADMISSION gate: keep only new docs whose full text does
+    NOT appear verbatim inside some (strictly longer) corpus doc — the
+    "this page is a fragment of something we already hold" ingestion rule,
+    sitting between exact dedup (equality) and the near-dup gate (whole-doc
+    similarity). Returns the surviving new_docs rows unchanged.
+
+    Same asymmetric blocking as :func:`contained_docs` with the corpus on
+    the (linear, non-exploding) container side and the batch paying only n
+    probe grams per doc — the daily-crawl shape where the batch is tiny
+    next to the corpus. Coverage floor applies to the BATCH side: new docs
+    shorter than 2*gram_n - 1 cannot be probed at this gram size and pass
+    the gate undetected (declared semantics; run a smaller-gram pass for
+    the short tail). At 100 TB, persist the corpus's aligned-gram table
+    and maintain it on append instead of recomputing (the bands/shingles
+    index pattern of build_neardup_index); verification still reads corpus
+    text for candidate containers only.
+    """
+    dropped = _containment_hits(
+        new_docs, corpus_docs, gram_n, max_gram_occ, id_col, text_col
+    ).select(F.col("doc_a").alias(id_col)).distinct()
+    return new_docs.join(dropped, id_col, "left_anti")
 
 
 CANDIDATE_PART_ROWS = 60_000  # ≈ the measured-good 8.1M prefix rows / 128 parts

@@ -2901,3 +2901,40 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         docs, k=SPAN_K, min_len=SPAN_MIN_LEN, max_gram_occ=SPAN_MAX_OCC
     )
     return remove_duplicate_spans(docs, spans)
+
+
+# ---------------------------------------------------------------------------
+# Containment admission gate (batch vs corpus)
+# ---------------------------------------------------------------------------
+CONTAINMENT_INCREMENTAL_ORACLE = f"""
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.source IN {_BATCH_SOURCES}
+  AND NOT (length(d.text) >= 31 AND EXISTS (
+    SELECT 1 FROM documents b
+    WHERE b.source NOT IN {_BATCH_SOURCES}
+      AND length(d.text) < length(b.text)
+      AND strpos(b.text, d.text) > 0
+  ))
+"""
+
+
+def q_containment_incremental(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Daily-crawl containment gate: batch docs (sources src15-19) admitted
+    only if their full text is NOT a verbatim substring of some longer
+    corpus doc (operators/dedup.py: contained_in_corpus) — the fragment-
+    of-existing-page rule between exact dedup and the near-dup gate. The
+    31-char floor (2*gram_n-1 probe coverage) is declared on the batch
+    side in both engines."""
+    from ..operators.dedup import contained_in_corpus
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("source").isin(*_BATCH_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*_BATCH_SOURCES))
+    return contained_in_corpus(batch, corpus).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )

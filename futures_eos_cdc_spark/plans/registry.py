@@ -887,6 +887,8 @@ QUERIES["leakage_safe_split"] = _bind(_dp.q_leakage_safe_split)
 ORACLES["leakage_safe_split"] = _dp.LEAKAGE_SAFE_SPLIT_ORACLE
 QUERIES["duplicate_span_removal"] = _bind(_dp.q_duplicate_span_removal)
 ORACLES["duplicate_span_removal"] = _dp.SPAN_REMOVAL_ORACLE
+QUERIES["containment_incremental_batch"] = _bind(_dp.q_containment_incremental)
+ORACLES["containment_incremental_batch"] = _dp.CONTAINMENT_INCREMENTAL_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
@@ -1103,6 +1105,7 @@ _WALK_FIRST = [
     "domain_cap_sample",
     "leakage_safe_split",
     "duplicate_span_removal",
+    "containment_incremental_batch",
     # Round-7 rotation (r6 VERDICT item 3). Priority 1 — the 8 queries
     # whose newest driver row is r4 (verified by set-union of
     # CORRECTNESS_r0{1..6}.json): after this round no query's newest row

@@ -262,6 +262,33 @@ def simhash64_gate_writer(
     return write
 
 
+def containment_gate_writer(
+    corpus: DataFrame,
+    sink,
+    gram_n: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The containment twin of :func:`neardup_gate_writer`: each micro-batch
+    keeps only docs whose full text is NOT a verbatim substring of some
+    longer corpus doc (operators/dedup.py: contained_in_corpus — the
+    fragment-of-existing-page ingestion rule), then hands survivors to
+    ``sink(survivors_df, epoch_id)``. Same foreachBatch rationale: the
+    survivor predicate aggregates over a stream-derived join. At 100 TB,
+    persist the corpus aligned-gram table and swap it in here instead of
+    recomputing per batch (verification still reads corpus text for
+    candidate containers only — see the operator docstring)."""
+    from ..operators.dedup import contained_in_corpus
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = contained_in_corpus(
+            batch_df, corpus, gram_n=gram_n, id_col=id_col, text_col=text_col
+        )
+        sink(survivors, epoch_id)
+
+    return write
+
+
 # ---------------------------------------------------------------------------
 # The streaming decision aggregate
 # ---------------------------------------------------------------------------

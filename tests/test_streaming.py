@@ -1099,3 +1099,45 @@ def test_streaming_simhash64_gate_matches_batch(spark, sf_dir, tmp_path):
         finally:
             q.stop()
         assert got == want, tag
+
+
+def test_streaming_containment_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch containment gate admits exactly the docs the batch
+    operator admits: fragments of longer corpus docs are rejected, all
+    other streamed docs pass."""
+    from futures_eos_cdc_spark.operators.dedup import contained_in_corpus
+    from futures_eos_cdc_spark.streaming.pipeline import containment_gate_writer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    # planted fragments: substrings of corpus docs, plus clean pass-through
+    frag = corpus.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, 3, 40)").alias("text"),
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 0).union(frag)
+    want = {r.doc_id for r in contained_in_corpus(batch, corpus).collect()}
+    assert len(want) < batch.count()  # the planted fragments are rejected
+    assert not any(i >= 1_000_000 for i in want)
+
+    path = str(tmp_path / "cont_stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(path)
+    got = set()
+
+    def sink(df, epoch_id):
+        got.update(r.doc_id for r in df.collect())
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(path)
+        .writeStream.foreachBatch(containment_gate_writer(corpus, sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cont"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want
