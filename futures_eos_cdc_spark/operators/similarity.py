@@ -467,7 +467,12 @@ def ivf_train(
 # routes to a vectorized Arrow kernel (BLAS matmul pre-filter + exact
 # left-fold re-score of the epsilon band), which is bit-identical to the
 # fold (see _nearest_cells) at O(flops) instead of O(interpreted-ops).
-_ASSIGN_EXPR_MAX_TERMS = 4096
+# Threshold: the 16-cell fixture model (16 x 64 = 1024 terms) stays on the
+# pure-JVM expression; the crossover was measured ABOVE the first auto-sized
+# model already — at sf0.1's 63 cells the kernel runs ann_cosine_ivf in
+# 1.18 s vs 2.52 s for the expression (interpreted fold ops dominate well
+# before the expression becomes unbuildable).
+_ASSIGN_EXPR_MAX_TERMS = 1024
 
 
 def _nearest_cells_impl():
