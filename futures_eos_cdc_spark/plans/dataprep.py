@@ -2911,12 +2911,16 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
        CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d
 WHERE d.source IN {_BATCH_SOURCES}
-  AND NOT (length(d.text) >= 31 AND EXISTS (
+  -- COALESCE: a NULL text makes the containment predicate NULL and plain
+  -- NOT would DROP the row, while the Spark gate never probes a NULL text
+  -- and so admits it (same NULL-trap class as DEDUP_INCREMENTAL_ORACLE's
+  -- NOT IN note; fixtures have no NULL text)
+  AND NOT COALESCE(length(d.text) >= 31 AND EXISTS (
     SELECT 1 FROM documents b
     WHERE b.source NOT IN {_BATCH_SOURCES}
       AND length(d.text) < length(b.text)
       AND strpos(b.text, d.text) > 0
-  ))
+  ), FALSE)
 """
 
 
