@@ -2942,3 +2942,80 @@ def q_containment_incremental(spark: SparkSession, sf_dir: str, _t) -> DataFrame
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted soft sampling (classifier-scored keep probability)
+# ---------------------------------------------------------------------------
+# Temperature of the clipped-linear link: logit/(2*T) around 0.5. A clipped
+# LINEAR link instead of the usual sigmoid on purpose: exp() is libm-
+# dependent (JVM StrictMath vs DuckDB's C library can differ in the last
+# ulp, flipping rows sitting exactly on a keep threshold), while the linear
+# chain below is the same few IEEE ops in both engines — bit-stable.
+_QWS_T = 0.1
+
+QUALITY_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, unnest(list_concat(
+    toks,
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+  )) AS feat FROM t
+),
+h AS (SELECT doc_id, md5('qw|' || feat) AS hx FROM f),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(({_HEX4}) - 32768) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM h GROUP BY 1
+),
+p AS (
+  SELECT doc_id,
+    CASE WHEN 0.5 + (CAST(s AS DOUBLE) / (32768.0 * n)) / {2 * _QWS_T} < 0.0 THEN 0.0
+         WHEN 0.5 + (CAST(s AS DOUBLE) / (32768.0 * n)) / {2 * _QWS_T} > 1.0 THEN 1.0
+         ELSE 0.5 + (CAST(s AS DOUBLE) / (32768.0 * n)) / {2 * _QWS_T} END AS keep_prob
+  FROM agg
+),
+b AS (SELECT doc_id, md5('qws|' || CAST(doc_id AS VARCHAR)) AS hx FROM p)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       round(p.keep_prob, 6) AS keep_prob,
+       ({_HEX4}) < CAST(floor(p.keep_prob * 65536.0) AS BIGINT) AS kept
+FROM p JOIN b ON b.doc_id = p.doc_id
+"""
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Quality-WEIGHTED sampling (the soft form of the hard quality gate):
+    every document keeps with probability given by its classifier score —
+    high-quality docs nearly always survive, borderline docs survive at a
+    rate, junk is dropped — the DCLM/FineWeb-style soft filter that
+    preserves distributional diversity a hard threshold destroys. The keep
+    decision is the content-stable 16-bit hash bucket against
+    floor(p * 65536), so the sample is deterministic, append-safe, and
+    exactly reproducible. Scan-shaped: zero shuffles, like the hard gate.
+    """
+    from ..operators.text import hashed_classifier_logit_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    logit = hashed_classifier_logit_expr(F.col("text"))
+    raw = F.lit(0.5) + logit / F.lit(2 * _QWS_T)
+    p = (
+        F.when(raw < 0.0, F.lit(0.0))
+        .when(raw > 1.0, F.lit(1.0))
+        .otherwise(raw)
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qws|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(p, 6).alias("keep_prob"),
+        (bucket < F.floor(p * F.lit(65536.0)).cast("long")).alias("kept"),
+    )

@@ -889,6 +889,8 @@ QUERIES["duplicate_span_removal"] = _bind(_dp.q_duplicate_span_removal)
 ORACLES["duplicate_span_removal"] = _dp.SPAN_REMOVAL_ORACLE
 QUERIES["containment_incremental_batch"] = _bind(_dp.q_containment_incremental)
 ORACLES["containment_incremental_batch"] = _dp.CONTAINMENT_INCREMENTAL_ORACLE
+QUERIES["quality_weighted_sample"] = _bind(_dp.q_quality_weighted_sample)
+ORACLES["quality_weighted_sample"] = _dp.QUALITY_WEIGHTED_SAMPLE_ORACLE
 QUERIES["zorder_layout_key"] = _bind(_dp.q_zorder_layout_key)
 ORACLES["zorder_layout_key"] = _dp.ZORDER_ORACLE
 QUERIES["token_block_segments"] = _bind(_dp.q_token_block_segments)
@@ -1106,6 +1108,7 @@ _WALK_FIRST = [
     "leakage_safe_split",
     "duplicate_span_removal",
     "containment_incremental_batch",
+    "quality_weighted_sample",
     # Round-7 rotation (r6 VERDICT item 3). Priority 1 — the 8 queries
     # whose newest driver row is r4 (verified by set-union of
     # CORRECTNESS_r0{1..6}.json): after this round no query's newest row

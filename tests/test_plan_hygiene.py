@@ -354,3 +354,14 @@ def test_fuzzy_join_is_equi_join_on_variant_keys(spark, sf_dir):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_quality_weighted_sample_scan_shaped(spark, sf_dir):
+    """The soft quality filter must keep the hard gate's ideal shape: a
+    pure projection over the scan — no hash/range shuffle, no Python
+    (spread()'s round-robin fan-out is the allowed fixture-scale artifact,
+    same as test_quality_classifier_scan_shaped)."""
+    plan = _plan(spark, sf_dir, "quality_weighted_sample")
+    assert "Exchange hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
