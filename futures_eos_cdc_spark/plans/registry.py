@@ -1124,11 +1124,23 @@ _WALK_FIRST = [
     # Priority 2 — implementation changed THIS round (need fresh green
     # rows under the new definition): bm25 query-term-bounded df, tfidf
     # size-gated df join, pagerank reliable-checkpoint option, SemDeDup
-    # auto-sized cells.
+    # auto-sized cells; mid-round additions: the whole IVF family
+    # (data-sampled init + Arrow kernels) and the SQL-built operators
+    # (per-call unique temp views).
     "bm25_topk_retrieval",
     "tfidf_top_terms",
     "pagerank_near_dup",
     "semantic_dedup_embeddings",
+    "ann_cosine_ivf",
+    "embedding_kmeans_clusters",
+    "signal_decisions",
+    "decision_records",
+    "orders_from_decisions",
+    "outbox_event_router",
+    "ohlcv_candles",
+    "technical_indicators",
+    "funnel_view_click_purchase",
+    "cohort_retention",
     # Priority 3 — newest row is r5; rotate as many into the ~50-query
     # window as fit. The tail that misses keeps its r5 row (still within
     # the two-round bar) AND every oracle-backed query is re-verified each
