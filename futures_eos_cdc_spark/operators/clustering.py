@@ -29,6 +29,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# checkpoint dir we last set, per SparkContext (keyed by applicationId).
+# getCheckpointDir() cannot be compared against the caller's path — Spark
+# stores <dir>/<random-UUID> fully qualified, so a string-equality guard is
+# dead code and every call would reset the context-global dir and mkdir a
+# fresh UUID subdir. Tracking what WE set makes repeated calls with the
+# same dir a no-op while still honoring an explicit change of dir.
+_CKPT_DIRS: dict[str, str] = {}
+
+
+def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    key = sc.applicationId
+    if _CKPT_DIRS.get(key) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        _CKPT_DIRS[key] = checkpoint_dir
+
 
 def _star_round(edges: DataFrame) -> DataFrame:
     """One large-star + small-star round. ``edges`` columns: (u, v)."""
@@ -86,17 +101,15 @@ def connected_components(
     Two session-level caveats of Spark's checkpoint API (not this
     function): ``setCheckpointDir`` is a SparkContext-global setting, so
     the dir passed here becomes the session's checkpoint dir for any later
-    ``checkpoint()`` caller (it is only overridden when it differs from the
-    current value); and checkpoint files outlive the job unless
+    ``checkpoint()`` caller (re-set only when it differs from what THIS
+    module last set — see _ensure_checkpoint_dir); and checkpoint files
+    outlive the job unless
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set that on
     clusters so superseded rounds are GC'd when their RDDs fall out of
     scope.
     """
     if checkpoint_dir is not None:
-        sc = pairs.sparkSession.sparkContext
-        current = sc._jsc.sc().getCheckpointDir()
-        if not (current.isDefined() and current.get() == checkpoint_dir):
-            sc.setCheckpointDir(checkpoint_dir)
+        _ensure_checkpoint_dir(pairs.sparkSession.sparkContext, checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()
@@ -192,11 +205,13 @@ def pagerank(
     preserves the AQE broadcast behavior measured below). Default (None)
     keeps ``localCheckpoint`` throughout for local/test runs.
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every={checkpoint_every} must be >= 1 (1 = every "
+            "round); 0 would divide by zero mid-iteration"
+        )
     if checkpoint_dir is not None:
-        sc = edges.sparkSession.sparkContext
-        current = sc._jsc.sc().getCheckpointDir()
-        if not (current.isDefined() and current.get() == checkpoint_dir):
-            sc.setCheckpointDir(checkpoint_dir)
+        _ensure_checkpoint_dir(edges.sparkSession.sparkContext, checkpoint_dir)
 
     def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
         if checkpoint_dir is not None and reliable:

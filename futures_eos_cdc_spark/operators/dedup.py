@@ -366,10 +366,12 @@ def remove_duplicate_spans(
         ).alias("cleaned_md5"),
     )
     empty_md5 = F.md5(F.lit("").cast("binary"))
+    # id keeps ITS OWN type (string/UUID ids are valid; a hard long cast
+    # would silently NULL them — duplicate_spans itself is type-generic)
     return toks.select("doc", F.size("arr").alias("n_tokens")).join(
         agg, "doc", "left"
     ).select(
-        F.col("doc").cast("long").alias(id_col),
+        F.col("doc").alias(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("long")
@@ -1301,20 +1303,15 @@ def simhash64_hamming_pairs(
             "pigeonhole guarantee (needs max_hamming+1 blocks)"
         )
     sigs = with_simhash64(spread(docs), id_col, text_col)
-    blocks = F.expr(
-        "explode(array("
-        + ", ".join(
-            f"struct({b} AS blk, (shiftright(sig, {16 * b}) & 65535) AS bval)"
-            for b in range(SIMHASH64_BLOCKS)
-        )
-        + "))"
+    # single source of the block layout: any change to SIMHASH64_BLOCKS'
+    # width/count must hit the pair-finder AND the persisted index together
+    rows = _simhash64_block_rows(sigs, id_col)
+    left = rows.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "bval"
     )
-    left = sigs.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), blocks.alias("bk")
-    ).select("doc_a", "sig_a", "bk.blk", "bk.bval")
-    right = sigs.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), blocks.alias("bk")
-    ).select("doc_b", "sig_b", "bk.blk", "bk.bval")
+    right = rows.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "bval"
+    )
     first_match = " OR ".join(
         f"(blk = {i}"
         + "".join(f" AND {_block_differs_sql(j)}" for j in range(i))

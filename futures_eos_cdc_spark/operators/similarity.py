@@ -378,6 +378,14 @@ def ivf_train(
         .collect()
     )
     centroids = [list(r["vec"]) for r in init_rows]
+    if not centroids:
+        # loud, not []: downstream ivf_assign/semantic_dedup would crash on
+        # centroids[0] with an opaque IndexError (pre-r7's Gaussian init
+        # masked the empty corpus by returning data-free centroids)
+        raise ValueError(
+            "ivf_train: embeddings table is empty — nothing to sample "
+            "init centroids from"
+        )
     # pre-cast once: the fold path casts element-wise anyway, and the Arrow
     # kernel path needs a concrete array<double> output schema
     v = embeddings.select(F.col(vec_col).cast("array<double>").alias("vec"))
@@ -530,10 +538,12 @@ def _nearest_cells_impl():
 _nearest_cells = _nearest_cells_impl()  # driver-side uses (tests, ivf_train)
 
 
-def _make_assign_fn(C, id_col: str, vec_col: str):
-    """mapInPandas function for (id, cell) assignment — module-level factory
-    so tests can assert the returned closure pickles self-contained (no
-    package import on the worker)."""
+def _make_assign_fn(C, id_col: str, vec_col: str, keep_vec: bool = False):
+    """mapInPandas function for (id, cell[, vec]) assignment — module-level
+    factory so tests can assert the returned closure pickles self-contained
+    (no package import on the worker). ``keep_vec`` passes the (double-cast)
+    vector through, so consumers that need (id, cell, vec) avoid a
+    corpus-wide re-join on id."""
     nearest = _nearest_cells_impl()
 
     def assign(batches):
@@ -544,7 +554,10 @@ def _make_assign_fn(C, id_col: str, vec_col: str):
             if not len(pdf):
                 continue
             x = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
-            yield _pd.DataFrame({id_col: pdf[id_col], "cell": nearest(x, C)})
+            out = {id_col: pdf[id_col], "cell": nearest(x, C)}
+            if keep_vec:
+                out[vec_col] = list(x)
+            yield _pd.DataFrame(out)
 
     return assign
 
@@ -554,16 +567,23 @@ def _assign_cells_kernel(
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cell) assignment via the Arrow kernel — the scale path once the
-    centroid table outgrows the literal expression. The centroid matrix
-    rides the task closure (n_cells x dim doubles, bounded by
-    AUTO_CELL_MAX); vectors never shuffle — assignment is a map."""
+    """(id, cell[, vec]) assignment via the Arrow kernel — the scale path
+    once the centroid table outgrows the literal expression. The centroid
+    matrix rides the task closure (n_cells x dim doubles, bounded by
+    AUTO_CELL_MAX); vectors never shuffle — assignment is a map. The id
+    column keeps ITS OWN type (routing across the term budget must not
+    change behavior for string/int ids)."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
+    id_type = dict(embeddings.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, cell int"
+    if keep_vec:
+        schema += f", {vec_col} array<double>"
     return embeddings.select(id_col, vec_col).mapInPandas(
-        _make_assign_fn(C, id_col, vec_col), f"{id_col} long, cell int"
+        _make_assign_fn(C, id_col, vec_col, keep_vec), schema
     )
 
 
@@ -666,15 +686,18 @@ def ann_topk_ivf(
         import numpy as np
 
         C = np.asarray(centroids, dtype=np.float64)
-        assigned = _assign_cells_kernel(embeddings, centroids, id_col, vec_col)
-        c = embeddings.select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-        ).join(
-            assigned.select(F.col(id_col).alias("c_id"), "cell"), "c_id"
+        # keep_vec: the kernel passes the vector through, so the corpus
+        # side is a pure map — no corpus-wide re-join on id (two exchanges
+        # + sort saved on exactly the path built for scale)
+        c = _assign_cells_kernel(
+            embeddings, centroids, id_col, vec_col, keep_vec=True
+        ).select(
+            F.col(id_col).alias("c_id"), "cell", F.col(vec_col).alias("c_vec")
         )
+        id_type = dict(queries.dtypes)[id_col]
         q = queries.select(id_col, vec_col).mapInPandas(
             _make_probe_fn(C, nprobe, id_col, vec_col),
-            "q_id long, q_vec array<double>, cell int",
+            f"q_id {id_type}, q_vec array<double>, cell int",
         )
     else:
         c = embeddings.select(
@@ -921,7 +944,14 @@ def semantic_dedup(
     import numpy as np  # noqa: F401 — required by the kernel below
 
     if centroids is None:
-        dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None:
+            # empty corpus: an empty daily batch must degrade gracefully,
+            # not TypeError on first()[...] — emit the empty roster
+            return embeddings.sparkSession.createDataFrame(
+                [], f"{id_col} long, cluster_id int, kept boolean"
+            )
+        dim = dim_row["d"]
         n_vectors = embeddings.count()
         centroids = ivf_train(
             embeddings,
@@ -932,8 +962,18 @@ def semantic_dedup(
             vec_col=vec_col,
             id_col=id_col,
         )
-    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    emb = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+    if len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS:
+        # kernel regime: the assignment map passes the vector through, so
+        # (id, cell, vec) needs no corpus-wide re-join on id
+        emb = _assign_cells_kernel(
+            embeddings, centroids, id_col, vec_col, keep_vec=True
+        )
+        assigned = emb.select(id_col, "cell")
+    else:
+        assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+        emb = assigned.join(
+            embeddings.select(F.col(id_col), F.col(vec_col)), id_col
+        )
     skipped = embeddings.sparkSession.sparkContext.accumulator(0)
 
     def cell_dropped(pdf):

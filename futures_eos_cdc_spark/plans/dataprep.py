@@ -2744,6 +2744,10 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 # Document containment dedup (aligned-gram blocking)
 # ---------------------------------------------------------------------------
 DOC_CONTAINMENT_ORACLE = """
+-- max_gram_occ (the operator's viral-witness-gram recall cap) is not
+-- modeled: it never binds at oracle SFs — the hottest aligned gram
+-- measures 518 occurrences even at the 100x corpus vs the 10,000 cap
+-- (same disclosure pattern as the embedding_near_dup bucket cap).
 SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
        CAST(b.doc_id AS BIGINT) AS doc_b,
        CAST(strpos(b.text, a.text) AS BIGINT) AS pos
@@ -2900,13 +2904,16 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     spans = duplicate_spans(
         docs, k=SPAN_K, min_len=SPAN_MIN_LEN, max_gram_occ=SPAN_MAX_OCC
     )
-    return remove_duplicate_spans(docs, spans)
+    out = remove_duplicate_spans(docs, spans)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
 
 
 # ---------------------------------------------------------------------------
 # Containment admission gate (batch vs corpus)
 # ---------------------------------------------------------------------------
 CONTAINMENT_INCREMENTAL_ORACLE = f"""
+-- max_gram_occ not modeled (never binds at oracle SFs) — see
+-- DOC_CONTAINMENT_ORACLE's note.
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
        CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d

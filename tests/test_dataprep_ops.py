@@ -977,3 +977,54 @@ def test_ann_ivf_kernel_path_matches_expression_path(spark, sf_dir):
     )
     assert kern == expr
     assert kern  # non-vacuous
+
+
+def test_semantic_dedup_empty_corpus_degrades_gracefully(spark):
+    """An empty daily batch/corpus must yield the empty roster, not a
+    TypeError from first()[...] (removed-behavior regression guard for the
+    round-7 data-sampled init)."""
+    import pytest
+
+    from futures_eos_cdc_spark.operators.similarity import ivf_train, semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty)
+    assert out.columns == ["vec_id", "cluster_id", "kept"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        ivf_train(empty, n_cells=4)
+
+
+def test_pagerank_rejects_zero_checkpoint_every(spark):
+    import pytest
+
+    from futures_eos_cdc_spark.operators.clustering import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, iters=1, checkpoint_every=0)
+
+
+def test_ivf_kernel_preserves_id_type(spark):
+    """Routing across the term budget must not change id behavior: string
+    ids survive the Arrow kernel (the first kernel hardcoded `long`, which
+    would throw or NULL them only past the threshold)."""
+    import numpy as np
+
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    rows = [(f"id{i}", [float(i % 7), 1.0, 0.0, 0.0]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = S._hyperplanes(4, 8, 3)
+    kern = {
+        (r.vec_id, r.cell)
+        for r in S._assign_cells_kernel(e, cents, "vec_id", "embedding").collect()
+    }
+    expr = {
+        (r.vec_id, r.cell)
+        for r in e.select(
+            "vec_id",
+            S._cell_ranking_expr("embedding", cents).getItem(0).alias("cell"),
+        ).collect()
+    }
+    assert kern == expr and len(kern) == 40
