@@ -148,6 +148,26 @@ def dedup_signals(signals: DataFrame, ts_col: str = "event_time") -> DataFrame:
     )
 
 
+def stream_quality_gate(
+    stream: DataFrame,
+    threshold: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the hard quality gate (quality_classifier_scores'
+    keep rule): drop documents whose hashed-classifier logit
+    (operators/text.py: hashed_classifier_logit_expr) is at or below
+    ``threshold``. The classifier is ONE scan-shaped column expression —
+    no state, no watermark, no foreachBatch needed: the same filter plans
+    natively on a stream, so ingestion-time quality gating costs exactly
+    what the batch pass costs per row. (The soft quality-WEIGHTED sampler
+    streams the same way — its keep rule is also a pure projection.)"""
+    from ..operators.text import hashed_classifier_logit_expr
+
+    return stream.filter(
+        hashed_classifier_logit_expr(F.col(text_col)) > threshold
+    )
+
+
 def stream_dedup_against_corpus(
     stream: DataFrame, corpus: DataFrame, content_cols: list[str]
 ) -> DataFrame:

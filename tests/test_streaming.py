@@ -1141,3 +1141,41 @@ def test_streaming_containment_gate_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming quality gate is a pure stream filter (no state, no
+    foreachBatch) and admits exactly the docs the batch classifier keeps."""
+    from futures_eos_cdc_spark.operators.text import hashed_classifier_logit_expr
+    from futures_eos_cdc_spark.streaming.pipeline import stream_quality_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {
+        r.doc_id
+        for r in docs.filter(
+            hashed_classifier_logit_expr(F.col("text")) > 0.0
+        ).collect()
+    }
+    assert 0 < len(want) < docs.count()  # the gate really splits the corpus
+
+    path = str(tmp_path / "qgate_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    got = set()
+
+    q = (
+        stream_quality_gate(
+            spark.readStream.schema("doc_id long, text string").parquet(path)
+        )
+        .writeStream.foreachBatch(
+            lambda df, _e: got.update(r.doc_id for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_qgate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want
