@@ -29,20 +29,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# checkpoint dir we last set, per SparkContext (keyed by applicationId).
-# getCheckpointDir() cannot be compared against the caller's path — Spark
-# stores <dir>/<random-UUID> fully qualified, so a string-equality guard is
-# dead code and every call would reset the context-global dir and mkdir a
-# fresh UUID subdir. Tracking what WE set makes repeated calls with the
-# same dir a no-op while still honoring an explicit change of dir.
-_CKPT_DIRS: dict[str, str] = {}
+def _scheme_free(path: str) -> str:
+    """Strip a URI scheme prefix (``file:`` / ``hdfs://nn:port``) so a
+    qualified live value compares against a caller's plain path."""
+    head = path.split("/", 1)[0]
+    return path.split(":", 1)[1] if ":" in head else path
 
 
 def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
-    key = sc.applicationId
-    if _CKPT_DIRS.get(key) != checkpoint_dir:
-        sc.setCheckpointDir(checkpoint_dir)
-        _CKPT_DIRS[key] = checkpoint_dir
+    """Set the context checkpoint dir iff the LIVE value doesn't already
+    point there. Spark stores ``<qualified dir>/<random-UUID>`` — so the
+    comparison is against the live value's PARENT, scheme-stripped (a
+    plain equality guard is dead code). Consulting the live value (not a
+    module-local cache of what we last set, ADVICE r7) means a foreign
+    ``setCheckpointDir`` between calls is detected and re-overridden, so
+    reliable checkpoints land in the dir the caller asked for; repeated
+    identical calls stay a no-op (no UUID-subdir churn)."""
+    import os
+
+    want = _scheme_free(checkpoint_dir).rstrip("/")
+    if not want.startswith("/"):
+        want = os.path.abspath(want)
+    live = sc.getCheckpointDir()
+    if live is not None:
+        live_parent = _scheme_free(live).rstrip("/").rsplit("/", 1)[0]
+        if live_parent == want:
+            return
+    sc.setCheckpointDir(checkpoint_dir)
 
 
 def _star_round(edges: DataFrame) -> DataFrame:

@@ -389,7 +389,9 @@ def ivf_train(
     # pre-cast once: the fold path casts element-wise anyway, and the Arrow
     # kernel path needs a concrete array<double> output schema
     v = embeddings.select(F.col(vec_col).cast("array<double>").alias("vec"))
-    use_kernel = len(centroids) * dim > _ASSIGN_EXPR_MAX_TERMS
+    # gate on the ACTUAL centroid width, like ivf_assign (ADVICE r7: `dim`
+    # is a parameter that can lag the data's true width)
+    use_kernel = len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS
     if use_kernel:
         import numpy as _np_train
 
@@ -518,7 +520,13 @@ def _nearest_cells_impl():
             hi = min(lo + chunk, len(x))
             d2 = x[lo:hi] @ (-2.0 * C.T) + c_sq[None, :]  # |x|^2 const/row
             best = d2.min(axis=1)
-            band = d2 <= (best + 1e-6)[:, None]
+            # band width scales with the distance magnitude (ADVICE r7):
+            # the matmul's error is RELATIVE (~1e-16 of the magnitude), so
+            # an absolute 1e-6 band under-covers once squared distances
+            # exceed ~1e10; max() keeps the old width for O(1)-magnitude
+            # embeddings (fixture parity unchanged — widening only ADDS
+            # candidates to the exact re-score, never changes its answer)
+            band = d2 <= (best + _np.maximum(1e-6, _np.abs(best) * 1e-9))[:, None]
             cells[lo:hi] = d2.argmin(axis=1)
             # rows whose band holds >1 cell (includes every approx tie) take
             # the exact path; vectorizing the unique-band fast path matters —
@@ -635,7 +643,9 @@ def _make_probe_fn(C, nprobe: int, id_col: str, vec_col: str):
             for i in range(len(pdf)):
                 row = d2[i]
                 part = _np.partition(row, take - 1)
-                cand = _np.nonzero(row <= part[take - 1] + 1e-6)[0]
+                # magnitude-scaled band, same rationale as _nearest_cells
+                t = part[take - 1]
+                cand = _np.nonzero(row <= t + max(1e-6, abs(t) * 1e-9))[0]
                 acc = _np.zeros(len(cand))
                 for dd in range(x.shape[1]):
                     diff = x[i, dd] - C[cand, dd]
@@ -682,7 +692,10 @@ def ann_topk_ivf(
         centroids = ivf_train(
             embeddings, n_cells, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
         )
-    if len(centroids) * dim > _ASSIGN_EXPR_MAX_TERMS and not _force_expr:
+    # route on the ACTUAL centroid width, like ivf_assign (ADVICE r7:
+    # pre-trained centroids of a different dimension than the `dim`
+    # parameter would compute the term budget from the wrong width)
+    if len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS and not _force_expr:
         import numpy as np
 
         C = np.asarray(centroids, dtype=np.float64)
@@ -947,9 +960,13 @@ def semantic_dedup(
         dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
         if dim_row is None:
             # empty corpus: an empty daily batch must degrade gracefully,
-            # not TypeError on first()[...] — emit the empty roster
+            # not TypeError on first()[...] — emit the empty roster. The id
+            # column keeps the INPUT's type (ADVICE r7: a hardcoded `long`
+            # broke unions/joins of an empty batch's roster with prior
+            # string-id outputs — same discipline as the Arrow kernels).
+            id_type = dict(embeddings.dtypes)[id_col]
             return embeddings.sparkSession.createDataFrame(
-                [], f"{id_col} long, cluster_id int, kept boolean"
+                [], f"{id_col} {id_type}, cluster_id int, kept boolean"
             )
         dim = dim_row["d"]
         n_vectors = embeddings.count()

@@ -243,11 +243,12 @@ def neardup_gate_writer(
 
 
 def simhash64_gate_writer(
-    corpus,
-    sink,
+    corpus=None,
+    sink=None,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_index: DataFrame | None = None,
 ):
     """The simhash64 twin of :func:`neardup_gate_writer` (r6 VERDICT item
     8): each micro-batch keeps only docs with no corpus document at 64-bit
@@ -255,25 +256,46 @@ def simhash64_gate_writer(
     ``sink(survivors_df, epoch_id)``. Same foreachBatch rationale (the
     survivor predicate aggregates over a stream-derived join).
 
-    ``corpus`` is either a raw documents DataFrame (signatures recomputed
+    Pass a raw documents DataFrame as ``corpus`` (signatures recomputed
     per batch — tests/small corpora) or the persisted block-index
-    DataFrame from ``operators.dedup.load_simhash64_index`` — the
-    production path: each micro-batch's only shuffle keys on the 4
-    (blk, bval) probes against the index's clustering, and
-    ``append_to_simhash64_index`` with each batch's survivors keeps the
-    index current. Index handles are recognized by their schema (the
-    4-column (id, sig, blk, bval) layout) rather than a wrapper type.
+    DataFrame from ``operators.dedup.load_simhash64_index`` as
+    ``corpus_index`` — the production path: each micro-batch's only
+    shuffle keys on the 4 (blk, bval) probes against the index's
+    clustering, and ``append_to_simhash64_index`` with each batch's
+    survivors keeps the index current. The explicit keyword mirrors
+    ``simhash64_dedup_against_corpus``'s unambiguous API (ADVICE r7: the
+    old columns-present duck-typing would silently treat a raw documents
+    frame that happens to carry sig/blk/bval columns as an index); a
+    prebuilt index passed positionally is still recognized, but only by
+    the EXACT 4-column integer layout ``_simhash64_block_rows`` emits.
     """
     from ..operators.dedup import simhash64_dedup_against_corpus
 
+    if corpus is not None and corpus_index is not None:
+        raise ValueError("pass corpus OR corpus_index, not both")
+    if corpus is None and corpus_index is None:
+        raise ValueError("one of corpus / corpus_index is required")
+
     def _is_index(df: DataFrame) -> bool:
-        return {"sig", "blk", "bval"} <= set(df.columns)
+        # exact layout check: the 4 columns of _simhash64_block_rows with
+        # integer types (sig/bval LongType, blk IntegerType), nothing else
+        d = dict(df.dtypes)
+        return (
+            set(df.columns) == {id_col, "sig", "blk", "bval"}
+            and d.get("sig") == "bigint"
+            and d.get("blk") == "int"
+            and d.get("bval") == "bigint"
+        )
+
+    index = corpus_index if corpus_index is not None else (
+        corpus if _is_index(corpus) else None
+    )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         kwargs = dict(id_col=id_col, text_col=text_col, max_hamming=max_hamming)
-        if _is_index(corpus):
+        if index is not None:
             survivors = simhash64_dedup_against_corpus(
-                batch_df, corpus_index=corpus, **kwargs
+                batch_df, corpus_index=index, **kwargs
             )
         else:
             survivors = simhash64_dedup_against_corpus(batch_df, corpus, **kwargs)

@@ -67,6 +67,29 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     assert found, "reliable checkpoint wrote no files"
 
 
+def test_checkpoint_dir_overrides_foreign_setting(spark, tmp_path):
+    """ADVICE r7: if OTHER code moved the context checkpoint dir between
+    calls, a subsequent connected_components(checkpoint_dir=...) must
+    re-assert its own dir (consulting the LIVE value, not a module cache),
+    so reliable checkpoints land where the caller asked."""
+    import os
+
+    from futures_eos_cdc_spark.operators.clustering import connected_components
+
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    mine = str(tmp_path / "mine")
+    connected_components(df, checkpoint_dir=mine).count()
+    foreign = str(tmp_path / "foreign")
+    spark.sparkContext.setCheckpointDir(foreign)
+    before = sum(len(fs) for _, _, fs in os.walk(mine))
+    connected_components(df, checkpoint_dir=mine).count()
+    after = sum(len(fs) for _, _, fs in os.walk(mine))
+    assert after > before, "second call did not re-assert its checkpoint dir"
+    foreign_files = sum(len(fs) for _, _, fs in os.walk(foreign))
+    assert foreign_files == 0, "checkpoints leaked into the foreign dir"
+
+
 def test_chain_converges_in_log_rounds(spark):
     # A 300-long chain needs 300 rounds under naive propagation; star
     # rounds converge logarithmically (max_rounds=20 would fail otherwise).

@@ -993,6 +993,10 @@ def test_semantic_dedup_empty_corpus_degrades_gracefully(spark):
     assert out.count() == 0
     with pytest.raises(ValueError, match="empty"):
         ivf_train(empty, n_cells=4)
+    # the empty roster keeps the INPUT's id type (ADVICE r7: a hardcoded
+    # `long` broke unions with prior string-id rosters)
+    empty_str = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    assert dict(semantic_dedup(empty_str).dtypes)["vec_id"] == "string"
 
 
 def test_pagerank_rejects_zero_checkpoint_every(spark):

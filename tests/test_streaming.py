@@ -1081,7 +1081,17 @@ def test_streaming_simhash64_gate_matches_batch(spark, sf_dir, tmp_path):
     build_simhash64_index(corpus, str(tmp_path / "shidx"))
     idx = load_simhash64_index(spark, str(tmp_path / "shidx"))
 
-    for tag, corpus_form in (("raw", corpus), ("idx", idx)):
+    # decoy (ADVICE r7): a RAW corpus that happens to carry sig/blk/bval
+    # columns must still be treated as documents (the old duck-typing
+    # would gate against garbage); only the exact 4-column integer layout
+    # is recognized as a positional index.
+    decoy = corpus.withColumn("sig", F.lit(0).cast("long")).withColumn(
+        "blk", F.lit(0)
+    ).withColumn("bval", F.lit(0).cast("long"))
+
+    forms = [("raw", corpus, None), ("idx", idx, None),
+             ("kwidx", None, idx), ("decoy", decoy, None)]
+    for tag, corpus_form, index_form in forms:
         got = set()
 
         def sink(df, epoch_id, got=got):
@@ -1090,7 +1100,9 @@ def test_streaming_simhash64_gate_matches_batch(spark, sf_dir, tmp_path):
         q = (
             spark.readStream.schema("doc_id long, text string")
             .parquet(path)
-            .writeStream.foreachBatch(simhash64_gate_writer(corpus_form, sink))
+            .writeStream.foreachBatch(
+                simhash64_gate_writer(corpus_form, sink, corpus_index=index_form)
+            )
             .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
             .start()
         )
@@ -1099,6 +1111,13 @@ def test_streaming_simhash64_gate_matches_batch(spark, sf_dir, tmp_path):
         finally:
             q.stop()
         assert got == want, tag
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        simhash64_gate_writer(corpus, lambda df, e: None, corpus_index=idx)
+    with pytest.raises(ValueError, match="required"):
+        simhash64_gate_writer(None, lambda df, e: None)
 
 
 def test_streaming_containment_gate_matches_batch(spark, sf_dir, tmp_path):
