@@ -55,13 +55,16 @@ class _WriterLease:
 
     TTL staleness (not pid-liveness) is deliberate: it is the only signal
     that works on a shared filesystem where writers run on different hosts.
-    SIZE ``ttl_s`` ABOVE the worst-case micro-batch (merge + parquet write)
-    duration: the heartbeat renews at batch start and again at the pointer
-    swap, so a batch longer than the TTL lets a second writer take the
-    lease mid-batch. The pre-swap re-verification then aborts THIS writer's
+    Liveness under LONG batches (r7 VERDICT #7): a daemon heartbeat thread
+    (``start_heartbeat``, ttl/3 cadence) renews the mtime while the writer
+    process lives, so a micro-batch longer than the TTL no longer loses
+    the lease merely by being slow — takeover now requires an actual dead
+    holder (heartbeats stop with the process). The thread renews ONLY
+    while the lease file still names this run: it never resurrects a lease
+    a contender legitimately took over (e.g. after a >ttl process pause),
+    and the pre-swap re-verification still aborts such a usurped writer's
     publish before the commit point (no lineage interleaving — see
-    ``_VersionedParquet.publish``), but the takeover itself is still a
-    failed query; a generous TTL avoids it outright.
+    ``_VersionedParquet.publish``).
     Upgrade path: Delta/Iceberg replace this file with optimistic commit
     protocols (conditional pointer swap + conflict detection), which add
     multi-writer MERGE; until those jars are available, the lease turns the
@@ -82,6 +85,8 @@ class _WriterLease:
         self.path = os.path.join(base_dir, "_WRITER_LOCK")
         self.run_id = run_id
         self.ttl_s = ttl_s
+        self._hb_thread = None
+        self._hb_stop = None
 
     def _holder_age(self) -> tuple[str, float | None]:
         try:
@@ -132,7 +137,47 @@ class _WriterLease:
             )
         os.utime(self.path)
 
+    def start_heartbeat(self, interval_s: float | None = None) -> None:
+        """Renew the lease mtime every ``interval_s`` (default ttl/3) from
+        a daemon thread while this writer lives — the liveness half of the
+        lease (class docstring). No-op when ttl_s<=0 (the trust-the-caller
+        drill mode) or when already beating. The thread touches the file
+        ONLY while it still names this run; a benign race remains where a
+        contender's takeover lands between that read and the utime — the
+        touch then merely extends the NEW holder's lease a little, it
+        never changes who holds it."""
+        if self.ttl_s <= 0 or self._hb_thread is not None:
+            return
+        import threading
+
+        interval = interval_s if interval_s is not None else max(0.05, self.ttl_s / 3.0)
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                holder, _ = self._holder_age()
+                if holder != self.run_id:
+                    return  # released or taken over — never resurrect
+                try:
+                    os.utime(self.path)
+                except OSError:
+                    return
+
+        self._hb_stop = stop
+        self._hb_thread = threading.Thread(
+            target=beat, name=f"writer-lease-hb-{self.run_id[:8]}", daemon=True
+        )
+        self._hb_thread.start()
+
+    def stop_heartbeat(self) -> None:
+        if self._hb_thread is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5)
+            self._hb_thread = None
+            self._hb_stop = None
+
     def release(self) -> None:
+        self.stop_heartbeat()
         holder, _ = self._holder_age()
         if holder == self.run_id:
             try:
@@ -301,6 +346,7 @@ def parquet_cdc_merge_writer(
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
     lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
     lease.acquire()
+    lease.start_heartbeat()  # liveness under long batches (r7 VERDICT #7)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.order_pipeline import cdc_latest_snapshot
@@ -561,6 +607,7 @@ def parquet_incremental_agg_writer(
     run_id = uuid.uuid4().hex  # identifies THIS writer instance / query run
     lease = _WriterLease(base_dir, run_id, ttl_s=lease_ttl_s)
     lease.acquire()
+    lease.start_heartbeat()  # liveness under long batches (r7 VERDICT #7)
 
     def _partial(df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias("n")]

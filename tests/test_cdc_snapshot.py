@@ -595,3 +595,41 @@ def test_lease_lost_mid_publish_aborts_before_pointer_swap(spark, tmp_path):
     # the aborted publish leaves only the documented harmless artifact: a
     # log entry whose version never became current
     assert [e["epoch"] for e in store.history()] == [1, 2]
+
+
+def test_long_batch_keeps_lease_via_heartbeat(spark, tmp_path):
+    """r7 VERDICT #7 (lease liveness): a writer whose batch runs LONGER
+    than the TTL no longer loses the lease — the daemon heartbeat keeps
+    the mtime fresh between publishes, so a contender's acquire() fails
+    while the slow writer lives, and the slow writer still commits.
+    (Before the fix the contender would take over and the slow writer
+    would fail loudly at the pre-swap check: safe but not live.)"""
+    import time as _time
+
+    import pytest
+
+    from futures_eos_cdc_spark.streaming.outbox import (
+        ConcurrentWriterError,
+        parquet_cdc_merge_writer,
+        read_cdc_snapshot,
+    )
+
+    schema = "id long, op string, ts_ms long, seq long, val string"
+    base = str(tmp_path / "cdc_hb")
+    mk = lambda: parquet_cdc_merge_writer(  # noqa: E731
+        base, ["id"], ts_col="ts_ms", tiebreak_cols=["seq"], lease_ttl_s=1.0
+    )
+    w1 = mk()
+    w1(spark.createDataFrame([(1, "c", 100, 1, "v1")], schema), 0)
+    # "long batch": 2.5x the ttl elapses with NO publish-driven renewal —
+    # only the heartbeat (ttl/3 cadence) keeps the lease alive
+    _time.sleep(2.5)
+    with pytest.raises(ConcurrentWriterError, match="held by live writer"):
+        mk()
+    # ...and the slow writer still commits
+    w1(spark.createDataFrame([(1, "u", 200, 2, "v2")], schema), 1)
+    assert {r.val for r in read_cdc_snapshot(spark, base).collect()} == {"v2"}
+    # clean release stops the heartbeat and frees the lease immediately
+    w1.release()
+    w2 = mk()
+    w2.release()
