@@ -1,0 +1,263 @@
+"""Byte-pair-encoding subword tokenizer: seeded merge-table training plus a
+scan-shaped, JVM-only apply producing EXACT token counts.
+
+Every other token-denominated operator in the engine (token_blocks,
+token_budget_mixture, doc_chunks, corpus_token_stats) budgets in whitespace
+tokens or the regex pre-tokenizer estimate (text.subword_count_expr); a real
+training-data pipeline budgets in *tokenizer* tokens, which differ by
+1.3-2x on real text. This module implements the public BPE algorithm
+(Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare Words
+with Subword Units" — the subword-nmt formulation) with fully deterministic,
+data-derived decisions so the DuckDB oracle can replay training AND apply
+bit-exactly:
+
+- training operates on the word-frequency table (one corpus-wide
+  aggregation — the only data-sized pass), capped to the ``vocab_cap`` most
+  frequent words (ties broken lexicographically). The capped table is
+  BOUNDED by construction, so collecting it to the driver is the same
+  documented pattern as IVF's centroid init (TakeOrderedAndProject of at
+  most ``vocab_cap`` rows) — 40 Spark jobs over a vocabulary-sized table
+  would be pure scheduling overhead, while the corpus-sized work stays
+  distributed;
+- each merge step picks the adjacent symbol pair with the highest
+  frequency-weighted count (counting every adjacent position, overlaps
+  included), ties broken by (lhs, rhs) codepoint order — both Python and
+  DuckDB's binary VARCHAR collation compare UTF-8 this way;
+- merges apply LEFTMOST-FIRST, NON-OVERLAPPING — exactly the semantics of
+  SQL ``replace()`` over the separator-wrapped symbol string (below), so
+  Spark, DuckDB, and the pure-Python reference implementation agree by
+  construction;
+- apply is SEQUENTIAL-BY-RANK: merge 1 is exhausted before merge 2 is
+  considered, etc. This is the standard streaming formulation and equals
+  the priority-queue formulation except in pathological vocabularies where
+  a later merge re-creates an earlier merge's token string via a different
+  split (documented variant; the parity tests pin OUR semantics).
+
+The symbol-string encoding that makes ``replace()`` safe: a token list
+``[t1, t2, ...]`` is stored as ``SEP t1 SEP SEP t2 SEP ...`` — every token
+carries its OWN leading and trailing separator, so occurrences of the
+pattern ``SEP lhs SEP SEP rhs SEP`` can never share characters and
+"replace all, left to right" is exactly "merge leftmost-first
+non-overlapping". End-of-word is the single-char symbol EOW appended to
+every word (so merges learn word-final units, per the paper).
+
+Scale shape of apply: a chain of ``n_merges`` JVM ``replace`` calls inside
+``transform()`` over the words array — pure whole-stage-codegen projection,
+NO shuffle, no Python. At 100 TB an alternative is tokenize-distinct-words
+then join back (the corpus_token_stats shape); the projection form is
+chosen because it adds zero exchanges and the per-word work is bounded by
+``n_merges`` short string scans.
+
+Reference parity: the reference pipeline has no subword tokenizer (its
+token accounting is whitespace-based); this operator is part of the
+beyond-reference LLM-training-data surface (r7 VERDICT #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+SEP = "\x1f"  # token-boundary separator inside symbol strings
+EOW = "\x17"  # end-of-word symbol (single char, own token)
+_SENTINEL = "\x02"  # never-matching replace pattern for exhausted ranks
+
+BPE_N_MERGES = 40
+BPE_MIN_PAIR_FREQ = 2
+BPE_VOCAB_CAP = 65536
+# words containing any marker char cannot round-trip the symbol encoding;
+# they are excluded from BOTH training and counting (and from the oracle)
+_MARKERS = (SEP, EOW, _SENTINEL)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (training + apply) — used by the
+# Spark trainer after the bounded collect, and directly by parity tests.
+# ---------------------------------------------------------------------------
+def _merge_pair(symbols: list[str], lhs: str, rhs: str) -> list[str]:
+    """Merge every leftmost-first, non-overlapping (lhs, rhs) adjacency —
+    the list-level twin of ``replace(sym, SEP lhs SEP SEP rhs SEP, ...)``."""
+    out: list[str] = []
+    i = 0
+    n = len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == lhs and symbols[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def train_bpe_py(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int = BPE_N_MERGES,
+    min_pair_freq: int = BPE_MIN_PAIR_FREQ,
+) -> list[tuple[str, str, int]]:
+    """Train the merge table on a (word, freq) list. Returns
+    ``[(lhs, rhs, pair_freq), ...]`` in rank order (rank = 1-based index).
+    Deterministic: max frequency-weighted adjacent-pair count (every
+    adjacent position counted, overlaps included), ties broken by smallest
+    (lhs, rhs)."""
+    syms = {w: [*w, EOW] for w, _ in word_freqs}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs:
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (lhs, rhs), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_freq:
+            break
+        merges.append((lhs, rhs, c))
+        for w in syms:
+            syms[w] = _merge_pair(syms[w], lhs, rhs)
+    return merges
+
+
+def apply_bpe_py(word: str, merges: list[tuple[str, str, int]] | list[tuple[str, str]]) -> list[str]:
+    """Tokenize one word with a trained merge table (sequential-by-rank,
+    leftmost-first non-overlapping) — the reference for the SQL/Spark
+    replace-chain apply."""
+    syms = [*word, EOW]
+    for m in merges:
+        syms = _merge_pair(syms, m[0], m[1])
+    return syms
+
+
+# ---------------------------------------------------------------------------
+# Spark: corpus word frequencies (the distributed pass) + driver training
+# ---------------------------------------------------------------------------
+def _clean_words(text_col: Column) -> Column:
+    """Whitespace tokens with marker-bearing words removed (cannot
+    round-trip the symbol encoding; the oracle applies the same filter)."""
+    return F.filter(
+        tokens_expr(text_col),
+        lambda w: ~(
+            w.contains(SEP) | w.contains(EOW) | w.contains(_SENTINEL)
+        ),
+    )
+
+
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text", cap: int = BPE_VOCAB_CAP
+) -> DataFrame:
+    """(word, freq): corpus word frequencies, capped to the ``cap`` most
+    frequent (ties by word). ONE corpus-sized aggregation (map-side
+    combined on word) + TakeOrderedAndProject — the bounded table training
+    runs on."""
+    words = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_clean_words(F.col(text_col))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(cap)
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_N_MERGES,
+    min_pair_freq: int = BPE_MIN_PAIR_FREQ,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> list[tuple[str, str, int]]:
+    """Train on a documents DataFrame: distributed word-freq aggregation,
+    then the bounded driver-side merge loop (module docstring: the collect
+    is TakeOrderedAndProject of ≤ vocab_cap rows, the IVF-init pattern)."""
+    wf = [
+        (r["word"], r["freq"])
+        for r in word_freq_table(docs, text_col, vocab_cap).collect()
+    ]
+    # collect() order is the sort order here, but training must not depend
+    # on it: the pair-count loop is order-insensitive (sum over words) and
+    # ties break on pair content only.
+    return train_bpe_py(wf, n_merges, min_pair_freq)
+
+
+# ---------------------------------------------------------------------------
+# Spark: scan-shaped apply (JVM expressions only)
+# ---------------------------------------------------------------------------
+def encode_word_expr(word: Column) -> Column:
+    """word → initial symbol string: every char SEP-wrapped + the EOW
+    symbol. ``regexp_replace`` with '(.)' wraps per codepoint (BMP; the
+    fixture corpora are ASCII — non-BMP parity between Java UTF-16 regex
+    and RE2 is out of scope and documented)."""
+    return F.concat(
+        F.regexp_replace(word, "(.)", SEP + "$1" + SEP), F.lit(SEP + EOW + SEP)
+    )
+
+
+def bpe_sym_expr(word: Column, merges: list[tuple[str, str, int]] | list[tuple[str, str]]) -> Column:
+    """The replace chain: apply each merge in rank order over the symbol
+    string. n_merges nested JVM ``replace`` calls — whole-stage codegen,
+    no Python, no shuffle."""
+    sym = encode_word_expr(word)
+    for m in merges:
+        lhs, rhs = m[0], m[1]
+        sym = F.replace(
+            sym,
+            F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
+            F.lit(SEP + lhs + rhs + SEP),
+        )
+    return sym
+
+
+def bpe_tokens_expr(word: Column, merges) -> Column:
+    """array<string> of BPE tokens for one word."""
+    return F.filter(F.split(bpe_sym_expr(word, merges), SEP), lambda t: t != "")
+
+
+def bpe_token_count_expr(word: Column, merges) -> Column:
+    """Exact BPE token count for one word: every token in the symbol
+    string carries exactly 2 separators."""
+    sym = bpe_sym_expr(word, merges)
+    return (
+        (F.length(sym) - F.length(F.replace(sym, F.lit(SEP), F.lit("")))) / 2
+    ).cast("long")
+
+
+def doc_bpe_token_counts(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility): exact BPE token counts per
+    document — the scan-shaped apply. ``transform`` maps the count
+    expression over the words array and ``aggregate`` folds the sum, so
+    the whole thing is ONE projection: no explode, no shuffle, no Python.
+    fertility = tokens per word (int/int → correctly-rounded double in
+    any engine — the corpus_token_stats discipline)."""
+    words = _clean_words(F.col(text_col))
+    n_tokens = F.aggregate(
+        F.transform(words, lambda w: bpe_token_count_expr(w, merges)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        # a doc whose words were ALL marker-bearing has no countable words;
+        # the oracle's join drops it too (and fertility would be 0/0)
+        .filter(F.size(words) > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.size(words).cast("long").alias("n_words"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        )
+    )

@@ -3026,3 +3026,233 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame
         F.round(p, 6).alias("keep_prob"),
         (bucket < F.floor(p * F.lit(65536.0)).cast("long")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer: trained merge table + exact token counts + packing
+# (r7 VERDICT #1 — operators/bpe.py holds the algorithm and the parity
+# rationale; these queries replay the ENTIRE pipeline, training included,
+# in the DuckDB oracle via unrolled merge steps, the _ann_ivf_oracle_sql
+# pattern for iterative algorithms)
+# ---------------------------------------------------------------------------
+from ..operators.bpe import (  # noqa: E402
+    BPE_MIN_PAIR_FREQ,
+    BPE_N_MERGES,
+    BPE_VOCAB_CAP,
+    doc_bpe_token_counts,
+    train_bpe,
+)
+
+_BPE_WORD_FILTER = (
+    "NOT (contains(w, chr(31)) OR contains(w, chr(23)) OR contains(w, chr(2)))"
+)
+_BPE_ENC = (
+    r"regexp_replace({col}, '(.)', chr(31)||'\1'||chr(31), 'g')"
+    r" || chr(31)||chr(23)||chr(31)"
+)
+
+
+def _bpe_oracle_sql(
+    n_merges: int = BPE_N_MERGES,
+    min_freq: int = BPE_MIN_PAIR_FREQ,
+    cap: int = BPE_VOCAB_CAP,
+    tail: str = "vocab",
+) -> str:
+    """DuckDB oracle for the BPE family: training (word-freq cap → v0 →
+    ``n_merges`` unrolled pick-argmax-and-merge steps) and apply (the same
+    replace chain the Spark side runs, driven by scalar subqueries against
+    the learned ``merges`` CTE). Exhausted ranks (best pair below
+    ``min_freq``) leave their b-step empty; COALESCE swaps in the chr(2)
+    sentinel so the replace is a no-op — once a step is empty all later
+    steps stay empty (a no-op merge leaves pair counts unchanged), so the
+    learned ranks are always a dense prefix. Every decision is integer
+    counts + binary-collation string ties, hence bit-exact across engines.
+    """
+    steps = []
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        steps.append(f"""c{i} AS MATERIALIZED (
+  SELECT t.tk[j] AS l, t.tk[j+1] AS r, CAST(sum(t.freq) AS BIGINT) AS c
+  FROM (SELECT freq, list_filter(string_split(sym, chr(31)), x -> x <> '') AS tk
+        FROM {prev}) t,
+       unnest(range(1, len(t.tk))) AS u(j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (SELECT l, r, c FROM c{i} WHERE c >= {min_freq} ORDER BY c DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT word, freq, replace(sym,
+    COALESCE((SELECT chr(31)||l||chr(31)||chr(31)||r||chr(31) FROM b{i}), chr(2)),
+    COALESCE((SELECT chr(31)||l||r||chr(31) FROM b{i}), chr(2))) AS sym
+  FROM {prev}
+)""")
+    merge_rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_freq FROM b{i}"
+        if i == 1
+        else f"SELECT CAST({i} AS INT), l, r, c FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    prefix = rf"""
+WITH w0 AS (
+  SELECT w AS word FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE {_BPE_WORD_FILTER}
+),
+wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM w0 GROUP BY word
+  ORDER BY freq DESC, word LIMIT {cap}
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq, {_BPE_ENC.format(col='word')} AS sym FROM wf
+),
+{','.join(steps)},
+merges AS MATERIALIZED (
+{merge_rows}
+)"""
+    if tail == "vocab":
+        return prefix + "\nSELECT merge_rank, lhs, rhs, pair_freq FROM merges\n"
+    apply_steps = []
+    for i in range(1, n_merges + 1):
+        prev = f"e{i - 1}"
+        apply_steps.append(f"""e{i} AS MATERIALIZED (
+  SELECT word, replace(s,
+    COALESCE((SELECT chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31)
+              FROM merges WHERE merge_rank={i}), chr(2)),
+    COALESCE((SELECT chr(31)||lhs||rhs||chr(31)
+              FROM merges WHERE merge_rank={i}), chr(2))) AS s
+  FROM {prev}
+)""")
+    apply = rf""",
+words AS MATERIALIZED (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE {_BPE_WORD_FILTER}
+),
+dw AS MATERIALIZED (SELECT DISTINCT word FROM words),
+e0 AS MATERIALIZED (SELECT word, {_BPE_ENC.format(col='word')} AS s FROM dw),
+{','.join(apply_steps)},
+wtok AS MATERIALIZED (
+  SELECT word, (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_tok
+  FROM e{n_merges}
+)"""
+    if tail == "counts":
+        return prefix + apply + """
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  CAST(sum(n_tok) AS DOUBLE) / count(*) AS fertility
+FROM words JOIN wtok USING (word)
+GROUP BY doc_id
+"""
+    assert tail == "blocks", tail
+    return prefix + apply + f""",
+doctok AS (
+  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM words JOIN wtok USING (word) GROUP BY doc_id
+),
+docs2 AS (
+  SELECT d.doc_id, d.lang, t.n_tokens
+  FROM documents d JOIN doctok t USING (doc_id)
+),
+off AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS stream_offset
+  FROM docs2
+)
+SELECT doc_id, lang, n_tokens, stream_offset,
+  CAST(stream_offset // {PACK_BUDGET} AS BIGINT) AS block_id
+FROM off
+"""
+
+
+BPE_VOCAB_ORACLE = _bpe_oracle_sql(tail="vocab")
+BPE_TOKEN_COUNTS_ORACLE = _bpe_oracle_sql(tail="counts")
+BPE_TOKEN_BLOCKS_ORACLE = _bpe_oracle_sql(tail="blocks")
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The learned BPE merge table (rank, lhs, rhs, pair_freq): seeded by
+    nothing but the data — max frequency-weighted pair count per step,
+    lexicographic tie-break — so the oracle re-learns the identical table
+    by unrolled SQL. Scale: ONE corpus aggregation (word freq, map-side
+    combined) + a bounded TakeOrderedAndProject collect (≤ vocab_cap rows,
+    the IVF-init pattern); the merge loop itself is driver-side over the
+    vocabulary, not the corpus."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    merges = train_bpe(docs)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_freq long"
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """EXACT subword token counts per document under the trained BPE vocab
+    (vs corpus_token_stats/token_blocks' whitespace counts — the 1.3-2x
+    budget-estimate gap r7's verdict called out). Apply is a pure
+    projection: the merge table compiles to a chain of JVM `replace`
+    calls inside transform()+aggregate() over the words array — no
+    explode, no shuffle, no Python (operators/bpe.py)."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    merges = train_bpe(docs)
+    return doc_bpe_token_counts(docs, merges)
+
+
+def q_bpe_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """token_blocks re-based on EXACT BPE counts (r7 VERDICT #1's "re-base
+    at least one token-denominated query"): pack documents into fixed
+    {budget}-token training blocks by prefix sum over (lang, doc_id) order
+    — block_id = stream_offset div {budget}, token counts now from the
+    trained tokenizer instead of whitespace.
+
+    Scale shape: same distributed prefix sum as q_token_blocks — local
+    sums within (lang, shard), shard totals re-aggregated (map-side
+    partial agg), driver-scale base-offset window, broadcast stitch. The
+    token counting itself rides the scan (no extra exchange beyond the
+    prefix sum's own)."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    merges = train_bpe(docs)
+    counts = doc_bpe_token_counts(docs, merges, keep_cols=("lang",))
+    # NULL langs survive the (lang_key, shard) equi-joins via the sentinel
+    # key (same rationale as q_token_blocks); output keeps the original.
+    lang_key = F.coalesce(F.col("lang"), F.lit("\u0000"))
+    sh = counts.withColumn("lang_key", lang_key).withColumn(
+        "shard", F.expr(f"doc_id div {PACK_SHARD_DOCS}")
+    )
+    w_local = (
+        Window.partitionBy("lang_key", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sh.withColumn(
+        "local_off",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)).cast("long"),
+    )
+    totals = sh.groupBy("lang_key", "shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    w_shard = (
+        Window.partitionBy("lang_key")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.withColumn(
+        "shard_base",
+        F.coalesce(F.sum("shard_tokens").over(w_shard), F.lit(0)).cast("long"),
+    ).select("lang_key", "shard", "shard_base")
+    return (
+        local.join(F.broadcast(bases), ["lang_key", "shard"])
+        .withColumn(
+            "stream_offset", (F.col("shard_base") + F.col("local_off")).cast("long")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "stream_offset",
+            F.expr(f"stream_offset div {PACK_BUDGET}").cast("long").alias("block_id"),
+        )
+    )

@@ -1092,100 +1092,102 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE subword tokenizer family (round 8 — r7 VERDICT item 1); plans.dataprep
+# holds the queries + oracle generator, operators.bpe the algorithm.
+# ---------------------------------------------------------------------------
+QUERIES["bpe_vocab"] = _bind(_dp.q_bpe_vocab)
+ORACLES["bpe_vocab"] = _dp.BPE_VOCAB_ORACLE
+QUERIES["bpe_token_counts"] = _bind(_dp.q_bpe_token_counts)
+ORACLES["bpe_token_counts"] = _dp.BPE_TOKEN_COUNTS_ORACLE
+QUERIES["bpe_token_blocks"] = _bind(_dp.q_bpe_token_blocks)
+ORACLES["bpe_token_blocks"] = _dp.BPE_TOKEN_BLOCKS_ORACLE
+
+
+# ---------------------------------------------------------------------------
 # Driver walk order. The driver checks ~50 queries per round in insertion
-# order; front-load (a) the three queries whose implementation or oracle
-# changed this round (need fresh green rows under the NEW definition),
-# (b) the 23 queries with no CORRECTNESS_r03 row (green in r1/r2 but the
-# VERDICT asks every oracle-backed query to be green within the last two
-# rounds). Mutated in place so importers holding a reference to
-# QUERIES/ORACLES see the new order.
+# order; front-load (a) queries NEW this round, (b) the rotation the r7
+# VERDICT asked for (item 2: the 20 queries whose newest driver row is r5),
+# (c) queries whose implementation changed this round, then (d) as many
+# r6-aged rows as fit the window. Mutated in place so importers holding a
+# reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 0 — NEW this round (never had a driver row).
-    "fuzzy_join_part_names",
-    "doc_containment_dedup",
-    "domain_cap_sample",
-    "leakage_safe_split",
-    "duplicate_span_removal",
-    "containment_incremental_batch",
-    "quality_weighted_sample",
-    # Round-7 rotation (r6 VERDICT item 3). Priority 1 — the 8 queries
-    # whose newest driver row is r4 (verified by set-union of
-    # CORRECTNESS_r0{1..6}.json): after this round no query's newest row
-    # is older than r5.
-    "above_brand_avg_parts",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    # Priority 2 — implementation changed THIS round (need fresh green
-    # rows under the new definition): bm25 query-term-bounded df, tfidf
-    # size-gated df join, pagerank reliable-checkpoint option, SemDeDup
-    # auto-sized cells; mid-round additions: the whole IVF family
-    # (data-sampled init + Arrow kernels) and the SQL-built operators
-    # (per-call unique temp views).
-    "bm25_topk_retrieval",
-    "tfidf_top_terms",
-    "pagerank_near_dup",
-    "semantic_dedup_embeddings",
-    "ann_cosine_ivf",
-    "embedding_kmeans_clusters",
-    "signal_decisions",
-    "decision_records",
-    "orders_from_decisions",
-    "outbox_event_router",
-    "ohlcv_candles",
-    "technical_indicators",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    # Priority 3 — newest row is r5; rotate as many into the ~50-query
-    # window as fit. The tail that misses keeps its r5 row (still within
-    # the two-round bar) AND every oracle-backed query is re-verified each
-    # session by tests/test_oracle_parity.py over the full ORACLES dict.
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_sole_blame_suppliers",
-    "ann_cosine_lsh",
-    "cosine_topk_bruteforce",
-    "embedding_near_dup",
-    "decontaminate_docs",
-    "dedup_exact_documents",
-    "doc_chunks",
-    "doc_repetition_stats",
+    # Priority 0 — NEW this round (never had a driver row): the BPE family
+    # (r7 VERDICT item 1).
+    "bpe_vocab",
+    "bpe_token_counts",
+    "bpe_token_blocks",
+    # Priority 1 — r7 VERDICT item 2's explicit list: newest row is r5;
+    # after r8 no query's newest row is older than r6.
+    "approx_aggregates",
+    "cdc_customer_snapshot",
     "corpus_token_stats",
-    "token_block_segments",
-    "token_blocks",
+    "customers_without_orders",
+    "events_json_extract",
     "global_shuffle_shards",
     "mixture_resample",
     "multimodal_features",
     "pii_scrub",
-    "cdc_customer_snapshot",
-    "scd2_customer_history",
-    "events_json_extract",
-    "approx_aggregates",
-    "customers_without_orders",
     "pivot_by_status",
     "rollup_subtotals",
+    "scd2_customer_history",
     "set_ops_priority_customers",
     "signal_strength_histogram",
     "simhash_hamming_near_dup",
+    "token_block_segments",
+    "token_blocks",
     "top_customers_by_revenue",
     "topk_per_group",
     "zorder_layout_key",
+    # Priority 2 — implementation touched THIS round (bit-identical by
+    # design, but fresh rows prove it): the IVF family routes kernels on
+    # actual centroid width + magnitude-scaled re-score bands; semantic
+    # dedup's empty-path id typing.
+    "ann_cosine_ivf",
+    "embedding_kmeans_clusters",
+    "semantic_dedup_embeddings",
+    # Priority 3 — newest row is r6; rotate as many into the ~50-query
+    # window as fit (data-heavy / changed-adjacent first). The tail that
+    # misses keeps its r6 row AND every oracle-backed query is re-verified
+    # each session by tests/test_oracle_parity.py over the full ORACLES
+    # dict.
+    "ann_cosine_lsh",
+    "minhash_lsh_near_dup",
+    "neardup_incremental_batch",
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "dedup_incremental_batch",
+    "dedup_keep_rows",
+    "exact_dedup_keep_first",
+    "line_dedup_docs",
+    "duplicate_text_spans",
+    "ngram_jaccard_near_dup",
+    "simhash64_hamming_near_dup",
+    "simhash_buckets",
+    "quality_classifier_scores",
+    "doc_perplexity_scores",
+    "benchmark_contamination",
+    "corpus_clean_funnel",
+    "text_stats",
+    "token_budget_mixture",
+    "train_val_test_split",
+    "market_price_lookup",
+    "asof_join_purchases",
+    "sessionize_events",
+    "sliding_window_events",
+    "gap_fill_price_grid",
+    "skew_salted_aggregate",
+    "window_functions",
+    "moving_aggregates",
+    "full_outer_reconciliation",
+    "cube_order_stats",
+    "grouping_sets_revenue",
+    "distinct_aggregates",
+    "order_price_histogram",
+    "order_value_percentiles",
+    "range_join_click_attribution",
+    "stratified_sample_per_lang",
+    "q22_idle_wealthy_customers",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -1,0 +1,132 @@
+"""BPE tokenizer: hand-computed training/apply pins + Python↔Spark parity
++ plan hygiene (the apply must be a pure projection).
+
+The semantics pinned here are the module's documented variant
+(operators/bpe.py): frequency-weighted adjacent-pair counts with overlaps,
+lexicographic tie-break, leftmost-first non-overlapping merge application,
+sequential by rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from futures_eos_cdc_spark.operators.bpe import (
+    EOW,
+    apply_bpe_py,
+    bpe_token_count_expr,
+    bpe_tokens_expr,
+    doc_bpe_token_counts,
+    train_bpe,
+    train_bpe_py,
+)
+
+
+def test_train_hand_example():
+    """Fully hand-derived 4-merge trace on {'aa':3, 'ab':2}:
+    pair counts round 1: (a,a)=3, (a,EOW)=3, (a,b)=2, (b,EOW)=2 → tie at 3
+    broken lexicographically: (a,EOW) < (a,a) because EOW=\\x17 < 'a'."""
+    merges = train_bpe_py([("aa", 3), ("ab", 2)], n_merges=10, min_pair_freq=2)
+    assert merges == [
+        ("a", EOW, 3),
+        ("a", "a" + EOW, 3),
+        ("a", "b", 2),
+        ("ab", EOW, 2),
+    ]
+
+
+def test_train_counts_overlapping_positions():
+    """'aaaa' has THREE adjacent (a,a) positions — the zip/range counting
+    both engines implement — so its weighted count is 3·freq."""
+    merges = train_bpe_py([("aaaa", 2)], n_merges=1, min_pair_freq=2)
+    assert merges == [("a", "a", 6)]
+
+
+def test_apply_leftmost_nonoverlapping():
+    # merge (a,a) over a·a·a: leftmost wins, third 'a' stays alone
+    assert apply_bpe_py("aaa", [("a", "a")]) == ["aa", "a", EOW]
+    # the hand-trained table from test_train_hand_example applied to a
+    # word NOT in the training set
+    merges = train_bpe_py([("aa", 3), ("ab", 2)], n_merges=10, min_pair_freq=2)
+    assert apply_bpe_py("aab", merges) == ["a", "ab" + EOW]
+    assert apply_bpe_py("aa", merges) == ["a" + "a" + EOW]
+    assert apply_bpe_py("", merges) == [EOW]
+
+
+def test_min_pair_freq_stops_training():
+    # every pair occurs once → nothing reaches min_pair_freq=2
+    assert train_bpe_py([("xy", 1)], n_merges=5, min_pair_freq=2) == []
+
+
+def test_spark_apply_matches_python_on_fixture(spark, sf_dir):
+    """Every distinct fixture word tokenizes identically through the JVM
+    replace chain and the pure-Python reference; doc-level counts agree."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs)
+    assert len(merges) > 0
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .distinct()
+        .collect()
+    )
+    got = {
+        r["w"]: list(r["toks"])
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .distinct()
+        .select("w", bpe_tokens_expr(F.col("w"), merges).alias("toks"))
+        .collect()
+    }
+    for r in words:
+        assert got[r["w"]] == apply_bpe_py(r["w"], merges), r["w"]
+
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in doc_bpe_token_counts(docs, merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        ws = row["text"].strip().lower().split()
+        want = (len(ws), sum(len(apply_bpe_py(w, merges)) for w in ws))
+        assert counts[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_count_expr_matches_tokens_expr(spark):
+    df = spark.createDataFrame(
+        [("hello",), ("aaa",), ("",)], "w string"
+    )
+    merges = [("l", "l", 9), ("a", "a", 8), ("he", EOW, 7)]
+    rows = df.select(
+        F.size(bpe_tokens_expr(F.col("w"), merges)).alias("n1"),
+        bpe_token_count_expr(F.col("w"), merges).alias("n2"),
+    ).collect()
+    assert all(r["n1"] == r["n2"] for r in rows)
+
+
+def test_token_counts_plan_is_scan_shaped(spark, sf_dir):
+    """The apply is a projection: NO exchange, no Python eval, and the
+    replace chain runs inside whole-stage codegen."""
+    from futures_eos_cdc_spark.plans.registry import QUERIES
+
+    df = QUERIES["bpe_token_counts"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # spread()'s round-robin is the only allowed exchange (tiny-file
+    # parallelism shim, no-op at scale); no hash/range shuffle anywhere,
+    # no Python eval — the replace chain is pure JVM expressions (codegen)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(text)]" in plan  # scan-level pruning
+
+
+def test_token_blocks_single_data_exchange(spark, sf_dir):
+    """The packing prefix sum shuffles the doc-count stream ONCE on
+    (lang_key, shard); the shard-base side is aggregate-then-broadcast."""
+    from futures_eos_cdc_spark.plans.registry import QUERIES
+
+    df = QUERIES["bpe_token_blocks"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
