@@ -880,8 +880,9 @@ def build_neardup_index(
     score. Plain parquet has no multi-table snapshot isolation, so a probe
     CONCURRENT with an append can still observe the batch's bands without
     its shingles (file listings race); gate admission batches against probe
-    schedules, or graduate to a table format with multi-table transactions
-    when available.
+    schedules, or use :class:`operators.gate_index.DedupGateIndex` (round
+    8), whose manifest-line commit makes every append's tables visible
+    atomically — the production-grade successor to this layout.
     """
     sh = spread(docs).select(
         F.col(id_col),

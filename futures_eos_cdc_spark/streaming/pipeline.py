@@ -171,7 +171,9 @@ def stream_quality_gate(
 def stream_dedup_against_corpus(
     stream: DataFrame, corpus: DataFrame, content_cols: list[str]
 ) -> DataFrame:
-    """Streaming twin of ``operators.dedup.dedup_against_corpus``: each
+    """Streaming twin of ``operators.dedup.dedup_against_corpus`` (the
+    unified foreachBatch entry is :func:`dedup_gate_writer`; this one
+    stays a PURE stream-static anti-join — no foreachBatch needed): each
     micro-batch keeps only rows whose content digest is absent from the
     STATIC corpus — the continuous form of daily-crawl ingestion dedup
     (combine with ``dropDuplicatesWithinWatermark`` for intra-stream
@@ -194,6 +196,105 @@ def stream_dedup_against_corpus(
     ).join(corpus_hashes, "content_hash", "left_anti")
 
 
+def dedup_gate_writer(
+    kind: str,
+    sink,
+    corpus: DataFrame | None = None,
+    corpus_index=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **opts,
+):
+    """THE unified foreachBatch admission gate (r7 VERDICT #8): one entry
+    for all four dedup kinds, replacing the four ad-hoc writer signatures
+    (stream_dedup_against_corpus, neardup_gate_writer,
+    simhash64_gate_writer, containment_gate_writer — kept as thin
+    documented aliases of the same batch operators).
+
+    ``kind``: 'exact' | 'minhash' | 'simhash64' | 'containment'.
+    ``corpus``: raw documents DataFrame — the index derivation recomputes
+    per micro-batch (tests / small corpora).
+    ``corpus_index``: an :class:`operators.gate_index.DedupGateIndex` (or
+    its path) — the production path: each micro-batch probes the
+    atomically-committed index tables instead of re-hashing the corpus,
+    and ``index.append(survivors)`` in the sink keeps it current.
+    'containment' takes ``corpus`` only (gate_index module docstring:
+    its verification reads container text, which belongs in the corpus
+    table, not a copy inside an index).
+
+    ``opts`` per kind: content_cols (exact; default [text_col]),
+    threshold/k (minhash), max_hamming (simhash64),
+    gram_n/max_gram_occ (containment).
+
+    Returns a (batch_df, epoch_id) callable handing SURVIVORS (batch rows
+    unchanged) to ``sink(survivors_df, epoch_id)``. Same foreachBatch
+    rationale as the aliases: every kind but 'exact' needs a per-doc
+    aggregation over a stream-derived join, outside pure stream-static
+    shapes ('exact' also streams natively — stream_dedup_against_corpus —
+    when no sink-side index maintenance is wanted).
+    """
+    from ..operators.dedup import (
+        SHINGLE_K,
+        contained_in_corpus,
+        content_digest_expr,
+        minhash_dedup_against_corpus,
+        simhash64_dedup_against_corpus,
+    )
+    from ..operators.gate_index import GATE_KINDS, DedupGateIndex
+
+    if kind not in GATE_KINDS:
+        raise ValueError(f"kind={kind!r}; expected one of {sorted(GATE_KINDS)}")
+    if isinstance(corpus_index, str):
+        corpus_index = DedupGateIndex.open(corpus_index)
+    if (corpus is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus / corpus_index")
+    if corpus_index is not None:
+        if kind == "containment":
+            raise ValueError("containment gates against corpus, not an index")
+        if corpus_index.kind != kind:
+            raise ValueError(
+                f"index at {corpus_index.path} is kind={corpus_index.kind!r}, "
+                f"not {kind!r}"
+            )
+
+    def survivors_of(batch_df: DataFrame) -> DataFrame:
+        if corpus_index is not None:
+            return corpus_index.gate(batch_df)
+        if kind == "exact":
+            cols = opts.get("content_cols") or [text_col]
+            hashes = corpus.select(
+                content_digest_expr(cols, corpus).alias("__gate_hash")
+            ).distinct()
+            return (
+                batch_df.withColumn(
+                    "__gate_hash", content_digest_expr(cols, batch_df)
+                )
+                .join(hashes, "__gate_hash", "left_anti")
+                .drop("__gate_hash")
+            )
+        if kind == "minhash":
+            return minhash_dedup_against_corpus(
+                batch_df, corpus, id_col=id_col, text_col=text_col,
+                threshold=opts.get("threshold", 0.4),
+                k=opts.get("k", SHINGLE_K),
+            )
+        if kind == "simhash64":
+            return simhash64_dedup_against_corpus(
+                batch_df, corpus, id_col=id_col, text_col=text_col,
+                max_hamming=opts.get("max_hamming", 3),
+            )
+        return contained_in_corpus(
+            batch_df, corpus, id_col=id_col, text_col=text_col,
+            gram_n=opts.get("gram_n", 16),
+            max_gram_occ=opts.get("max_gram_occ", 10_000),
+        )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(survivors_of(batch_df), epoch_id)
+
+    return write
+
+
 def neardup_gate_writer(
     corpus: DataFrame,
     sink,
@@ -202,7 +303,8 @@ def neardup_gate_writer(
     text_col: str = "text",
 ):
     """foreachBatch writer running the NEAR-dup admission gate on a document
-    stream: each micro-batch keeps only docs with no LSH-candidate
+    stream (kept as the documented minhash alias of
+    :func:`dedup_gate_writer`): each micro-batch keeps only docs with no LSH-candidate
     near-duplicate (exact jaccard ≥ threshold) in the static corpus, then
     hands the survivors to ``sink(survivors_df, epoch_id)``.
 
@@ -251,7 +353,7 @@ def simhash64_gate_writer(
     corpus_index: DataFrame | None = None,
 ):
     """The simhash64 twin of :func:`neardup_gate_writer` (r6 VERDICT item
-    8): each micro-batch keeps only docs with no corpus document at 64-bit
+    8; kept as the documented alias of :func:`dedup_gate_writer`): each micro-batch keeps only docs with no corpus document at 64-bit
     SimHash Hamming ≤ ``max_hamming``, then hands survivors to
     ``sink(survivors_df, epoch_id)``. Same foreachBatch rationale (the
     survivor predicate aggregates over a stream-derived join).
@@ -311,7 +413,8 @@ def containment_gate_writer(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """The containment twin of :func:`neardup_gate_writer`: each micro-batch
+    """The containment twin of :func:`neardup_gate_writer` (kept as the
+    documented alias of :func:`dedup_gate_writer`): each micro-batch
     keeps only docs whose full text is NOT a verbatim substring of some
     longer corpus doc (operators/dedup.py: contained_in_corpus — the
     fragment-of-existing-page ingestion rule), then hands survivors to

@@ -979,6 +979,52 @@ def test_ann_ivf_kernel_path_matches_expression_path(spark, sf_dir):
     assert kern  # non-vacuous
 
 
+def test_ivf_recall_on_clustered_embeddings(spark):
+    """r7 VERDICT #6: ANN earns its keep on CLUSTERED data — demonstrate
+    recall ≥ 0.9 at nprobe ≪ n_cells when structure exists. 32 planted
+    Gaussian clusters (well-separated directions, tight noise): a query's
+    true top-k are its cluster-mates, IVF's trained cells align with the
+    clusters, so probing 4/32 cells (12.5% of the corpus) recovers ≥90%
+    of the exact top-k. The honest near-random counterpart stays in
+    BENCH_NOTES (recall ≈ probed fraction there — ANN cannot beat
+    structure that isn't in the data)."""
+    import numpy as np
+
+    from futures_eos_cdc_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim, k, nprobe = 32, 40, 16, 10, 4
+    centers = rng.normal(0.0, 10.0, (n_clusters, dim))
+    pts = (
+        centers[:, None, :] + rng.normal(0.0, 0.5, (n_clusters, per, dim))
+    ).reshape(-1, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") % 128 == 0)  # one per ~3 clusters
+
+    exact = brute_force_topk(emb, queries, k=k)
+    approx = ann_topk_ivf(
+        emb, queries, k=k, n_cells=n_clusters, nprobe=nprobe, dim=dim
+    )
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.q_id, set()).add(r.c_id)
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r.q_id, set()).add(r.c_id)
+    recalls = [
+        len(got.get(q, set()) & cs) / len(cs) for q, cs in truth.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert nprobe / n_clusters <= 0.15  # genuinely probing a small fraction
+    assert mean_recall >= 0.9, (mean_recall, sorted(recalls)[:3])
+
+
 def test_semantic_dedup_empty_corpus_degrades_gracefully(spark):
     """An empty daily batch/corpus must yield the empty roster, not a
     TypeError from first()[...] (removed-behavior regression guard for the
