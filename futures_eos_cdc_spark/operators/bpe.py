@@ -226,6 +226,25 @@ def bpe_token_count_expr(word: Column, merges) -> Column:
     ).cast("long")
 
 
+def save_bpe_merges(spark, merges, path: str) -> None:
+    """Persist a trained merge table (train once per corpus, apply
+    everywhere — the deployment shape). One tiny parquet table
+    (merge_rank, lhs, rhs, pair_freq); rank order is the apply order."""
+    rows = [(i + 1, m[0], m[1], int(m[2]) if len(m) > 2 else 0)
+            for i, m in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_freq long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a merge table saved by :func:`save_bpe_merges`, in rank order."""
+    return [
+        (r["lhs"], r["rhs"], r["pair_freq"])
+        for r in spark.read.parquet(path).orderBy("merge_rank").collect()
+    ]
+
+
 def doc_bpe_token_counts(
     docs: DataFrame,
     merges,

@@ -148,6 +148,24 @@ def dedup_signals(signals: DataFrame, ts_col: str = "event_time") -> DataFrame:
     )
 
 
+def stream_bpe_token_counts(
+    stream: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``operators.bpe.doc_bpe_token_counts``: exact BPE
+    token accounting at INGESTION time. The apply is a pure projection
+    (the merge-table replace chain — no state, no watermark, no
+    foreachBatch), so the same expressions plan natively on a stream and
+    per-row cost equals the batch pass. Train offline, ``load_bpe_merges``
+    the table, meter the stream — the shape a token-budgeted ingestion
+    pipeline actually runs."""
+    from ..operators.bpe import doc_bpe_token_counts
+
+    return doc_bpe_token_counts(stream, merges, id_col=id_col, text_col=text_col)
+
+
 def stream_quality_gate(
     stream: DataFrame,
     threshold: float = 0.0,

@@ -130,3 +130,55 @@ def test_token_blocks_single_data_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_table_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Train-once-apply-everywhere: the persisted merge table reproduces
+    the trained one exactly (rank order preserved), and counting through
+    the loaded table matches counting through the in-memory one."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs)
+    save_bpe_merges(spark, merges, str(tmp_path / "merges"))
+    loaded = load_bpe_merges(spark, str(tmp_path / "merges"))
+    assert loaded == merges
+    a = sorted(map(tuple, doc_bpe_token_counts(docs, merges).collect()))
+    b = sorted(map(tuple, doc_bpe_token_counts(docs, loaded).collect()))
+    assert a == b
+
+
+def test_stream_bpe_token_counts_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming twin meters exactly the batch counts: the apply is a
+    pure projection, so it plans natively on a file-source stream."""
+    from futures_eos_cdc_spark.streaming.pipeline import stream_bpe_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    merges = train_bpe(docs)
+    want = {(r.doc_id, r.n_words, r.n_tokens)
+            for r in doc_bpe_token_counts(docs, merges).collect()}
+
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    got = set()
+
+    def sink(df, epoch_id):
+        got.update((r.doc_id, r.n_words, r.n_tokens) for r in df.collect())
+
+    q = (
+        stream_bpe_token_counts(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            merges,
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want and len(got) > 0
