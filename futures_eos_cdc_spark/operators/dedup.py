@@ -476,6 +476,41 @@ def contained_docs(
     return _containment_hits(docs, docs, gram_n, max_gram_occ, id_col, text_col)
 
 
+def containment_grams(
+    container_docs: DataFrame,
+    gram_n: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The container-side ALIGNED-gram table (doc_b, len_b, q, g): the
+    expensive explode+md5 pass of the containment family, factored so a
+    deployment can persist it once (gate_index.DedupGateIndex kind
+    'containment') instead of recomputing it per admission batch — the
+    "persist the corpus's aligned-gram table" production path the
+    contained_in_corpus docstring promises. Same expressions as the inline
+    path by construction (this IS the inline path), so a prebuilt table
+    changes the plan, never the rows."""
+    n = gram_n
+    d_c = container_docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).cast("long").alias("len"),
+    )
+    return d_c.filter(F.col("len") >= n).select(
+        F.col("doc").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("len") - (n - 1), F.lit(n))
+        ).alias("q"),
+        "txt",
+    ).select(
+        "doc_b",
+        "len_b",
+        "q",
+        F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g"),
+    )
+
+
 def _containment_hits(
     probe_docs: DataFrame,
     container_docs: DataFrame,
@@ -483,11 +518,17 @@ def _containment_hits(
     max_gram_occ: int,
     id_col: str,
     text_col: str,
+    container_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of :func:`contained_docs` (both sides = the corpus) and
     :func:`contained_in_corpus` (probes = the new batch, containers = the
     corpus): (doc_a ∈ probe side contained in doc_b ∈ container side, pos).
-    See contained_docs for the blocking/verification design."""
+    See contained_docs for the blocking/verification design.
+
+    ``container_grams``: a prebuilt :func:`containment_grams` table for the
+    container side — candidate generation probes it instead of re-hashing
+    the corpus; verification still reads ``container_docs`` text, but only
+    for matched candidate containers (id-keyed join)."""
     n = gram_n
     d_p = probe_docs.select(
         F.col(id_col).alias("doc"),
@@ -508,18 +549,10 @@ def _containment_hits(
             int(stats["ga"] or 0),
             n_probe * n,
         )
-    aligned = d_c.filter(F.col("len") >= n).select(
-        F.col("doc").alias("doc_b"),
-        F.col("len").alias("len_b"),
-        F.explode(
-            F.sequence(F.lit(1), F.col("len") - (n - 1), F.lit(n))
-        ).alias("q"),
-        "txt",
-    ).select(
-        "doc_b",
-        "len_b",
-        "q",
-        F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g"),
+    aligned = (
+        container_grams
+        if container_grams is not None
+        else containment_grams(container_docs, n, id_col, text_col)
     )
     probes = d_p.filter(F.col("len") >= 2 * n - 1).select(
         F.col("doc").alias("doc_a"),
@@ -599,6 +632,7 @@ def contained_in_corpus(
     max_gram_occ: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Containment ADMISSION gate: keep only new docs whose full text does
     NOT appear verbatim inside some (strictly longer) corpus doc — the
@@ -612,13 +646,16 @@ def contained_in_corpus(
     next to the corpus. Coverage floor applies to the BATCH side: new docs
     shorter than 2*gram_n - 1 cannot be probed at this gram size and pass
     the gate undetected (declared semantics; run a smaller-gram pass for
-    the short tail). At 100 TB, persist the corpus's aligned-gram table
-    and maintain it on append instead of recomputing (the bands/shingles
-    index pattern of build_neardup_index); verification still reads corpus
-    text for candidate containers only.
+    the short tail). At 100 TB, pass ``corpus_grams`` — the persisted
+    :func:`containment_grams` table, maintained on append via
+    ``gate_index.DedupGateIndex(kind='containment')`` — so candidate
+    generation probes the index instead of re-hashing the corpus;
+    verification still reads corpus text, but only for matched candidate
+    containers (id-keyed join against ``corpus_docs``).
     """
     dropped = _containment_hits(
-        new_docs, corpus_docs, gram_n, max_gram_occ, id_col, text_col
+        new_docs, corpus_docs, gram_n, max_gram_occ, id_col, text_col,
+        container_grams=corpus_grams,
     ).select(F.col("doc_a").alias(id_col)).distinct()
     return new_docs.join(dropped, id_col, "left_anti")
 

@@ -30,13 +30,13 @@ module is the common contract:
   index on every append (wrong at 100 TB); here the manifest line IS the
   version, and time travel falls out for free (read a manifest prefix).
 
-``containment`` participates in the unified *gate* API
-(streaming.pipeline.dedup_gate_writer) but not the persisted index:
-its verification stage computes md5 over arbitrary substrings of the
-CONTAINER text, so a self-contained index would have to duplicate the
-corpus text — the right production shape is to keep the corpus table
-itself as the container side (operators.dedup.contained_in_corpus
-docstring) rather than copy it into an index.
+``containment``'s index persists the ALIGNED-GRAM table (the expensive
+explode+md5 pass, operators.dedup.containment_grams) but is deliberately
+NOT self-contained: its verification stage computes md5 over arbitrary
+substrings of the CONTAINER text, and duplicating the corpus text into an
+index would be wrong — so ``gate(batch, corpus_docs=...)`` takes the
+corpus table alongside the index, and text is read only for matched
+candidate containers (id-keyed join).
 
 The per-kind probe/verify semantics live in operators.dedup and are
 REUSED here (the gate methods delegate to the existing
@@ -58,6 +58,7 @@ from .common import spread
 from .dedup import (
     SHINGLE_K,
     _simhash64_block_rows,
+    containment_grams,
     content_digest_expr,
     lsh_bands_expr,
     minhash_signature_exprs,
@@ -71,8 +72,9 @@ _KIND_TABLES = {
     "exact": ("digests",),
     "minhash": ("shingles", "bands"),
     "simhash64": ("blocks",),
+    "containment": ("grams",),
 }
-GATE_KINDS = (*_KIND_TABLES, "containment")
+GATE_KINDS = tuple(_KIND_TABLES)
 
 
 class DedupGateIndex:
@@ -100,11 +102,7 @@ class DedupGateIndex:
         **opts,
     ) -> "DedupGateIndex":
         if kind not in _KIND_TABLES:
-            raise ValueError(
-                f"kind={kind!r} is not index-able (one of {sorted(_KIND_TABLES)}; "
-                "'containment' gates against the corpus table directly — "
-                "see module docstring)"
-            )
+            raise ValueError(f"kind={kind!r}; expected one of {sorted(_KIND_TABLES)}")
         os.makedirs(path, exist_ok=True)
         meta = {"kind": kind, "id_col": id_col, "text_col": text_col, "opts": opts}
         meta_path = os.path.join(path, "_GATE_KIND.json")
@@ -147,10 +145,18 @@ class DedupGateIndex:
                 F.col(id_col), F.explode(lsh_bands_expr()).alias("bk")
             ).select(id_col, "bk.band", "bk.key")
             return {"shingles": sh, "bands": bands.repartition("band", "key")}
-        assert self.kind == "simhash64"
-        sigs = with_simhash64(docs, id_col, text_col)
+        if self.kind == "simhash64":
+            sigs = with_simhash64(docs, id_col, text_col)
+            return {
+                "blocks": _simhash64_block_rows(sigs, id_col).repartition(
+                    "blk", "bval"
+                )
+            }
+        assert self.kind == "containment"
         return {
-            "blocks": _simhash64_block_rows(sigs, id_col).repartition("blk", "bval")
+            "grams": containment_grams(
+                docs, o.get("gram_n", 16), id_col, text_col
+            ).repartition("g")
         }
 
     def append(self, docs: DataFrame) -> str:
@@ -195,14 +201,40 @@ class DedupGateIndex:
             for t in _KIND_TABLES[self.kind]
         }
 
-    def gate(self, batch_df: DataFrame) -> DataFrame:
+    def gate(
+        self, batch_df: DataFrame, corpus_docs: DataFrame | None = None
+    ) -> DataFrame:
         """Admission gate: the rows of ``batch_df`` with no duplicate in
         the indexed corpus, returned UNCHANGED (same columns in, same
         columns out — every kind). Delegates to the existing
         ``*_against_corpus`` operators, so semantics cannot drift from
-        the raw-corpus path."""
+        the raw-corpus path. ``corpus_docs`` is required for (and only
+        for) kind='containment' — verification reads container text from
+        the corpus table (module docstring)."""
         t = self.tables(batch_df.sparkSession)
         id_col, text_col, o = self.id_col, self.text_col, self.opts
+        if self.kind == "containment":
+            if corpus_docs is None:
+                raise ValueError(
+                    "containment verification reads container text: pass "
+                    "corpus_docs alongside the gram index"
+                )
+            from .dedup import contained_in_corpus
+
+            return contained_in_corpus(
+                batch_df,
+                corpus_docs,
+                id_col=id_col,
+                text_col=text_col,
+                gram_n=o.get("gram_n", 16),
+                max_gram_occ=o.get("max_gram_occ", 10_000),
+                corpus_grams=t["grams"],
+            )
+        if corpus_docs is not None:
+            raise ValueError(
+                f"corpus_docs is only meaningful for kind='containment' "
+                f"(this index is {self.kind!r})"
+            )
         if self.kind == "exact":
             cols = o.get("content_cols") or [text_col]
             return (

@@ -242,7 +242,10 @@ def dedup_gate_writer(
 
     ``opts`` per kind: content_cols (exact; default [text_col]),
     threshold/k (minhash), max_hamming (simhash64),
-    gram_n/max_gram_occ (containment).
+    gram_n/max_gram_occ (containment). For 'containment', ``corpus`` is
+    ALWAYS required (verification reads container text) and
+    ``corpus_index`` (the persisted gram table) is an optional
+    accelerator alongside it.
 
     Returns a (batch_df, epoch_id) callable handing SURVIVORS (batch rows
     unchanged) to ``sink(survivors_df, epoch_id)``. Same foreachBatch
@@ -264,19 +267,24 @@ def dedup_gate_writer(
         raise ValueError(f"kind={kind!r}; expected one of {sorted(GATE_KINDS)}")
     if isinstance(corpus_index, str):
         corpus_index = DedupGateIndex.open(corpus_index)
-    if (corpus is None) == (corpus_index is None):
-        raise ValueError("pass exactly one of corpus / corpus_index")
-    if corpus_index is not None:
-        if kind == "containment":
-            raise ValueError("containment gates against corpus, not an index")
-        if corpus_index.kind != kind:
+    if kind == "containment":
+        if corpus is None:
             raise ValueError(
-                f"index at {corpus_index.path} is kind={corpus_index.kind!r}, "
-                f"not {kind!r}"
+                "containment verification reads container text: corpus is "
+                "always required (corpus_index accelerates candidates)"
             )
+    elif (corpus is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus / corpus_index")
+    if corpus_index is not None and corpus_index.kind != kind:
+        raise ValueError(
+            f"index at {corpus_index.path} is kind={corpus_index.kind!r}, "
+            f"not {kind!r}"
+        )
 
     def survivors_of(batch_df: DataFrame) -> DataFrame:
         if corpus_index is not None:
+            if kind == "containment":
+                return corpus_index.gate(batch_df, corpus_docs=corpus)
             return corpus_index.gate(batch_df)
         if kind == "exact":
             cols = opts.get("content_cols") or [text_col]

@@ -64,18 +64,21 @@ def _raw_survivors(kind, batch, corpus):
     return contained_in_corpus(batch, corpus)
 
 
-@pytest.mark.parametrize("kind", ["exact", "minhash", "simhash64"])
+@pytest.mark.parametrize("kind", ["exact", "minhash", "simhash64", "containment"])
 def test_index_gate_matches_raw_corpus(spark, sf_dir, tmp_path, kind):
     batch, corpus = _split(_docs(spark, sf_dir))
     want = {r.doc_id for r in _raw_survivors(kind, batch, corpus).collect()}
     assert len(want) < batch.count()  # the gate really fires on the fixture
 
+    # containment verification reads container text from the corpus table
+    ckw = {"corpus_docs": corpus} if kind == "containment" else {}
     idx = DedupGateIndex.build(corpus, str(tmp_path / kind), kind)
-    got = {r.doc_id for r in idx.gate(batch).collect()}
+    got = {r.doc_id for r in idx.gate(batch, **ckw).collect()}
     assert got == want
 
     # reopen from disk: kind + options come from metadata, not the caller
-    got2 = {r.doc_id for r in DedupGateIndex.open(str(tmp_path / kind)).gate(batch).collect()}
+    reopened = DedupGateIndex.open(str(tmp_path / kind))
+    got2 = {r.doc_id for r in reopened.gate(batch, **ckw).collect()}
     assert got2 == want
 
 
@@ -146,18 +149,40 @@ def test_uncommitted_batch_is_invisible(spark, sf_dir, tmp_path):
     assert idx.gate(batch).count() == 0
 
 
+def test_containment_index_accelerated_writer_matches_batch(spark, sf_dir, tmp_path):
+    """Containment with the persisted gram index + corpus table admits
+    exactly what the raw-recompute gate admits (the index changes the
+    plan, never the rows)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    want = {r.doc_id for r in _raw_survivors("containment", batch, corpus).collect()}
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "cont"), "containment")
+    got = set()
+
+    def sink(df, epoch_id):
+        got.update(r.doc_id for r in df.collect())
+
+    w = dedup_gate_writer("containment", sink, corpus=corpus, corpus_index=idx)
+    w(batch, 0)  # writers are plain (batch_df, epoch) callables
+    assert got == want
+
+
 def test_api_validation(spark, sf_dir, tmp_path):
     batch, corpus = _split(_docs(spark, sf_dir))
-    with pytest.raises(ValueError, match="not index-able"):
-        DedupGateIndex.build(corpus, str(tmp_path / "c"), "containment")
+    with pytest.raises(ValueError, match="expected one of"):
+        DedupGateIndex.build(corpus, str(tmp_path / "c"), "bogus")
     idx = DedupGateIndex.build(corpus, str(tmp_path / "e"), "exact")
     with pytest.raises(FileExistsError, match="open"):
         DedupGateIndex.build(corpus, str(tmp_path / "e"), "exact")
+    with pytest.raises(ValueError, match="only meaningful for"):
+        idx.gate(batch, corpus_docs=corpus)
     with pytest.raises(ValueError, match="kind="):
         dedup_gate_writer("bogus", lambda df, e: None, corpus=corpus)
     with pytest.raises(ValueError, match="exactly one"):
         dedup_gate_writer("exact", lambda df, e: None)
     with pytest.raises(ValueError, match="not 'minhash'"):
         dedup_gate_writer("minhash", lambda df, e: None, corpus_index=idx)
-    with pytest.raises(ValueError, match="containment gates against"):
-        dedup_gate_writer("containment", lambda df, e: None, corpus_index=idx)
+    with pytest.raises(ValueError, match="always required"):
+        dedup_gate_writer("containment", lambda df, e: None)
+    cidx = DedupGateIndex.build(corpus, str(tmp_path / "ci"), "containment")
+    with pytest.raises(ValueError, match="pass corpus_docs"):
+        cidx.gate(batch)
