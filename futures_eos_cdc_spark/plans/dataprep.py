@@ -495,6 +495,60 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
+# int8-quantized twin (SQ8): the bandwidth-reduced scan path — scales
+# cancel in cosine, so the score is the exact integer-vector cosine and
+# the oracle replays quantization + scoring bit-for-bit.
+COSINE_TOPK_Q8_ORACLE = """
+WITH eq AS (
+  SELECT vec_id,
+    embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+    CASE WHEN s = 0
+      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      ELSE list_transform(embedding, x ->
+        CAST(least(127.0, greatest(-127.0, floor(CAST(x AS DOUBLE) / s))) AS BIGINT))
+    END AS q
+  FROM eq
+),
+pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, a.q AS q_a, b.q AS q_b
+  FROM qv a JOIN qv b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT q_id, c_id,
+    CAST(list_reduce(list_transform(range(1, len(q_a) + 1),
+        i -> q_a[i] * q_b[i]), (x, y) -> x + y) AS DOUBLE)
+    / (sqrt(CAST(list_reduce(list_transform(range(1, len(q_a) + 1),
+          i -> q_a[i] * q_a[i]), (x, y) -> x + y) AS DOUBLE))
+       * sqrt(CAST(list_reduce(list_transform(range(1, len(q_b) + 1),
+           i -> q_b[i] * q_b[i]), (x, y) -> x + y) AS DOUBLE)))
+    AS q8_cosine
+  FROM pairs
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q8_cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(q8_cosine, 6) AS q8_cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_cosine_topk_q8(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """SQ8 retrieval rung: exact top-k over int8-quantized vectors (see
+    operators/similarity.py:brute_force_topk_q8 — scan moves 4-8x fewer
+    bytes; at 100 TB the quantized table is persisted and the top-m band
+    re-ranks exactly against the originals)."""
+    from ..operators.similarity import brute_force_topk_q8
+
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    return brute_force_topk_q8(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only (engine-specific) queries: ANN, embedding near-dup, multimodal
 # ---------------------------------------------------------------------------

@@ -1101,6 +1101,8 @@ QUERIES["bpe_token_counts"] = _bind(_dp.q_bpe_token_counts)
 ORACLES["bpe_token_counts"] = _dp.BPE_TOKEN_COUNTS_ORACLE
 QUERIES["bpe_token_blocks"] = _bind(_dp.q_bpe_token_blocks)
 ORACLES["bpe_token_blocks"] = _dp.BPE_TOKEN_BLOCKS_ORACLE
+QUERIES["cosine_topk_q8"] = _bind(_dp.q_cosine_topk_q8)
+ORACLES["cosine_topk_q8"] = _dp.COSINE_TOPK_Q8_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1117,6 +1119,7 @@ _WALK_FIRST = [
     "bpe_vocab",
     "bpe_token_counts",
     "bpe_token_blocks",
+    "cosine_topk_q8",
     # Priority 1 — r7 VERDICT item 2's explicit list: newest row is r5;
     # after r8 no query's newest row is older than r6.
     "approx_aggregates",

@@ -979,6 +979,46 @@ def test_ann_ivf_kernel_path_matches_expression_path(spark, sf_dir):
     assert kern  # non-vacuous
 
 
+def test_q8_quantized_topk_recall_and_edges(spark, sf_dir):
+    """SQ8 rung sanity: (a) the quantized score approximates true cosine
+    (|Δ| small on the fixture), (b) quantized top-10 retains most of the
+    exact top-10 (the re-rank band works), (c) zero vectors quantize to
+    zeros instead of dividing by zero."""
+    from futures_eos_cdc_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_q8,
+        q8_quantize,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, qs, k=10)
+    quant = brute_force_topk_q8(e, qs, k=10)
+    ex, qt = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.q_id, set()).add(r.c_id)
+    for r in quant.collect():
+        qt.setdefault(r.q_id, set()).add(r.c_id)
+    recall = sum(len(ex[q] & qt[q]) / len(ex[q]) for q in ex) / len(ex)
+    assert recall >= 0.8, recall  # int8 keeps the neighborhood; re-rank fixes order
+
+    # score error bound: compare q8_cosine to true cosine on the same pairs
+    truth = {(r.q_id, r.c_id): r.cosine for r in brute_force_topk(e, qs, k=50).collect()}
+    errs = [
+        abs(r.q8_cosine - truth[(r.q_id, r.c_id)])
+        for r in brute_force_topk_q8(e, qs, k=50).collect()
+        if (r.q_id, r.c_id) in truth
+    ]
+    assert errs and max(errs) < 0.02, max(errs)
+
+    z = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: list(r.q) for r in q8_quantize(z).collect()}
+    assert rows[1] == [0] * 8
+    assert rows[2] == [127] * 8
+
+
 def test_ivf_recall_on_clustered_embeddings(spark):
     """r7 VERDICT #6: ANN earns its keep on CLUSTERED data — demonstrate
     recall ≥ 0.9 at nprobe ≪ n_cells when structure exists. 32 planted
