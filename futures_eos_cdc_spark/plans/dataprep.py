@@ -1458,9 +1458,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     are broadcast; joining query terms FIRST shrinks everything downstream
     to docs containing query terms. Ranking is a per-query
     WindowGroupLimit — top-k never sorts the corpus."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, s in BM25_QUERIES for t in s.split()],
+        "query_id long, term string",
+    )
+    agg = _bm25_scores(docs, qt)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _bm25_scores(docs: DataFrame, qt: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score): the BM25 scoring core of q_bm25_topk,
+    factored so hybrid retrieval reuses the identical expressions (and
+    the identical query-bounded-df plan shape — see q_bm25_topk's scale
+    notes)."""
     from ..operators.text import tokens_expr
 
-    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
     lens = toks.select("doc_id", F.size("t").cast("long").alias("len_d"))
     ex = toks.select("doc_id", F.explode("t").alias("term"))
@@ -1468,10 +1491,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("len_d").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, s in BM25_QUERIES for t in s.split()],
-        "query_id long, term string",
     )
     # df only for query terms: semi-join the exploded stream to the
     # (broadcast, few-row) query-term set BEFORE aggregating, so both the
@@ -1496,19 +1515,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .withColumn("term_score", F.expr(term_score))
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(
+    return scored.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("term_score").cast("decimal(38,10)")).cast("double").alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "score",
-            F.col("rank").cast("long").alias("rank"),
-        )
     )
 
 
@@ -3308,5 +3316,160 @@ def q_bpe_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             "n_tokens",
             "stream_offset",
             F.expr(f"stream_offset div {PACK_BUDGET}").cast("long").alias("block_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + cosine (semantic) fused by Reciprocal
+# Rank Fusion (Cormack, Clarke & Buettcher 2009 — rrf = Σ 1/(K + rank))
+# ---------------------------------------------------------------------------
+RRF_K = 60
+HYBRID_DEPTH = 10  # per-system candidate list depth
+HYBRID_TOPK = 10
+
+HYBRID_RRF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS len_d FROM toks
+), ex AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len_d) AS DOUBLE) / count(*) AS avgdl FROM lens
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t) AS term FROM toks WHERE doc_id < 5
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+    round(ln(CAST(1.0 AS DOUBLE) + (s.n_docs - df.df + CAST(0.5 AS DOUBLE))
+                                    / (df.df + CAST(0.5 AS DOUBLE)))
+          * tf.tf * CAST({_BM25_K1P1!r} AS DOUBLE)
+          / (tf.tf + CAST({BM25_K1!r} AS DOUBLE)
+                     * (CAST({_BM25_1MB!r} AS DOUBLE)
+                        + CAST({BM25_B!r} AS DOUBLE) * l.len_d / s.avgdl)),
+          6) AS term_score
+  FROM tf JOIN qt q USING (term) JOIN df USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+), lagg AS (
+  SELECT query_id, doc_id,
+    CAST(CAST(sum(CAST(term_score AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS score
+  FROM scored WHERE doc_id <> query_id GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+    FROM lagg
+  ) WHERE r <= {HYBRID_DEPTH}
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+), semsc AS (
+  SELECT q.q_id, c.c_id,
+    list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+         i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len(c.c_vec) + 1),
+           i -> CAST(c.c_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)))
+    AS cosine
+  FROM q JOIN c ON q.q_id <> c.c_id
+), sem AS (
+  SELECT q_id, c_id, r FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS r
+    FROM semsc
+  ) WHERE r <= {HYBRID_DEPTH}
+), u AS (
+  SELECT query_id, doc_id FROM lex
+  UNION
+  SELECT q_id, c_id FROM sem
+), fused AS (
+  SELECT u.query_id, u.doc_id,
+    round(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex.r), CAST(0 AS DOUBLE))
+          + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem.r), CAST(0 AS DOUBLE)),
+          6) AS rrf_score
+  FROM u
+  LEFT JOIN lex ON lex.query_id = u.query_id AND lex.doc_id = u.doc_id
+  LEFT JOIN sem ON sem.q_id = u.query_id AND sem.c_id = u.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       rrf_score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {HYBRID_TOPK}
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical, the query doc's distinct terms —
+    the "more-like-this" shape) and exact cosine (semantic, the query
+    doc's embedding) each produce a top-{HYBRID_DEPTH} list per query doc
+    (ids < 5, self excluded); Reciprocal Rank Fusion merges them
+    (Σ 1/({RRF_K}+rank) over the lists a candidate appears in) — the
+    standard hybrid-search combiner, used in dedup/eval-mining pipelines
+    because lexical and embedding retrieval miss DIFFERENT duplicates.
+
+    Scale shape: inherits q_bm25_topk's query-bounded-df plan on the
+    lexical side and brute_force_topk's broadcast-queries scan on the
+    semantic side (swap in ann_topk_ivf/_lsh at corpus scale); fusion
+    itself touches only 2x{HYBRID_DEPTH} rows per query. Determinism:
+    both input ranks are deterministic, the fused score is two fixed-order
+    IEEE additions, ties break on doc id. Assumes documents.doc_id and
+    embeddings.vec_id identify the same corpus (the fixture's contract).
+    """
+    docs = spread(_t(spark, sf_dir, "documents"))
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    from ..operators.similarity import brute_force_topk
+
+    toks_q = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    lagg = _bm25_scores(docs, toks_q).filter(F.col("doc_id") != F.col("query_id"))
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lagg.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= HYBRID_DEPTH)
+        .select("query_id", "doc_id", F.col("r").alias("r_lex"))
+    )
+    sem = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("doc_id"),
+        F.col("rank").alias("r_sem"),
+    )
+    u = lex.select("query_id", "doc_id").union(
+        sem.select("query_id", "doc_id")
+    ).distinct()
+    fused = (
+        u.join(lex, ["query_id", "doc_id"], "left")
+        .join(sem, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rrf_score",
+            F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -1103,6 +1103,8 @@ QUERIES["bpe_token_blocks"] = _bind(_dp.q_bpe_token_blocks)
 ORACLES["bpe_token_blocks"] = _dp.BPE_TOKEN_BLOCKS_ORACLE
 QUERIES["cosine_topk_q8"] = _bind(_dp.q_cosine_topk_q8)
 ORACLES["cosine_topk_q8"] = _dp.COSINE_TOPK_Q8_ORACLE
+QUERIES["hybrid_rrf_retrieval"] = _bind(_dp.q_hybrid_rrf)
+ORACLES["hybrid_rrf_retrieval"] = _dp.HYBRID_RRF_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1120,6 +1122,7 @@ _WALK_FIRST = [
     "bpe_token_counts",
     "bpe_token_blocks",
     "cosine_topk_q8",
+    "hybrid_rrf_retrieval",
     # Priority 1 — r7 VERDICT item 2's explicit list: newest row is r5;
     # after r8 no query's newest row is older than r6.
     "approx_aggregates",

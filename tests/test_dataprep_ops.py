@@ -979,6 +979,74 @@ def test_ann_ivf_kernel_path_matches_expression_path(spark, sf_dir):
     assert kern  # non-vacuous
 
 
+def test_hybrid_rrf_equals_fusion_of_components(spark, sf_dir):
+    """RRF semantics pinned against an independent reconstruction: run the
+    two component retrievers, fuse their ranks in plain Python
+    (Σ 1/(60+rank) over the lists a candidate appears in, ties on doc id),
+    and require the operator's fused ranking to match exactly."""
+    from futures_eos_cdc_spark.plans.dataprep import (
+        HYBRID_DEPTH,
+        HYBRID_TOPK,
+        RRF_K,
+        _bm25_scores,
+        q_hybrid_rrf,
+    )
+    from futures_eos_cdc_spark.plans.registry import _t
+    from futures_eos_cdc_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qt = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    lex_rows = _bm25_scores(docs, qt).filter(
+        F.col("doc_id") != F.col("query_id")
+    ).collect()
+    lex_ranks: dict[tuple[int, int], int] = {}
+    by_q: dict[int, list] = {}
+    for r in lex_rows:
+        by_q.setdefault(r.query_id, []).append((-r.score, r.doc_id))
+    for q, rows in by_q.items():
+        for i, (_, d) in enumerate(sorted(rows)[:HYBRID_DEPTH], 1):
+            lex_ranks[(q, d)] = i
+    sem_ranks = {
+        (r.q_id, r.c_id): r.rank
+        for r in brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH).collect()
+    }
+    cands: dict[int, set] = {}
+    for q, d in list(lex_ranks) + list(sem_ranks):
+        cands.setdefault(q, set()).add(d)
+    want = {}
+    for q, ds in cands.items():
+        scored = sorted(
+            (
+                -round(
+                    (1.0 / (RRF_K + lex_ranks[(q, d)]) if (q, d) in lex_ranks else 0.0)
+                    + (1.0 / (RRF_K + sem_ranks[(q, d)]) if (q, d) in sem_ranks else 0.0),
+                    6,
+                ),
+                d,
+            )
+            for d in ds
+        )
+        for i, (neg, d) in enumerate(scored[:HYBRID_TOPK], 1):
+            want[(q, d)] = (-neg, i)
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.rank)
+        for r in q_hybrid_rrf(spark, sf_dir, _t).collect()
+    }
+    assert got == want
+    # both systems genuinely contribute: some fused rows are lexical-only
+    # and some semantic-only
+    assert any(k in lex_ranks and k not in sem_ranks for k in got)
+    assert any(k in sem_ranks and k not in lex_ranks for k in got)
+
+
 def test_q8_quantized_topk_recall_and_edges(spark, sf_dir):
     """SQ8 rung sanity: (a) the quantized score approximates true cosine
     (|Δ| small on the fixture), (b) quantized top-10 retains most of the
