@@ -1148,10 +1148,14 @@ _WALK_FIRST = [
     # Priority 2 — implementation touched THIS round (bit-identical by
     # design, but fresh rows prove it): the IVF family routes kernels on
     # actual centroid width + magnitude-scaled re-score bands; semantic
-    # dedup's empty-path id typing.
+    # dedup's empty-path id typing; bm25's scoring core factored for
+    # hybrid reuse; containment's gram pass factored for the index.
     "ann_cosine_ivf",
     "embedding_kmeans_clusters",
     "semantic_dedup_embeddings",
+    "bm25_topk_retrieval",
+    "doc_containment_dedup",
+    "containment_incremental_batch",
     # Priority 3 — newest row is r6; rotate as many into the ~50-query
     # window as fit (data-heavy / changed-adjacent first). The tail that
     # misses keeps its r6 row AND every oracle-backed query is re-verified
