@@ -210,7 +210,11 @@ class DedupGateIndex:
         ``*_against_corpus`` operators, so semantics cannot drift from
         the raw-corpus path. ``corpus_docs`` is required for (and only
         for) kind='containment' — verification reads container text from
-        the corpus table (module docstring)."""
+        the corpus table (module docstring). CONTRACT: corpus_docs must
+        cover every id the gram index holds — a candidate whose container
+        text is missing drops out of the inner verify join and its batch
+        doc would be silently ADMITTED; keep the corpus table and the
+        index appended in the same sink transaction."""
         t = self.tables(batch_df.sparkSession)
         id_col, text_col, o = self.id_col, self.text_col, self.opts
         if self.kind == "containment":
