@@ -3207,6 +3207,19 @@ SELECT doc_id,
 FROM words JOIN wtok USING (word)
 GROUP BY doc_id
 """
+    if tail == "subwords":
+        return prefix + apply + """,
+wstats AS (SELECT word, count(*) AS wfreq FROM words GROUP BY word),
+wtoks AS (
+  SELECT word, unnest(list_filter(string_split(s, chr(31)), x -> x <> '')) AS token
+  FROM e{N}
+)
+SELECT token,
+  CAST(sum(wfreq) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM wtoks JOIN wstats USING (word)
+GROUP BY token
+""".replace("{N}", str(n_merges))
     assert tail == "blocks", tail
     return prefix + apply + f""",
 doctok AS (
@@ -3233,6 +3246,7 @@ FROM off
 BPE_VOCAB_ORACLE = _bpe_oracle_sql(tail="vocab")
 BPE_TOKEN_COUNTS_ORACLE = _bpe_oracle_sql(tail="counts")
 BPE_TOKEN_BLOCKS_ORACLE = _bpe_oracle_sql(tail="blocks")
+BPE_SUBWORD_VOCAB_ORACLE = _bpe_oracle_sql(tail="subwords")
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
@@ -3261,6 +3275,30 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     merges = train_bpe(docs)
     return doc_bpe_token_counts(docs, merges)
+
+
+def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The SUBWORD vocabulary the trained tokenizer induces on the corpus:
+    per token, total corpus occurrences (word-frequency-weighted) and the
+    number of distinct words it appears in — the table a tokenizer report
+    or OOV/fertility audit reads. Scale: one corpus word-freq aggregation,
+    then the replace-chain apply over DISTINCT words only
+    (vocabulary-shaped) and one token-keyed aggregation."""
+    from ..operators.bpe import _clean_words, bpe_tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    merges = train_bpe(docs)
+    words = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(_clean_words(F.col("text"))).alias("word")
+    )
+    wstats = words.groupBy("word").agg(F.count(F.lit(1)).alias("wfreq"))
+    wtoks = wstats.select(
+        "word", "wfreq", F.explode(bpe_tokens_expr(F.col("word"), merges)).alias("token")
+    )
+    return wtoks.groupBy("token").agg(
+        F.sum("wfreq").cast("long").alias("n_occurrences"),
+        F.count_distinct("word").alias("n_words"),
+    )
 
 
 def q_bpe_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:

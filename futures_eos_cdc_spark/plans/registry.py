@@ -1105,6 +1105,8 @@ QUERIES["cosine_topk_q8"] = _bind(_dp.q_cosine_topk_q8)
 ORACLES["cosine_topk_q8"] = _dp.COSINE_TOPK_Q8_ORACLE
 QUERIES["hybrid_rrf_retrieval"] = _bind(_dp.q_hybrid_rrf)
 ORACLES["hybrid_rrf_retrieval"] = _dp.HYBRID_RRF_ORACLE
+QUERIES["bpe_subword_vocab"] = _bind(_dp.q_bpe_subword_vocab)
+ORACLES["bpe_subword_vocab"] = _dp.BPE_SUBWORD_VOCAB_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1123,6 +1125,7 @@ _WALK_FIRST = [
     "bpe_token_blocks",
     "cosine_topk_q8",
     "hybrid_rrf_retrieval",
+    "bpe_subword_vocab",
     # Priority 1 — r7 VERDICT item 2's explicit list: newest row is r5;
     # after r8 no query's newest row is older than r6.
     "approx_aggregates",

@@ -182,3 +182,25 @@ def test_stream_bpe_token_counts_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == want and len(got) > 0
+
+
+def test_subword_vocab_mass_equals_corpus_token_count(spark, sf_dir):
+    """Cross-operator invariant: the subword vocabulary's total occurrence
+    mass (Σ n_occurrences) must equal the corpus's total BPE token count
+    (Σ bpe_token_counts.n_tokens) — both count every token instance once,
+    through two different plans."""
+    from futures_eos_cdc_spark.plans.dataprep import (
+        q_bpe_subword_vocab,
+        q_bpe_token_counts,
+    )
+    from futures_eos_cdc_spark.plans.registry import _t
+
+    vocab_mass = (
+        q_bpe_subword_vocab(spark, sf_dir, _t)
+        .agg(F.sum("n_occurrences"))
+        .collect()[0][0]
+    )
+    corpus_tokens = (
+        q_bpe_token_counts(spark, sf_dir, _t).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert vocab_mass == corpus_tokens > 0

@@ -365,3 +365,20 @@ def test_quality_weighted_sample_scan_shaped(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hybrid_rrf_query_bounded_broadcasts(spark, sf_dir):
+    """Hybrid retrieval inherits bm25's query-bounded shape: the query-term
+    and df tables broadcast (never the corpus), and no Python eval
+    appears anywhere in the fused plan."""
+    plan = _plan(spark, sf_dir, "hybrid_rrf_retrieval")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_topk_q8_stays_jvm_side(spark, sf_dir):
+    """The quantize + integer-dot pipeline is pure JVM expressions over a
+    broadcast-queries join — no Python eval, no corpus-side shuffle."""
+    plan = _plan(spark, sf_dir, "cosine_topk_q8")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
