@@ -201,20 +201,43 @@ class DedupGateIndex:
             for t in _KIND_TABLES[self.kind]
         }
 
+    # options baked into the index DATA at build time (changing one
+    # invalidates the tables) vs. legitimately per-gate thresholds
+    _STRUCTURAL_OPTS = {"k", "gram_n", "content_cols"}
+    _GATE_OPTS = {"threshold", "max_hamming", "max_gram_occ"}
+
     def gate(
-        self, batch_df: DataFrame, corpus_docs: DataFrame | None = None
+        self,
+        batch_df: DataFrame,
+        corpus_docs: DataFrame | None = None,
+        **gate_opts,
     ) -> DataFrame:
         """Admission gate: the rows of ``batch_df`` with no duplicate in
         the indexed corpus, returned UNCHANGED (same columns in, same
         columns out — every kind). Delegates to the existing
         ``*_against_corpus`` operators, so semantics cannot drift from
-        the raw-corpus path. ``corpus_docs`` is required for (and only
-        for) kind='containment' — verification reads container text from
-        the corpus table (module docstring). CONTRACT: corpus_docs must
-        cover every id the gram index holds — a candidate whose container
-        text is missing drops out of the inner verify join and its batch
-        doc would be silently ADMITTED; keep the corpus table and the
-        index appended in the same sink transaction."""
+        the raw-corpus path.
+
+        STRUCTURAL options (shingle k, gram_n, content_cols) are baked
+        into the index data, so they come from the build-time metadata
+        and cannot be overridden here; GATE-TIME thresholds (minhash
+        ``threshold``, simhash64 ``max_hamming``, containment
+        ``max_gram_occ``) only parameterize verification over the same
+        index tables, so they may vary per gate call.
+
+        ``corpus_docs`` is required for (and only for) kind='containment'
+        — verification reads container text from the corpus table
+        (module docstring). CONTRACT: corpus_docs must cover every id the
+        gram index holds — a candidate whose container text is missing
+        drops out of the inner verify join and its batch doc would be
+        silently ADMITTED; keep the corpus table and the index appended
+        in the same sink transaction."""
+        bad = set(gate_opts) - self._GATE_OPTS
+        if bad:
+            raise ValueError(
+                f"not gate-time options: {sorted(bad)} (structural options "
+                "are pinned by the index metadata at build time)"
+            )
         t = self.tables(batch_df.sparkSession)
         id_col, text_col, o = self.id_col, self.text_col, self.opts
         if self.kind == "containment":
@@ -231,7 +254,7 @@ class DedupGateIndex:
                 id_col=id_col,
                 text_col=text_col,
                 gram_n=o.get("gram_n", 16),
-                max_gram_occ=o.get("max_gram_occ", 10_000),
+                max_gram_occ=gate_opts.get("max_gram_occ", 10_000),
                 corpus_grams=t["grams"],
             )
         if corpus_docs is not None:
@@ -258,7 +281,7 @@ class DedupGateIndex:
                 corpus_index=(t["bands"], t["shingles"]),
                 id_col=id_col,
                 text_col=text_col,
-                threshold=o.get("threshold", 0.4),
+                threshold=gate_opts.get("threshold", 0.4),
                 k=o.get("k", SHINGLE_K),
             )
         assert self.kind == "simhash64"
@@ -267,5 +290,5 @@ class DedupGateIndex:
             corpus_index=t["blocks"],
             id_col=id_col,
             text_col=text_col,
-            max_hamming=o.get("max_hamming", 3),
+            max_hamming=gate_opts.get("max_hamming", 3),
         )

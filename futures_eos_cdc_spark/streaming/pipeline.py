@@ -275,17 +275,33 @@ def dedup_gate_writer(
             )
     elif (corpus is None) == (corpus_index is None):
         raise ValueError("pass exactly one of corpus / corpus_index")
-    if corpus_index is not None and corpus_index.kind != kind:
-        raise ValueError(
-            f"index at {corpus_index.path} is kind={corpus_index.kind!r}, "
-            f"not {kind!r}"
-        )
+    if corpus_index is not None:
+        if corpus_index.kind != kind:
+            raise ValueError(
+                f"index at {corpus_index.path} is kind={corpus_index.kind!r}, "
+                f"not {kind!r}"
+            )
+        # structural options are baked into the index data; an explicit
+        # conflicting override here would silently gate against tables
+        # built with different parameters — fail loudly instead
+        structural = set(opts) & DedupGateIndex._STRUCTURAL_OPTS
+        for s in structural:
+            if corpus_index.opts.get(s, opts[s]) != opts[s]:
+                raise ValueError(
+                    f"option {s}={opts[s]!r} conflicts with the index's "
+                    f"build-time {s}={corpus_index.opts.get(s)!r} "
+                    f"({corpus_index.path})"
+                )
+        gate_opts = {
+            k_: v for k_, v in opts.items()
+            if k_ in DedupGateIndex._GATE_OPTS
+        }
 
     def survivors_of(batch_df: DataFrame) -> DataFrame:
         if corpus_index is not None:
             if kind == "containment":
-                return corpus_index.gate(batch_df, corpus_docs=corpus)
-            return corpus_index.gate(batch_df)
+                return corpus_index.gate(batch_df, corpus_docs=corpus, **gate_opts)
+            return corpus_index.gate(batch_df, **gate_opts)
         if kind == "exact":
             cols = opts.get("content_cols") or [text_col]
             hashes = corpus.select(

@@ -186,3 +186,12 @@ def test_api_validation(spark, sf_dir, tmp_path):
     cidx = DedupGateIndex.build(corpus, str(tmp_path / "ci"), "containment")
     with pytest.raises(ValueError, match="pass corpus_docs"):
         cidx.gate(batch)
+    # structural options are pinned by the index; gate-time thresholds vary
+    midx = DedupGateIndex.build(corpus, str(tmp_path / "m"), "minhash", k=3)
+    with pytest.raises(ValueError, match="not gate-time"):
+        midx.gate(batch, k=5)
+    with pytest.raises(ValueError, match="conflicts with the index"):
+        dedup_gate_writer("minhash", lambda df, e: None, corpus_index=midx, k=5)
+    # an impossible jaccard threshold admits the whole batch — proof the
+    # gate-time parameter genuinely varies over the same index tables
+    assert midx.gate(batch, threshold=1.01).count() == batch.count()
