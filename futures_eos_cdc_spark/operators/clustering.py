@@ -30,10 +30,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def _scheme_free(path: str) -> str:
-    """Strip a URI scheme prefix (``file:`` / ``hdfs://nn:port``) so a
-    qualified live value compares against a caller's plain path."""
+    """Strip a URI scheme AND authority (``file:/p`` → ``/p``,
+    ``hdfs://nn:8020/p`` → ``/p``) so a qualified live value compares
+    against a caller's plain path. Keeping the ``//host:port`` authority
+    (ADVICE r8) made the parent comparison never match on deployments
+    whose default FS qualifies paths with one, re-running
+    ``setCheckpointDir`` (fresh UUID subdir churn) on every call."""
     head = path.split("/", 1)[0]
-    return path.split(":", 1)[1] if ":" in head else path
+    if ":" not in head:
+        return path
+    rest = path.split(":", 1)[1]
+    if rest.startswith("//"):
+        # scheme://authority/path — drop through the authority segment
+        tail = rest[2:]
+        slash = tail.find("/")
+        return tail[slash:] if slash >= 0 else "/"
+    return rest
 
 
 def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:

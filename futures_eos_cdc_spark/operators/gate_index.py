@@ -159,31 +159,85 @@ class DedupGateIndex:
             ).repartition("g")
         }
 
-    def append(self, docs: DataFrame) -> str:
+    def append(self, docs: DataFrame, token: str | None = None) -> str:
         """Write ALL tables for this batch under ``b_<uuid>`` dirs, then
         commit with one manifest line — the single visibility point. A
-        crash before the line leaves orphan files no reader resolves."""
+        crash before the line leaves orphan files no reader resolves.
+
+        ``token`` is an idempotency key — pass the foreachBatch epoch id
+        (the normal streaming retry unit). A token already in the
+        manifest makes the whole call a no-op returning the committed
+        batch id, so a RETRIED epoch never re-appends its rows (r8
+        VERDICT: the gate's anti-join tolerated the duplicates, but the
+        index grew monotonically wrong). Tokens must be retry-stable and
+        writer-unique (``f"{stream_id}/{epoch_id}"`` when several streams
+        feed one index). The commit itself is serialized under the
+        versioned-store ``_WriterLease`` (read-seq-then-append was racy),
+        and the token is RE-checked under the lease, so two appenders
+        retrying the same epoch commit it exactly once — the loser's
+        orphan files are never resolved by a reader."""
+        if token is not None:
+            token = str(token)
+            if not token or any(c.isspace() for c in token):
+                raise ValueError(
+                    f"token {token!r} must be non-empty and whitespace-free "
+                    "(it is stored as one manifest-line field)"
+                )
+            existing = self._token_bids().get(token)
+            if existing is not None:
+                return existing
         bid = uuid.uuid4().hex[:12]
         for table, df in self._batch_tables(docs).items():
             df.write.mode("error").parquet(
                 os.path.join(self.path, table, f"b_{bid}")
             )
-        self._commit(bid)
-        return bid
+        return self._commit(bid, token)
 
-    def _commit(self, bid: str) -> None:
-        line = f"{len(self._committed())} {bid} {time.time()}\n"
-        with open(os.path.join(self.path, "_MANIFEST.log"), "a") as fh:
-            fh.write(line)
-            fh.flush()
-            os.fsync(fh.fileno())
+    # manifest-append serialization: contention here is writers COMMITTING
+    # (sub-ms file append), not running batches — a short poll is plenty
+    _COMMIT_WAIT_S = 30.0
 
-    def _committed(self) -> list[str]:
+    def _commit(self, bid: str, token: str | None = None) -> str:
+        from ..streaming.outbox import ConcurrentWriterError, _WriterLease
+
+        lease = _WriterLease(self.path, run_id=f"commit-{bid}")
+        deadline = time.monotonic() + self._COMMIT_WAIT_S
+        while True:
+            try:
+                lease.acquire()
+                break
+            except ConcurrentWriterError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.02)
+        try:
+            if token is not None:
+                existing = self._token_bids().get(str(token))
+                if existing is not None:
+                    return existing  # lost the epoch race; bid's files orphan
+            tok = "" if token is None else f" {token}"
+            line = f"{len(self._committed())} {bid} {time.time()}{tok}\n"
+            with open(os.path.join(self.path, "_MANIFEST.log"), "a") as fh:
+                fh.write(line)
+                fh.flush()
+                os.fsync(fh.fileno())
+            return bid
+        finally:
+            lease.release()
+
+    def _manifest_rows(self) -> list[list[str]]:
         try:
             with open(os.path.join(self.path, "_MANIFEST.log")) as fh:
-                return [ln.split()[1] for ln in fh if ln.strip()]
+                return [ln.split() for ln in fh if ln.strip()]
         except FileNotFoundError:
             return []
+
+    def _committed(self) -> list[str]:
+        return [row[1] for row in self._manifest_rows()]
+
+    def _token_bids(self) -> dict[str, str]:
+        """idempotency token → committed batch id (lines 4 fields wide)."""
+        return {row[3]: row[1] for row in self._manifest_rows() if len(row) > 3}
 
     # -- read side ----------------------------------------------------------
     def tables(self, spark: SparkSession) -> dict[str, DataFrame]:
@@ -204,7 +258,23 @@ class DedupGateIndex:
     # options baked into the index DATA at build time (changing one
     # invalidates the tables) vs. legitimately per-gate thresholds
     _STRUCTURAL_OPTS = {"k", "gram_n", "content_cols"}
-    _GATE_OPTS = {"threshold", "max_hamming", "max_gram_occ"}
+    _GATE_OPTS = {"threshold", "max_hamming", "max_gram_occ", "assert_coverage"}
+    # build-time defaults for the structural options, mirrored from the
+    # gate methods' own `o.get(...)` fallbacks. Conflict checks must
+    # compare against the EFFECTIVE build value (default included): an
+    # index built with default k plus a caller passing a different k is
+    # exactly the silent mismatch the guard exists for (ADVICE r8 — the
+    # old `opts.get(s, caller_value)` compared the caller to itself).
+    _STRUCTURAL_DEFAULTS = {"k": SHINGLE_K, "gram_n": 16, "content_cols": None}
+
+    def effective_structural(self, name: str):
+        """The structural option value the index DATA was actually built
+        with, defaults applied (``content_cols`` resolves to the digest
+        column list, i.e. ``[text_col]`` when unset)."""
+        v = self.opts.get(name, self._STRUCTURAL_DEFAULTS[name])
+        if name == "content_cols":
+            return list(v) if v else [self.text_col]
+        return v
 
     def gate(
         self,
@@ -231,7 +301,9 @@ class DedupGateIndex:
         gram index holds — a candidate whose container text is missing
         drops out of the inner verify join and its batch doc would be
         silently ADMITTED; keep the corpus table and the index appended
-        in the same sink transaction."""
+        in the same sink transaction. Pass ``assert_coverage=True`` to
+        enforce the contract per gate call (cheap ids-only anti-join;
+        raises instead of admitting on a coverage miss)."""
         bad = set(gate_opts) - self._GATE_OPTS
         if bad:
             raise ValueError(
@@ -248,6 +320,33 @@ class DedupGateIndex:
                 )
             from .dedup import contained_in_corpus
 
+            if gate_opts.get("assert_coverage"):
+                # the docstring contract, ENFORCED (r8 VERDICT wrong #2):
+                # an index container id with no corpus_docs row silently
+                # drops out of the verify join and its batch doc is
+                # ADMITTED — turn that false-negative into an error.
+                # ids-only: distinct container ids anti-joined against
+                # corpus ids, nothing touches text.
+                missing = (
+                    t["grams"]
+                    .select(F.col("doc_b").alias(id_col))
+                    .distinct()
+                    .join(
+                        corpus_docs.select(id_col).distinct(),
+                        id_col,
+                        "left_anti",
+                    )
+                )
+                sample = [r[0] for r in missing.limit(5).collect()]
+                if sample:
+                    raise ValueError(
+                        f"containment coverage violation: gram index "
+                        f"{self.path} holds container ids missing from "
+                        f"corpus_docs (sample: {sample}) — their batch "
+                        "duplicates would be silently admitted; keep the "
+                        "corpus table and the index appended in the same "
+                        "sink transaction"
+                    )
             return contained_in_corpus(
                 batch_df,
                 corpus_docs,

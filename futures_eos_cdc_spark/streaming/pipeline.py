@@ -283,14 +283,21 @@ def dedup_gate_writer(
             )
         # structural options are baked into the index data; an explicit
         # conflicting override here would silently gate against tables
-        # built with different parameters — fail loudly instead
+        # built with different parameters — fail loudly instead. Compare
+        # against the index's EFFECTIVE build value (defaults included):
+        # an index built with the default k plus a caller passing k=9 is
+        # exactly the silent mismatch this guard documents (ADVICE r8 —
+        # the old `opts.get(s, opts[s])` was vacuous for absent keys).
         structural = set(opts) & DedupGateIndex._STRUCTURAL_OPTS
         for s in structural:
-            if corpus_index.opts.get(s, opts[s]) != opts[s]:
+            built = corpus_index.effective_structural(s)
+            asked = opts[s]
+            if s == "content_cols":
+                asked = list(asked) if asked else [text_col]
+            if built != asked:
                 raise ValueError(
                     f"option {s}={opts[s]!r} conflicts with the index's "
-                    f"build-time {s}={corpus_index.opts.get(s)!r} "
-                    f"({corpus_index.path})"
+                    f"build-time {s}={built!r} ({corpus_index.path})"
                 )
         gate_opts = {
             k_: v for k_, v in opts.items()

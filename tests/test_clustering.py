@@ -155,3 +155,21 @@ def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
 
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "reliable checkpoint wrote no files"
+
+
+def test_scheme_free_strips_authority():
+    """ADVICE r8: hdfs://-style URIs must lose the //host:port authority
+    too, or a caller's plain path never matches the qualified live
+    checkpoint dir and every call re-runs setCheckpointDir (UUID-subdir
+    churn)."""
+    from futures_eos_cdc_spark.operators.clustering import _scheme_free
+
+    assert _scheme_free("/ckpt") == "/ckpt"
+    assert _scheme_free("file:/ckpt") == "/ckpt"
+    assert _scheme_free("file:///ckpt") == "/ckpt"
+    assert _scheme_free("hdfs://nn:8020/ckpt") == "/ckpt"
+    assert _scheme_free("hdfs://nn:8020") == "/"
+    assert _scheme_free("s3a://bucket/a/b") == "/a/b"
+    # relative paths and colon-bearing TAILS are untouched
+    assert _scheme_free("rel/dir") == "rel/dir"
+    assert _scheme_free("/dir/with:colon") == "/dir/with:colon"

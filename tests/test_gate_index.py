@@ -166,6 +166,140 @@ def test_containment_index_accelerated_writer_matches_batch(spark, sf_dir, tmp_p
     assert got == want
 
 
+def test_append_epoch_idempotent(spark, sf_dir, tmp_path):
+    """A retried foreachBatch epoch (same token) commits exactly once:
+    the second append is a no-op returning the first batch id, the
+    manifest gains no line, the index tables gain no rows, and the gate
+    output is unchanged (r8 VERDICT wrong #1)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "minhash")
+    survivors = idx.gate(batch)
+    assert survivors.count() > 0
+
+    bid1 = idx.append(survivors, token="stream-a/7")
+    lines_after_first = idx._manifest_rows()
+    rows_after_first = {
+        t: df.count() for t, df in idx.tables(spark).items()
+    }
+    gate_after_first = {r.doc_id for r in idx.gate(batch).collect()}
+
+    # the retry: same epoch token, same rows
+    bid2 = idx.append(survivors, token="stream-a/7")
+    assert bid2 == bid1
+    assert idx._manifest_rows() == lines_after_first
+    assert {t: df.count() for t, df in idx.tables(spark).items()} == rows_after_first
+    assert {r.doc_id for r in idx.gate(batch).collect()} == gate_after_first
+
+    # a DIFFERENT epoch is a genuine append
+    bid3 = idx.append(survivors, token="stream-a/8")
+    assert bid3 != bid1
+    assert len(idx._manifest_rows()) == len(lines_after_first) + 1
+
+    # token hygiene: stored as one manifest field
+    with pytest.raises(ValueError, match="whitespace-free"):
+        idx.append(survivors, token="epoch 9")
+
+
+def test_append_concurrent_writers_serialized(spark, sf_dir, tmp_path):
+    """Two concurrent appenders: both batches commit and become visible,
+    manifest seq numbers are dense and collision-free (the lease
+    serializes read-seq-then-append; r8 VERDICT wrong #1)."""
+    import threading
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    a = batch.filter(F.col("doc_id") % 2 == 0)
+    b = batch.filter(F.col("doc_id") % 2 == 1)
+
+    bids, errs = {}, []
+
+    def run(name, df):
+        try:
+            bids[name] = idx.append(df, token=f"w-{name}/0")
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run, args=(n, d)) for n, d in [("a", a), ("b", b)]]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    rows = idx._manifest_rows()
+    assert len(rows) == 3  # build + both appends
+    seqs = [int(r[0]) for r in rows]
+    assert seqs == list(range(3))  # dense, no read-then-append collision
+    committed = idx._committed()
+    assert bids["a"] in committed and bids["b"] in committed
+    # both batches visible: re-gating the full batch admits nothing
+    assert idx.gate(batch).count() == 0
+
+
+def test_containment_coverage_contract_enforced(spark, sf_dir, tmp_path):
+    """assert_coverage=True turns the documented corpus⊇index contract
+    into an error: a container id present in the gram index but missing
+    from corpus_docs raises instead of silently admitting its duplicates
+    (r8 VERDICT wrong #2)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "cont"), "containment")
+
+    # full corpus: the check passes and the gate result is unchanged
+    want = {r.doc_id for r in idx.gate(batch, corpus_docs=corpus).collect()}
+    got = {
+        r.doc_id
+        for r in idx.gate(batch, corpus_docs=corpus, assert_coverage=True).collect()
+    }
+    assert got == want
+
+    # drop some indexed containers from the corpus table → loud failure
+    holey = corpus.filter(F.col("doc_id") % 3 != 0)
+    with pytest.raises(ValueError, match="coverage violation"):
+        idx.gate(batch, corpus_docs=holey, assert_coverage=True)
+    # ...which is exactly the silent-admission case without the flag
+    admitted_with_hole = {
+        r.doc_id for r in idx.gate(batch, corpus_docs=holey).collect()
+    }
+    assert admitted_with_hole >= want
+
+
+def test_structural_guard_catches_default_built_index(spark, sf_dir, tmp_path):
+    """ADVICE r8: an index built with DEFAULT structural options must
+    still conflict with a caller passing a different explicit value (the
+    old guard compared the caller's value to itself when the build-time
+    opts lacked the key)."""
+    from futures_eos_cdc_spark.operators.dedup import SHINGLE_K
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "m"), "minhash")  # default k
+    assert idx.effective_structural("k") == SHINGLE_K
+    with pytest.raises(ValueError, match="conflicts with the index"):
+        dedup_gate_writer(
+            "minhash", lambda df, e: None, corpus_index=idx, k=SHINGLE_K + 2
+        )
+    # matching the effective default is NOT a conflict
+    w = dedup_gate_writer(
+        "minhash", lambda df, e: None, corpus_index=idx, k=SHINGLE_K
+    )
+    w(batch, 0)
+
+    cidx = DedupGateIndex.build(
+        corpus, str(tmp_path / "c"), "containment"
+    )  # default gram_n=16
+    assert cidx.effective_structural("gram_n") == 16
+    with pytest.raises(ValueError, match="conflicts with the index"):
+        dedup_gate_writer(
+            "containment", lambda df, e: None, corpus=corpus,
+            corpus_index=cidx, gram_n=8,
+        )
+    eidx = DedupGateIndex.build(corpus, str(tmp_path / "e"), "exact")
+    assert eidx.effective_structural("content_cols") == ["text"]
+    with pytest.raises(ValueError, match="conflicts with the index"):
+        dedup_gate_writer(
+            "exact", lambda df, e: None, corpus_index=eidx,
+            content_cols=["text", "doc_id"],
+        )
+
+
 def test_api_validation(spark, sf_dir, tmp_path):
     batch, corpus = _split(_docs(spark, sf_dir))
     with pytest.raises(ValueError, match="expected one of"):
