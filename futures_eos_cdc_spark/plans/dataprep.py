@@ -549,6 +549,87 @@ def q_cosine_topk_q8(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return brute_force_topk_q8(e, e.filter(F.col("vec_id") < 5), k=3)
 
 
+Q8_RERANK_M = 10  # quantized band width fed to the exact re-rank (m > k)
+
+# the ladder's second rung: quantized top-m band -> exact re-rank to top-k.
+# The oracle replays both rungs: SQ8 quantization + integer-cosine band
+# selection (identical to COSINE_TOPK_Q8_ORACLE at rank <= m), then the
+# full-precision cosine re-score of ONLY the band rows.
+COSINE_TOPK_Q8_RERANK_ORACLE = f"""
+WITH eq AS (
+  SELECT vec_id,
+    embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS s
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+    CASE WHEN s = 0
+      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      ELSE list_transform(embedding, x ->
+        CAST(least(127.0, greatest(-127.0, floor(CAST(x AS DOUBLE) / s))) AS BIGINT))
+    END AS q
+  FROM eq
+),
+pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, a.q AS q_a, b.q AS q_b
+  FROM qv a JOIN qv b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+qscored AS (
+  SELECT q_id, c_id,
+    CAST(list_reduce(list_transform(range(1, len(q_a) + 1),
+        i -> q_a[i] * q_b[i]), (x, y) -> x + y) AS DOUBLE)
+    / (sqrt(CAST(list_reduce(list_transform(range(1, len(q_a) + 1),
+          i -> q_a[i] * q_a[i]), (x, y) -> x + y) AS DOUBLE))
+       * sqrt(CAST(list_reduce(list_transform(range(1, len(q_b) + 1),
+           i -> q_b[i] * q_b[i]), (x, y) -> x + y) AS DOUBLE)))
+    AS q8_cosine
+  FROM pairs
+),
+band AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY q8_cosine DESC, c_id) AS r
+    FROM qscored
+  ) WHERE r <= {Q8_RERANK_M}
+),
+exact AS (
+  SELECT band.q_id, band.c_id,
+    list_reduce(list_transform(range(1, len(q.embedding) + 1),
+      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+    AS cosine
+  FROM band
+  JOIN embeddings q ON q.vec_id = band.q_id
+  JOIN embeddings c ON c.vec_id = band.c_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM exact
+)
+SELECT q_id, c_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_cosine_topk_q8_rerank(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The full SQ8 ladder (r8 VERDICT missing #2 / next #3): quantized
+    top-{m} band selection over the bandwidth-reduced int8 scan, then
+    exact full-precision re-rank of only the band rows to top-k (see
+    operators/similarity.py:brute_force_topk_q8_rerank for the two-rung
+    scale shape; recall vs the exact top-k is measured in
+    tests/test_dataprep_ops.py and recorded in BENCH_NOTES)."""
+    from ..operators.similarity import brute_force_topk_q8_rerank
+
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    return brute_force_topk_q8_rerank(
+        e, e.filter(F.col("vec_id") < 5), k=3, m=Q8_RERANK_M
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only (engine-specific) queries: ANN, embedding near-dup, multimodal
 # ---------------------------------------------------------------------------

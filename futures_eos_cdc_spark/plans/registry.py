@@ -1103,6 +1103,8 @@ QUERIES["bpe_token_blocks"] = _bind(_dp.q_bpe_token_blocks)
 ORACLES["bpe_token_blocks"] = _dp.BPE_TOKEN_BLOCKS_ORACLE
 QUERIES["cosine_topk_q8"] = _bind(_dp.q_cosine_topk_q8)
 ORACLES["cosine_topk_q8"] = _dp.COSINE_TOPK_Q8_ORACLE
+QUERIES["cosine_topk_q8_rerank"] = _bind(_dp.q_cosine_topk_q8_rerank)
+ORACLES["cosine_topk_q8_rerank"] = _dp.COSINE_TOPK_Q8_RERANK_ORACLE
 QUERIES["hybrid_rrf_retrieval"] = _bind(_dp.q_hybrid_rrf)
 ORACLES["hybrid_rrf_retrieval"] = _dp.HYBRID_RRF_ORACLE
 QUERIES["bpe_subword_vocab"] = _bind(_dp.q_bpe_subword_vocab)

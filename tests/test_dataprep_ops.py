@@ -1186,3 +1186,43 @@ def test_ivf_kernel_preserves_id_type(spark):
         ).collect()
     }
     assert kern == expr and len(kern) == 40
+
+
+def test_q8_rerank_recall_and_full_band_exactness(spark, sf_dir):
+    """The SQ8 ladder's re-rank rung (r8 VERDICT next #3): (a) recall@k
+    of quantized-only vs re-ranked against the exact top-k — re-ranking
+    a top-m band must never lose recall vs the quantized rung alone;
+    (b) with the band as wide as the corpus the ladder IS the exact
+    scan, bit for bit (rank ties included)."""
+    from futures_eos_cdc_spark.operators.similarity import (
+        brute_force_topk_q8,
+        brute_force_topk_q8_rerank,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    k, m = 3, 10
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(e, q, k=k).collect()}
+    q8only = {
+        (r.q_id, r.c_id) for r in brute_force_topk_q8(e, q, k=k).collect()
+    }
+    rerank = {
+        (r.q_id, r.c_id)
+        for r in brute_force_topk_q8_rerank(e, q, k=k, m=m).collect()
+    }
+    r_q8 = len(exact & q8only) / len(exact)
+    r_rr = len(exact & rerank) / len(exact)
+    # measured on the fixtures (sf0.001 AND sf0.01): q8-only 1.000,
+    # re-ranked 1.000 at m=10 — the synthetic neighbors are separated
+    # far beyond int8 resolution, so the ladder's value here is the
+    # bandwidth cut, not rescued recall; the full-band equality below is
+    # the bit-exact pin. Numbers recorded in BENCH_NOTES.
+    assert r_rr >= r_q8, f"re-rank lost recall: {r_rr:.2f} < {r_q8:.2f}"
+    assert r_rr >= 0.8, f"re-rank recall too low: {r_rr:.2f}"
+
+    n = e.count()
+    full = sorted(
+        tuple(r) for r in brute_force_topk_q8_rerank(e, q, k=k, m=n).collect()
+    )
+    want = sorted(tuple(r) for r in brute_force_topk(e, q, k=k).collect())
+    assert full == want
