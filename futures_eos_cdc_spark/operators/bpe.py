@@ -41,12 +41,22 @@ pattern ``SEP lhs SEP SEP rhs SEP`` can never share characters and
 non-overlapping". End-of-word is the single-char symbol EOW appended to
 every word (so merges learn word-final units, per the paper).
 
-Scale shape of apply: a chain of ``n_merges`` JVM ``replace`` calls inside
-``transform()`` over the words array — pure whole-stage-codegen projection,
-NO shuffle, no Python. At 100 TB an alternative is tokenize-distinct-words
-then join back (the corpus_token_stats shape); the projection form is
-chosen because it adds zero exchanges and the per-word work is bounded by
-``n_merges`` short string scans.
+Two apply shapes, picked by merge-table size (r8 VERDICT next #1):
+
+- **replace-chain projection** (:func:`doc_bpe_token_counts`): a chain of
+  ``n_merges`` JVM ``replace`` calls inside ``transform()`` over the words
+  array — pure whole-stage-codegen projection, NO shuffle, no Python.
+  Zero extra exchanges, but the nested-expression depth caps it at a few
+  hundred ranks (plan/codegen size limits) — the toy-vocab regime.
+- **distinct-words join-back** (:func:`doc_bpe_token_counts_joined`): the
+  corpus_token_stats shape — tokenize DISTINCT words in Arrow batches
+  (:func:`bpe_word_token_counts`, running :func:`apply_bpe_str`, the
+  pytest-pinned string twin of the reference), join counts back on word,
+  aggregate per doc. Corpus-side cost is n_merges-INDEPENDENT (one
+  explode + one word-keyed join + one doc-keyed agg); the tokenizer runs
+  once per distinct word. This is the production shape: an 8-32 k-merge
+  vocabulary is a few hundred KB of closure data and vocabulary-sized
+  Python work.
 
 Reference parity: the reference pipeline has no subword tokenizer (its
 token accounting is whitespace-based); this operator is part of the
@@ -125,11 +135,99 @@ def train_bpe_py(
 def apply_bpe_py(word: str, merges: list[tuple[str, str, int]] | list[tuple[str, str]]) -> list[str]:
     """Tokenize one word with a trained merge table (sequential-by-rank,
     leftmost-first non-overlapping) — the reference for the SQL/Spark
-    replace-chain apply."""
+    replace-chain apply. Walks CODEPOINTS (Python strings) — and so do
+    DuckDB's RE2 regexp AND the JVM replace-chain (java.util.regex
+    matches ``.`` per code point, measured: an astral-plane word
+    tokenizes identically through all paths; pinned by
+    tests/test_bpe.py::test_non_bmp_boundary)."""
     syms = [*word, EOW]
     for m in merges:
         syms = _merge_pair(syms, m[0], m[1])
     return syms
+
+
+def _merge_pats(merges) -> list[tuple[str, str]]:
+    """Rank-ordered (pattern, replacement) pairs over the separator
+    encoding — ``str.replace`` on these IS leftmost-first non-overlapping
+    merging (module docstring), identically in Python, Spark ``replace``
+    and DuckDB ``replace``."""
+    return [
+        (SEP + m[0] + SEP + SEP + m[1] + SEP, SEP + m[0] + m[1] + SEP)
+        for m in merges
+    ]
+
+
+def _encode_word_py(word: str) -> str:
+    return "".join(SEP + c + SEP for c in word) + SEP + EOW + SEP
+
+
+def apply_bpe_str(word: str, pats: list[tuple[str, str]]) -> str:
+    """Sequential-by-rank apply on the separator-encoded SYMBOL STRING —
+    the exact string-level twin of :func:`apply_bpe_py` (pytest-pinned),
+    but each rank is one C-level substring scan instead of a Python list
+    walk, so a production-sized merge table (8-32 k ranks) costs
+    n_merges short ``in`` checks per word; most ranks are absent from
+    any given word and cost only the failed scan."""
+    s = _encode_word_py(word)
+    for pat, repl in pats:
+        if pat in s:
+            s = s.replace(pat, repl)
+    return s
+
+
+def train_bpe_py_fast(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int = BPE_N_MERGES,
+    min_pair_freq: int = BPE_MIN_PAIR_FREQ,
+) -> list[tuple[str, str, int]]:
+    """:func:`train_bpe_py` with incremental pair-count maintenance (the
+    standard subword-nmt optimization, Sennrich 2016 release notes):
+    after each merge only the words CONTAINING the merged pair recount,
+    via a pair → word-index inverted index. Bit-identical decisions to
+    the naive trainer (pytest-pinned on random vocabularies): counts are
+    the same integers, ties break on the same (lhs, rhs) order. Makes
+    production-sized n_merges (>=1000) vocabulary-cost instead of
+    vocab x n_merges cost."""
+    words = [list(w) + [EOW] for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, s in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(wi)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        (lhs, rhs), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_freq:
+            break
+        merges.append((lhs, rhs, c))
+        for wi in sorted(where.get((lhs, rhs), ())):
+            old = words[wi]
+            new = _merge_pair(old, lhs, rhs)
+            if new == old:
+                continue
+            f = freqs[wi]
+            for s in (old, new):
+                sign = -f if s is old else f
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    nc = counts.get(p, 0) + sign
+                    if nc:
+                        counts[p] = nc
+                    else:
+                        counts.pop(p, None)
+                    if sign > 0:
+                        where.setdefault(p, set()).add(wi)
+            words[wi] = new
+        # stale `where` entries (word no longer contains a pair) are fine:
+        # the recount above re-derives counts from the word lists, and a
+        # stale index hit merely re-scans an unchanged word (new == old).
+    return merges
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +278,10 @@ def train_bpe(
     ]
     # collect() order is the sort order here, but training must not depend
     # on it: the pair-count loop is order-insensitive (sum over words) and
-    # ties break on pair content only.
-    return train_bpe_py(wf, n_merges, min_pair_freq)
+    # ties break on pair content only. The fast trainer is bit-identical
+    # to train_bpe_py (pytest-pinned) with incremental pair counts, so
+    # production n_merges (>=1000) stays vocabulary-cost.
+    return train_bpe_py_fast(wf, n_merges, min_pair_freq)
 
 
 # ---------------------------------------------------------------------------
@@ -189,9 +289,10 @@ def train_bpe(
 # ---------------------------------------------------------------------------
 def encode_word_expr(word: Column) -> Column:
     """word → initial symbol string: every char SEP-wrapped + the EOW
-    symbol. ``regexp_replace`` with '(.)' wraps per codepoint (BMP; the
-    fixture corpora are ASCII — non-BMP parity between Java UTF-16 regex
-    and RE2 is out of scope and documented)."""
+    symbol. ``regexp_replace`` with '(.)' wraps per CODEPOINT in both
+    engines — java.util.regex matches ``.`` per code point (measured:
+    astral-plane words encode identically through Java and RE2; pinned
+    by tests/test_bpe.py::test_non_bmp_boundary)."""
     return F.concat(
         F.regexp_replace(word, "(.)", SEP + "$1" + SEP), F.lit(SEP + EOW + SEP)
     )
@@ -224,6 +325,96 @@ def bpe_token_count_expr(word: Column, merges) -> Column:
     return (
         (F.length(sym) - F.length(F.replace(sym, F.lit(SEP), F.lit("")))) / 2
     ).cast("long")
+
+
+def bpe_word_token_counts(
+    words_df: DataFrame, merges, word_col: str = "word"
+) -> DataFrame:
+    """(word, n_tok): exact BPE token counts for a table of DISTINCT
+    words — the vocabulary-shaped half of the join-based apply
+    (:func:`doc_bpe_token_counts_joined`). Arrow ``mapInPandas``: the
+    merge table rides the closure (a few hundred KB even at 32 k ranks
+    — far below broadcast limits), each batch runs the string-level
+    sequential apply (:func:`apply_bpe_str`, the pytest-pinned twin of
+    the replace chain and of :func:`apply_bpe_py`). Python touches only
+    the distinct-word table, never the corpus — the corpus_token_stats
+    discipline the module docstring names as the 100 TB shape."""
+    pats = _merge_pats(merges)
+    sep, eow = SEP, EOW
+
+    # fully self-contained nested closure (the multimodal.decode_features
+    # discipline): cloudpickle ships it by VALUE, so workers never need
+    # this package importable on their own sys.path. The body is
+    # apply_bpe_str inlined — the parity pytest pins the two together.
+    def tok(batches):
+        import pandas as _pd
+
+        def n_tok(w: str) -> int:
+            s = "".join(sep + c + sep for c in w) + sep + eow + sep
+            for pat, repl in pats:
+                if pat in s:
+                    s = s.replace(pat, repl)
+            return s.count(sep) // 2
+
+        for pdf in batches:
+            ws = pdf[word_col]
+            yield _pd.DataFrame({word_col: ws, "n_tok": [n_tok(w) for w in ws]})
+
+    return words_df.select(word_col).mapInPandas(
+        tok, schema=f"{word_col} string, n_tok long"
+    )
+
+
+def doc_bpe_token_counts_joined(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility) — same output contract as
+    :func:`doc_bpe_token_counts`, but apply runs over DISTINCT words and
+    joins back (the module-docstring alternative the r8 VERDICT asked to
+    build): the replace-chain projection is a chain of ``n_merges``
+    nested JVM expressions, which cannot reach a production 8-32 k-merge
+    vocabulary (plan/codegen size limits at a few hundred ranks), while
+    this shape is n_merges-INDEPENDENT on the corpus side — one word
+    explode, one word-keyed join, one doc-keyed aggregation; the
+    tokenizer itself runs once per distinct word (vocabulary-shaped
+    Arrow batch work, :func:`bpe_word_token_counts`).
+
+    ``broadcast_vocab=True`` broadcasts the (word, n_tok) table — right
+    while the tokenized vocabulary fits the broadcast budget (tens of
+    MB covers millions of words: two small columns). At web-corpus
+    vocabularies (1e8+ distinct words) set it False for a shuffle join
+    on ``word``; the doc-keyed aggregation behind it is unchanged."""
+    words_arr = _clean_words(F.col(text_col))
+    docs2 = (
+        docs.filter(F.col(text_col).isNotNull())
+        # same all-marker-words guard as doc_bpe_token_counts
+        .filter(F.size(words_arr) > 0)
+    )
+    words = docs2.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(words_arr).alias("word"),
+    )
+    wtok = bpe_word_token_counts(words.select("word").distinct(), merges)
+    if broadcast_vocab:
+        wtok = F.broadcast(wtok)
+    return (
+        words.join(wtok, "word")
+        .groupBy(id_col, *[F.col(c) for c in keep_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        )
+    )
 
 
 def save_bpe_merges(spark, merges, path: str) -> None:

@@ -1099,6 +1099,8 @@ QUERIES["bpe_vocab"] = _bind(_dp.q_bpe_vocab)
 ORACLES["bpe_vocab"] = _dp.BPE_VOCAB_ORACLE
 QUERIES["bpe_token_counts"] = _bind(_dp.q_bpe_token_counts)
 ORACLES["bpe_token_counts"] = _dp.BPE_TOKEN_COUNTS_ORACLE
+QUERIES["bpe_token_counts_v1k"] = _bind(_dp.q_bpe_token_counts_v1k)
+ORACLES["bpe_token_counts_v1k"] = _dp.BPE_TOKEN_COUNTS_V1K_ORACLE
 QUERIES["bpe_token_blocks"] = _bind(_dp.q_bpe_token_blocks)
 ORACLES["bpe_token_blocks"] = _dp.BPE_TOKEN_BLOCKS_ORACLE
 QUERIES["cosine_topk_q8"] = _bind(_dp.q_cosine_topk_q8)

@@ -204,3 +204,149 @@ def test_subword_vocab_mass_equals_corpus_token_count(spark, sf_dir):
         q_bpe_token_counts(spark, sf_dir, _t).agg(F.sum("n_tokens")).collect()[0][0]
     )
     assert vocab_mass == corpus_tokens > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 9: production-shaped apply (r8 VERDICT next #1) + boundary pins
+# ---------------------------------------------------------------------------
+def test_fast_trainer_matches_naive():
+    """train_bpe_py_fast (incremental pair counts) makes bit-identical
+    decisions to the naive recount trainer on random vocabularies —
+    counts, tie-breaks, and exhaustion point included."""
+    import random
+
+    from futures_eos_cdc_spark.operators.bpe import train_bpe_py_fast
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        vocab = sorted(
+            {
+                "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 12)))
+                for _ in range(150)
+            }
+        )
+        wf = [(w, rng.randint(1, 9)) for w in vocab]
+        assert train_bpe_py_fast(wf, n_merges=80) == train_bpe_py(
+            wf, n_merges=80
+        ), trial
+
+
+def test_apply_str_matches_apply_py():
+    """The string-level sequential apply (the Arrow batch body) is the
+    exact twin of the list-level reference on every trained word."""
+    import random
+
+    from futures_eos_cdc_spark.operators.bpe import (
+        SEP,
+        _merge_pats,
+        apply_bpe_str,
+        train_bpe_py_fast,
+    )
+
+    rng = random.Random(99)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 14)))
+            for _ in range(250)
+        }
+    )
+    wf = [(w, rng.randint(1, 9)) for w in vocab]
+    merges = train_bpe_py_fast(wf, n_merges=300)
+    pats = _merge_pats(merges)
+    for w in vocab:
+        toks = [t for t in apply_bpe_str(w, pats).split(SEP) if t]
+        assert toks == apply_bpe_py(w, merges), w
+
+
+def test_join_apply_matches_replace_chain_on_fixture(spark, sf_dir):
+    """The distinct-words + Arrow join-back apply produces the SAME
+    doc-level counts as the JVM replace-chain projection (same merges,
+    same corpus) — two plans, one answer."""
+    from futures_eos_cdc_spark.operators.bpe import doc_bpe_token_counts_joined
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs)
+    chain = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility"])
+        for r in doc_bpe_token_counts(docs, merges).collect()
+    }
+    joined = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility"])
+        for r in doc_bpe_token_counts_joined(docs, merges).collect()
+    }
+    assert chain == joined
+
+
+def test_join_apply_at_1000_merges(spark):
+    """The r8 VERDICT's headline ask: the join-based apply works with a
+    PRODUCTION-sized merge table (>=1000 REAL learned merges — the
+    driver fixture's 31-word vocabulary exhausts at ~106, so this builds
+    a synthetic vocabulary rich enough to train past 1000), and the
+    distributed counts match the pure-Python reference exactly. The
+    replace-chain form is structurally incapable of this depth (a
+    1000-deep nested replace exceeds plan/codegen limits) — that is the
+    point of the second shape."""
+    import random
+
+    from futures_eos_cdc_spark.operators.bpe import (
+        doc_bpe_token_counts_joined,
+        train_bpe_py_fast,
+    )
+
+    rng = random.Random(20260815)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(10))
+            for _ in range(400)
+        }
+    )
+    wf = [(w, 2 + i % 5) for i, w in enumerate(vocab)]
+    merges = train_bpe_py_fast(wf, n_merges=5000)
+    assert len(merges) >= 1000, len(merges)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in doc_bpe_token_counts_joined(docs, merges).collect()
+    }
+    for row in docs.collect():
+        ws = row["text"].strip().lower().split()
+        want = (len(ws), sum(len(apply_bpe_py(w, merges)) for w in ws))
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_non_bmp_boundary(spark):
+    """Pin the non-BMP boundary with evidence (r8 VERDICT next #7). The
+    r8 concern was that Java regex would walk UTF-16 units and split an
+    astral-plane word into surrogate halves; MEASURED, it does not —
+    java.util.regex matches ``.`` per CODE POINT, so the JVM
+    replace-chain encode, the pure-Python reference, the Arrow join
+    apply, and DuckDB's RE2 all agree on astral words: one symbol per
+    emoji. All three engine paths verified equal here, tokens included."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        bpe_token_count_expr,
+        bpe_tokens_expr,
+        bpe_word_token_counts,
+    )
+
+    word = "ab\U0001F600"  # 3 codepoints, 4 UTF-16 units
+    merges: list[tuple[str, str, int]] = []  # no merges: counts = symbols
+    row = (
+        spark.range(1)
+        .select(
+            bpe_token_count_expr(F.lit(word), merges).alias("n"),
+            bpe_tokens_expr(F.lit(word), merges).alias("toks"),
+        )
+        .collect()[0]
+    )
+    want = apply_bpe_py(word, merges)  # ['a', 'b', '😀', EOW]
+    assert len(want) == 4
+    assert row["n"] == 4 and list(row["toks"]) == want
+
+    arrow = bpe_word_token_counts(
+        spark.createDataFrame([(word,)], "word string"), merges
+    ).collect()[0]["n_tok"]
+    assert arrow == 4
