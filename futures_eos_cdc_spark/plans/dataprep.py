@@ -3607,26 +3607,37 @@ FROM ranked WHERE rank <= {HYBRID_TOPK}
 """
 
 
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
-    """Hybrid retrieval: BM25 (lexical, the query doc's distinct terms —
-    the "more-like-this" shape) and exact cosine (semantic, the query
-    doc's embedding) each produce a top-{HYBRID_DEPTH} list per query doc
-    (ids < 5, self excluded); Reciprocal Rank Fusion merges them
-    (Σ 1/({RRF_K}+rank) over the lists a candidate appears in) — the
-    standard hybrid-search combiner, used in dedup/eval-mining pipelines
-    because lexical and embedding retrieval miss DIFFERENT duplicates.
+def hybrid_rrf_frame(
+    docs: DataFrame, e: DataFrame, semantic: str = "exact", **sem_kwargs
+) -> DataFrame:
+    """The hybrid-retrieval operator behind q_hybrid_rrf, with the
+    semantic side selectable (r8 VERDICT next #5):
 
-    Scale shape: inherits q_bm25_topk's query-bounded-df plan on the
-    lexical side and brute_force_topk's broadcast-queries scan on the
-    semantic side (swap in ann_topk_ivf/_lsh at corpus scale); fusion
-    itself touches only 2x{HYBRID_DEPTH} rows per query. Determinism:
-    both input ranks are deterministic, the fused score is two fixed-order
-    IEEE additions, ties break on doc id. Assumes documents.doc_id and
-    embeddings.vec_id identify the same corpus (the fixture's contract).
-    """
-    docs = spread(_t(spark, sf_dir, "documents"))
-    e = spread(_t(spark, sf_dir, "embeddings"))
-    from ..operators.similarity import brute_force_topk
+    - ``semantic="exact"`` — brute_force_topk, the oracle-checkable form
+      and the correct one while the corpus scan is affordable;
+    - ``semantic="ivf"`` — ann_topk_ivf (``sem_kwargs`` forwarded:
+      n_cells/nprobe/centroids/...), the corpus-scale form: the semantic
+      side probes nprobe/n_cells of the corpus instead of scanning it.
+      Fused recall vs the exact hybrid is measured in
+      tests/test_dataprep_ops.py and BENCH_SCALING (the lexical side and
+      the fusion are IDENTICAL in both forms, so fused degradation is
+      bounded by the ANN rung's own recall).
+
+    Queries are the fixture-contract ids < 5 (documents.doc_id ≡
+    embeddings.vec_id); lexical side is the query doc's distinct terms
+    (more-like-this), fusion is Reciprocal Rank Fusion."""
+    from ..operators.similarity import ann_topk_ivf, brute_force_topk
+
+    if semantic == "exact":
+        sem_topk = brute_force_topk(
+            e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH, **sem_kwargs
+        )
+    elif semantic == "ivf":
+        sem_topk = ann_topk_ivf(
+            e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH, **sem_kwargs
+        )
+    else:
+        raise ValueError(f"semantic={semantic!r}; expected 'exact' or 'ivf'")
 
     toks_q = (
         docs.filter(F.col("doc_id") < 5)
@@ -3643,7 +3654,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         .filter(F.col("r") <= HYBRID_DEPTH)
         .select("query_id", "doc_id", F.col("r").alias("r_lex"))
     )
-    sem = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH).select(
+    sem = sem_topk.select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("doc_id"),
         F.col("rank").alias("r_sem"),
@@ -3674,3 +3685,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical, the query doc's distinct terms —
+    the "more-like-this" shape) and exact cosine (semantic, the query
+    doc's embedding) each produce a top-{HYBRID_DEPTH} list per query doc
+    (ids < 5, self excluded); Reciprocal Rank Fusion merges them
+    (Σ 1/({RRF_K}+rank) over the lists a candidate appears in) — the
+    standard hybrid-search combiner, used in dedup/eval-mining pipelines
+    because lexical and embedding retrieval miss DIFFERENT duplicates.
+
+    Scale shape: inherits q_bm25_topk's query-bounded-df plan on the
+    lexical side and brute_force_topk's broadcast-queries scan on the
+    semantic side; at corpus scale :func:`hybrid_rrf_frame` swaps the
+    semantic side to ann_topk_ivf (``semantic="ivf"``, r8 VERDICT next
+    #5 — fused recall measured in tests + BENCH_SCALING); the exact form
+    stays the oracle query. Fusion itself touches only 2x{HYBRID_DEPTH}
+    rows per query. Determinism: both input ranks are deterministic, the
+    fused score is two fixed-order IEEE additions, ties break on doc id.
+    Assumes documents.doc_id and embeddings.vec_id identify the same
+    corpus (the fixture's contract).
+    """
+    docs = spread(_t(spark, sf_dir, "documents"))
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    return hybrid_rrf_frame(docs, e, semantic="exact")

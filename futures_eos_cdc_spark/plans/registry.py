@@ -1122,89 +1122,71 @@ ORACLES["bpe_subword_vocab"] = _dp.BPE_SUBWORD_VOCAB_ORACLE
 # reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 0 — NEW this round (never had a driver row): the BPE family
-    # (r7 VERDICT item 1).
+    # Priority 0 — NEW this round (never had a driver row): the
+    # production-shaped BPE apply (r8 VERDICT next #1) and the SQ8
+    # re-rank rung (next #3).
+    "bpe_token_counts_v1k",
+    "cosine_topk_q8_rerank",
+    # Priority 1 — r8 VERDICT item 2's explicit list: newest row is r6;
+    # after r9 no query's newest row is older than r7.
+    "asof_join_purchases",
+    "cube_order_stats",
+    "distinct_aggregates",
+    "full_outer_reconciliation",
+    "gap_fill_price_grid",
+    "grouping_sets_revenue",
+    "market_price_lookup",
+    "moving_aggregates",
+    "order_price_histogram",
+    "order_value_percentiles",
+    "q22_idle_wealthy_customers",
+    "range_join_click_attribution",
+    "sessionize_events",
+    "skew_salted_aggregate",
+    "sliding_window_events",
+    "stratified_sample_per_lang",
+    "token_budget_mixture",
+    "train_val_test_split",
+    "window_functions",
+    # Priority 2 — implementation touched THIS round (bit-identical by
+    # design, but fresh rows prove it): train_bpe now routes through the
+    # incremental-pair-count trainer (whole BPE family), hybrid's body
+    # was factored into hybrid_rrf_frame, and cosine_topk_q8 shares the
+    # module the re-rank rung landed in.
     "bpe_vocab",
     "bpe_token_counts",
     "bpe_token_blocks",
-    "cosine_topk_q8",
-    "hybrid_rrf_retrieval",
     "bpe_subword_vocab",
-    # Priority 1 — r7 VERDICT item 2's explicit list: newest row is r5;
-    # after r8 no query's newest row is older than r6.
-    "approx_aggregates",
-    "cdc_customer_snapshot",
-    "corpus_token_stats",
-    "customers_without_orders",
-    "events_json_extract",
-    "global_shuffle_shards",
-    "mixture_resample",
-    "multimodal_features",
-    "pii_scrub",
-    "pivot_by_status",
-    "rollup_subtotals",
-    "scd2_customer_history",
-    "set_ops_priority_customers",
-    "signal_strength_histogram",
-    "simhash_hamming_near_dup",
-    "token_block_segments",
-    "token_blocks",
-    "top_customers_by_revenue",
-    "topk_per_group",
-    "zorder_layout_key",
-    # Priority 2 — implementation touched THIS round (bit-identical by
-    # design, but fresh rows prove it): the IVF family routes kernels on
-    # actual centroid width + magnitude-scaled re-score bands; semantic
-    # dedup's empty-path id typing; bm25's scoring core factored for
-    # hybrid reuse; containment's gram pass factored for the index.
-    "ann_cosine_ivf",
-    "embedding_kmeans_clusters",
-    "semantic_dedup_embeddings",
-    "bm25_topk_retrieval",
-    "doc_containment_dedup",
-    "containment_incremental_batch",
-    # Priority 3 — newest row is r6; rotate as many into the ~50-query
-    # window as fit (data-heavy / changed-adjacent first). The tail that
-    # misses keeps its r6 row AND every oracle-backed query is re-verified
-    # each session by tests/test_oracle_parity.py over the full ORACLES
-    # dict.
-    "ann_cosine_lsh",
-    "minhash_lsh_near_dup",
-    "neardup_incremental_batch",
-    "dedup_clusters",
-    "dedup_canonical_docs",
-    "dedup_incremental_batch",
-    "dedup_keep_rows",
-    "exact_dedup_keep_first",
-    "line_dedup_docs",
-    "duplicate_text_spans",
-    "ngram_jaccard_near_dup",
-    "simhash64_hamming_near_dup",
-    "simhash_buckets",
-    "quality_classifier_scores",
-    "doc_perplexity_scores",
-    "benchmark_contamination",
-    "corpus_clean_funnel",
-    "text_stats",
-    "token_budget_mixture",
-    "train_val_test_split",
-    "market_price_lookup",
-    "asof_join_purchases",
-    "sessionize_events",
-    "sliding_window_events",
-    "gap_fill_price_grid",
-    "skew_salted_aggregate",
-    "window_functions",
-    "moving_aggregates",
-    "full_outer_reconciliation",
-    "cube_order_stats",
-    "grouping_sets_revenue",
-    "distinct_aggregates",
-    "order_price_histogram",
-    "order_value_percentiles",
-    "range_join_click_attribution",
-    "stratified_sample_per_lang",
-    "q22_idle_wealthy_customers",
+    "hybrid_rrf_retrieval",
+    "cosine_topk_q8",
+    # Priority 3 — newest row is r7; rotate as many into the ~50-query
+    # window as fit (flagship + data-heavy + TPC-H spine first). The
+    # tail that misses keeps its r7 row AND every oracle-backed query is
+    # re-verified each session by tests/test_oracle_parity.py over the
+    # full ORACLES dict.
+    "signal_decisions",
+    "decision_records",
+    "orders_from_decisions",
+    "outbox_event_router",
+    "pagerank_near_dup",
+    "duplicate_span_removal",
+    "leakage_safe_split",
+    "ohlcv_candles",
+    "technical_indicators",
+    "tfidf_top_terms",
+    "decontaminate_docs",
+    "doc_chunks",
+    "domain_cap_sample",
+    "quality_weighted_sample",
+    "fuzzy_join_part_names",
+    "doc_repetition_stats",
+    "embedding_near_dup",
+    "cosine_topk_bruteforce",
+    "q1_pricing_summary",
+    "q9_profit_by_nation",
+    "q18_large_volume_orders",
+    "q21_sole_blame_suppliers",
+    "cohort_retention",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -1226,3 +1226,34 @@ def test_q8_rerank_recall_and_full_band_exactness(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in brute_force_topk(e, q, k=k).collect())
     assert full == want
+
+
+def test_hybrid_rrf_ivf_semantic_side(spark, sf_dir):
+    """The corpus-scale hybrid form (r8 VERDICT next #5): swapping the
+    semantic side from the exact scan to IVF (nprobe=8/16) keeps the
+    fused result close to the exact hybrid — the lexical half and the
+    fusion are identical code, so degradation is bounded by the ANN
+    rung's own recall (~0.83 at this probe fraction on this fixture,
+    see test_ivf_recall_vs_brute_force)."""
+    from futures_eos_cdc_spark.plans.dataprep import hybrid_rrf_frame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = _emb(spark, sf_dir)
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_rrf_frame(docs, e, semantic="exact").collect()
+    }
+    ivf = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_rrf_frame(
+            docs, e, semantic="ivf", n_cells=16, nprobe=8
+        ).collect()
+    }
+    assert len(exact) > 0
+    fused_recall = len(exact & ivf) / len(exact)
+    assert fused_recall >= 0.8, f"fused recall too low: {fused_recall:.2f}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="expected 'exact' or 'ivf'"):
+        hybrid_rrf_frame(docs, e, semantic="lsh")
