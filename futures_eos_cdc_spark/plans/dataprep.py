@@ -3621,7 +3621,14 @@ def hybrid_rrf_frame(
       Fused recall vs the exact hybrid is measured in
       tests/test_dataprep_ops.py and BENCH_SCALING (the lexical side and
       the fusion are IDENTICAL in both forms, so fused degradation is
-      bounded by the ANN rung's own recall).
+      bounded by the ANN rung's own recall). MEASURED CAVEAT
+      (BENCH_SCALING round9_hybrid_ivf): the swap pays off only on
+      corpora whose embeddings cluster (cells capture neighborhoods —
+      recall 1.0 at nprobe 2/32 on planted clusters); on structure-free
+      embeddings like this fixture's, IVF recall tracks the probed
+      fraction, so the exact scan stays the right semantic side there.
+      Pass pre-trained ``centroids`` (the train-once offline pass) for
+      honest per-query cost.
 
     Queries are the fixture-contract ids < 5 (documents.doc_id ≡
     embeddings.vec_id); lexical side is the query doc's distinct terms
