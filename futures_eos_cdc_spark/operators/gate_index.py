@@ -240,10 +240,26 @@ class DedupGateIndex:
         return {row[3]: row[1] for row in self._manifest_rows() if len(row) > 3}
 
     # -- read side ----------------------------------------------------------
-    def tables(self, spark: SparkSession) -> dict[str, DataFrame]:
+    def tables(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> dict[str, DataFrame]:
         """Committed-batches view of every table (uncommitted batch dirs —
-        a concurrent or crashed append — are invisible by construction)."""
+        a concurrent or crashed append — are invisible by construction).
+
+        ``as_of`` is the free time travel the manifest design buys
+        (module docstring): read only the first ``as_of + 1`` committed
+        batches — the index exactly as it stood after manifest seq
+        ``as_of``. Orphaned later batches are never resolved, so
+        reproducing yesterday's admission decisions is a prefix read,
+        no snapshotting."""
         bids = self._committed()
+        if as_of is not None:
+            if not 0 <= as_of < len(bids):
+                raise ValueError(
+                    f"as_of={as_of} out of range: manifest has "
+                    f"{len(bids)} committed batches (seq 0..{len(bids) - 1})"
+                )
+            bids = bids[: as_of + 1]
         if not bids:
             raise FileNotFoundError(
                 f"{self.path}: no committed batches in _MANIFEST.log"
@@ -280,6 +296,7 @@ class DedupGateIndex:
         self,
         batch_df: DataFrame,
         corpus_docs: DataFrame | None = None,
+        as_of: int | None = None,
         **gate_opts,
     ) -> DataFrame:
         """Admission gate: the rows of ``batch_df`` with no duplicate in
@@ -310,7 +327,9 @@ class DedupGateIndex:
                 f"not gate-time options: {sorted(bad)} (structural options "
                 "are pinned by the index metadata at build time)"
             )
-        t = self.tables(batch_df.sparkSession)
+        # as_of replays the gate against a manifest-prefix snapshot
+        # (tables() docstring) — reproduce any past admission decision
+        t = self.tables(batch_df.sparkSession, as_of=as_of)
         id_col, text_col, o = self.id_col, self.text_col, self.opts
         if self.kind == "containment":
             if corpus_docs is None:

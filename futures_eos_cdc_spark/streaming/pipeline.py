@@ -221,6 +221,8 @@ def dedup_gate_writer(
     corpus_index=None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    append_survivors: bool = False,
+    stream_id: str = "stream",
     **opts,
 ):
     """THE unified foreachBatch admission gate (r7 VERDICT #8): one entry
@@ -234,8 +236,12 @@ def dedup_gate_writer(
     per micro-batch (tests / small corpora).
     ``corpus_index``: an :class:`operators.gate_index.DedupGateIndex` (or
     its path) — the production path: each micro-batch probes the
-    atomically-committed index tables instead of re-hashing the corpus,
-    and ``index.append(survivors)`` in the sink keeps it current.
+    atomically-committed index tables instead of re-hashing the corpus.
+    ``append_survivors=True`` keeps the index current from inside the
+    writer: survivors go to the sink AND ``index.append(...,
+    token=f"{stream_id}/{epoch_id}")``, so a retried epoch appends
+    exactly once (gate_index epoch idempotency); set ``stream_id`` when
+    several streams feed one index.
     'containment' takes ``corpus`` only (gate_index module docstring:
     its verification reads container text, which belongs in the corpus
     table, not a copy inside an index).
@@ -338,8 +344,31 @@ def dedup_gate_writer(
             max_gram_occ=opts.get("max_gram_occ", 10_000),
         )
 
+    if append_survivors and corpus_index is None:
+        raise ValueError(
+            "append_survivors maintains a persisted index: pass corpus_index"
+        )
+
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        sink(survivors_of(batch_df), epoch_id)
+        survivors = survivors_of(batch_df)
+        if append_survivors:
+            # admit-then-index in one writer (the production wiring the
+            # docstring describes): survivors land in the sink AND the
+            # index, keyed by the foreachBatch epoch so a RETRIED epoch
+            # re-runs the sink (which must be idempotent anyway — the
+            # foreachBatch contract) but appends to the index exactly
+            # once (gate_index epoch idempotency). Persist so the gate
+            # computation isn't executed twice for sink + append.
+            survivors.persist()
+            try:
+                sink(survivors, epoch_id)
+                corpus_index.append(
+                    survivors, token=f"{stream_id}/{epoch_id}"
+                )
+            finally:
+                survivors.unpersist()
+        else:
+            sink(survivors, epoch_id)
 
     return write
 

@@ -235,6 +235,45 @@ def test_append_concurrent_writers_serialized(spark, sf_dir, tmp_path):
     assert idx.gate(batch).count() == 0
 
 
+def test_writer_append_survivors_epoch_exactly_once(spark, sf_dir, tmp_path):
+    """The production wiring: one writer that gates, sinks, AND appends
+    survivors under the epoch token. A retried epoch (foreachBatch's
+    failure unit) grows the index exactly once — on retry the gate sees
+    the already-appended survivors, delivers the empty remainder to the
+    (idempotent) sink, and the token-keyed append is a no-op."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    deliveries = []
+
+    def sink(df, epoch_id):
+        deliveries.append((epoch_id, {r.doc_id for r in df.collect()}))
+
+    with pytest.raises(ValueError, match="pass corpus_index"):
+        dedup_gate_writer("exact", sink, corpus=corpus, append_survivors=True)
+
+    w = dedup_gate_writer(
+        "exact", sink, corpus_index=idx, append_survivors=True, stream_id="s1"
+    )
+    w(batch, 7)
+    assert deliveries[-1][1]  # something was admitted
+    manifest_after = idx._manifest_rows()
+    assert idx._token_bids().get("s1/7")
+
+    w(batch, 7)  # the RETRY: same epoch id, same rows
+    assert idx._manifest_rows() == manifest_after  # index grew exactly once
+    assert deliveries[-1] == (7, set())  # survivors already admitted
+
+    # a later epoch with genuinely new rows grows the index again
+    fresh = batch.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" r9-novel-suffix")).alias("text"),
+    )
+    w(fresh, 8)
+    assert deliveries[-1][1]  # the novel texts were admitted
+    assert idx._token_bids().get("s1/8")
+    assert len(idx._manifest_rows()) == len(manifest_after) + 1
+
+
 def test_containment_coverage_contract_enforced(spark, sf_dir, tmp_path):
     """assert_coverage=True turns the documented corpus⊇index contract
     into an error: a container id present in the gram index but missing
@@ -329,3 +368,30 @@ def test_api_validation(spark, sf_dir, tmp_path):
     # an impossible jaccard threshold admits the whole batch — proof the
     # gate-time parameter genuinely varies over the same index tables
     assert midx.gate(batch, threshold=1.01).count() == batch.count()
+
+
+def test_index_time_travel_prefix_read(spark, sf_dir, tmp_path):
+    """as_of reads a manifest PREFIX — the index exactly as it stood
+    after that commit, so yesterday's admission decision replays
+    bit-for-bit after today's appends (the free time travel the
+    single-manifest-line design buys)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    admitted_v0 = {r.doc_id for r in idx.gate(batch).collect()}
+    assert admitted_v0
+
+    idx.append(idx.gate(batch), token="e/1")  # grow: survivors indexed
+    assert idx.gate(batch).count() == 0  # today's head rejects them
+    # ...but as_of=0 (the build commit) replays the original decision
+    replay = {r.doc_id for r in idx.gate(batch, as_of=0).collect()}
+    assert replay == admitted_v0
+    # head == as_of=latest
+    latest = len(idx._committed()) - 1
+    assert idx.gate(batch, as_of=latest).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        idx.tables(spark, as_of=99)
+    with _pytest.raises(ValueError, match="out of range"):
+        idx.tables(spark, as_of=-1)

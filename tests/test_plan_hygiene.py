@@ -382,3 +382,26 @@ def test_cosine_topk_q8_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cosine_topk_q8")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q8_rerank_band_and_queries_broadcast(spark, sf_dir):
+    """The SQ8 ladder's exact rung touches the corpus only through
+    broadcast lookups: the quantized top-m band and the query vectors
+    are both broadcast, so no shuffle lands on the embeddings side
+    beyond the quantized rung's own ranking exchange."""
+    plan = _plan(spark, sf_dir, "cosine_topk_q8_rerank")
+    assert plan.count("BroadcastHashJoin") >= 2  # band + queries
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_v1k_corpus_side_shape(spark, sf_dir):
+    """The production BPE apply keeps Python on the VOCABULARY only: one
+    Arrow stage (the distinct-words tokenizer), the corpus joins the
+    tokenized vocab via broadcast (no corpus-side shuffle on word), and
+    the only wide corpus exchange is the doc-keyed aggregation."""
+    plan = _plan(spark, sf_dir, "bpe_token_counts_v1k")
+    assert plan.count("ArrowEvalPython") == 0  # mapInPandas shows as...
+    assert plan.count("MapInPandas") == 1  # ...exactly one vocab stage
+    assert "BroadcastHashJoin" in plan  # wtok joins the corpus broadcast
+    assert "SortMergeJoin" not in plan
