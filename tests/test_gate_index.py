@@ -395,3 +395,72 @@ def test_index_time_travel_prefix_read(spark, sf_dir, tmp_path):
         idx.tables(spark, as_of=99)
     with _pytest.raises(ValueError, match="out of range"):
         idx.tables(spark, as_of=-1)
+
+
+def test_writer_append_survivors_checkpoint_replay(spark, sf_dir, tmp_path):
+    """End-to-end exactly-once under the REAL streaming failure mode: run
+    the admit-then-index writer under a checkpointed stream, then delete
+    the epoch's commit marker (offsets kept) and restart — Structured
+    Streaming replays the epoch, the gate re-delivers only the
+    already-admitted remainder (empty), and the token-keyed append leaves
+    the index byte-identical."""
+    import os
+    import shutil
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    admitted = []
+
+    def sink(df, epoch_id):
+        admitted.append((epoch_id, {r.doc_id for r in df.collect()}))
+
+    def run_stream(ckpt_dir):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                dedup_gate_writer(
+                    "exact", sink, corpus_index=idx,
+                    append_survivors=True, stream_id="ckpt-test",
+                )
+            )
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_stream(ckpt)
+    assert admitted and admitted[0][1]  # epoch 0 admitted the survivors
+    manifest_v1 = idx._manifest_rows()
+    assert idx._token_bids().get("ckpt-test/0")
+
+    # forge the crash-before-commit: clone the checkpoint (a fresh path —
+    # Spark caches metadata logs per path in-session) and drop the last
+    # epoch's commit marker; the restarted query replays that epoch from
+    # the retained offsets — exactly the failure window between the sink
+    # side effects and the checkpoint commit
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(ckpt, ckpt2)
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt2, "commits"))
+        if not f.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(os.path.join(ckpt2, "commits", last))
+    crc = os.path.join(ckpt2, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # stale checksum makes the commit rename fail
+
+    run_stream(ckpt2)
+    replayed = admitted[1:]
+    assert replayed, "restart did not replay the epoch"
+    assert all(s == set() for _, s in replayed)  # remainder only: empty
+    assert idx._manifest_rows() == manifest_v1  # index grew exactly once
