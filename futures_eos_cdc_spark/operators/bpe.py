@@ -365,6 +365,36 @@ def bpe_word_token_counts(
     )
 
 
+def bpe_word_tokens(
+    words_df: DataFrame, merges, word_col: str = "word"
+) -> DataFrame:
+    """(word, toks array<string>): the token LISTS for a table of
+    DISTINCT words — :func:`bpe_word_token_counts`'s sibling for
+    consumers that need the subwords themselves (vocabulary reports,
+    OOV audits), same vocabulary-shaped Arrow scale shape and the same
+    self-contained-closure discipline."""
+    pats = _merge_pats(merges)
+    sep, eow = SEP, EOW
+
+    def tok(batches):
+        import pandas as _pd
+
+        def toks(w: str) -> list[str]:
+            s = "".join(sep + c + sep for c in w) + sep + eow + sep
+            for pat, repl in pats:
+                if pat in s:
+                    s = s.replace(pat, repl)
+            return [t for t in s.split(sep) if t]
+
+        for pdf in batches:
+            ws = pdf[word_col]
+            yield _pd.DataFrame({word_col: ws, "toks": [toks(w) for w in ws]})
+
+    return words_df.select(word_col).mapInPandas(
+        tok, schema=f"{word_col} string, toks array<string>"
+    )
+
+
 def doc_bpe_token_counts_joined(
     docs: DataFrame,
     merges,

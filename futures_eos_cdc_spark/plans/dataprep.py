@@ -3610,6 +3610,59 @@ q_bpe_token_blocks_v1k.__doc__ = q_bpe_token_blocks_v1k.__doc__.format(
 )
 
 
+BPE_SUBWORD_VOCAB_V1K_ORACLE = (
+    _BPE_V1K_ORACLE_PREFIX
+    + """,
+wstats AS (SELECT word, count(*) AS wfreq FROM words GROUP BY word),
+wtoks AS (
+  SELECT word, unnest(list_filter(string_split(s, chr(31)), x -> x <> '')) AS token
+  FROM e WHERE r = (SELECT count(*) FROM merges)
+)
+SELECT token,
+  CAST(sum(wfreq) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM wtoks JOIN wstats USING (word)
+GROUP BY token
+"""
+)
+
+
+def q_bpe_subword_vocab_v1k(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The subword vocabulary the PRODUCTION-cap tokenizer induces on the
+    corpus (per-token corpus occurrence mass + distinct-word spread —
+    the OOV/fertility audit at the {n}-merge cap). Token lists come from
+    the Arrow join apply's sibling (operators/bpe.py:bpe_word_tokens —
+    vocabulary-shaped Python, corpus touched only by the word-freq
+    aggregation); the oracle replays apply from the persisted merge
+    table and unnests the same symbol strings."""
+    from ..operators.bpe import _clean_words, bpe_word_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_V1K_MERGES:
+        q_bpe_token_counts_v1k(spark, sf_dir, _t)  # train-once + persist
+    merges = _BPE_V1K_MERGES[key]
+    words = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(_clean_words(F.col("text"))).alias("word")
+    )
+    wstats = words.groupBy("word").agg(F.count(F.lit(1)).alias("wfreq"))
+    wtoks = bpe_word_tokens(wstats.select("word"), merges)
+    return (
+        wstats.join(F.broadcast(wtoks), "word")
+        .select("word", "wfreq", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("wfreq").cast("long").alias("n_occurrences"),
+            F.count_distinct("word").alias("n_words"),
+        )
+    )
+
+
+q_bpe_subword_vocab_v1k.__doc__ = q_bpe_subword_vocab_v1k.__doc__.format(
+    n=BPE_N_MERGES_LARGE
+)
+
+
 def q_bpe_token_blocks(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     """token_blocks re-based on EXACT BPE counts (r7 VERDICT #1's "re-base
     at least one token-denominated query"): pack documents into fixed

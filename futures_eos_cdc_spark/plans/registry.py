@@ -1103,6 +1103,8 @@ QUERIES["bpe_token_counts_v1k"] = _bind(_dp.q_bpe_token_counts_v1k)
 ORACLES["bpe_token_counts_v1k"] = _dp.BPE_TOKEN_COUNTS_V1K_ORACLE
 QUERIES["bpe_token_blocks_v1k"] = _bind(_dp.q_bpe_token_blocks_v1k)
 ORACLES["bpe_token_blocks_v1k"] = _dp.BPE_TOKEN_BLOCKS_V1K_ORACLE
+QUERIES["bpe_subword_vocab_v1k"] = _bind(_dp.q_bpe_subword_vocab_v1k)
+ORACLES["bpe_subword_vocab_v1k"] = _dp.BPE_SUBWORD_VOCAB_V1K_ORACLE
 QUERIES["bpe_token_blocks"] = _bind(_dp.q_bpe_token_blocks)
 ORACLES["bpe_token_blocks"] = _dp.BPE_TOKEN_BLOCKS_ORACLE
 QUERIES["cosine_topk_q8"] = _bind(_dp.q_cosine_topk_q8)
@@ -1129,6 +1131,7 @@ _WALK_FIRST = [
     # re-rank rung (next #3).
     "bpe_token_counts_v1k",
     "bpe_token_blocks_v1k",
+    "bpe_subword_vocab_v1k",
     "cosine_topk_q8_rerank",
     # Priority 1 — r8 VERDICT item 2's explicit list: newest row is r6;
     # after r9 no query's newest row is older than r7.

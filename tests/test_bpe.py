@@ -350,3 +350,33 @@ def test_non_bmp_boundary(spark):
         spark.createDataFrame([(word,)], "word string"), merges
     ).collect()[0]["n_tok"]
     assert arrow == 4
+
+
+def test_v1k_family_internal_consistency(spark, sf_dir):
+    """The production-vocab family agrees with itself: the subword
+    vocabulary's occurrence mass equals the corpus token count from the
+    join apply, and the blocks query's n_tokens re-sum matches too (all
+    three share one trained merge table via the session cache)."""
+    from futures_eos_cdc_spark.plans.dataprep import (
+        q_bpe_subword_vocab_v1k,
+        q_bpe_token_blocks_v1k,
+        q_bpe_token_counts_v1k,
+    )
+    from futures_eos_cdc_spark.plans.registry import _t
+
+    total_counts = (
+        q_bpe_token_counts_v1k(spark, sf_dir, _t)
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()[0]["s"]
+    )
+    vocab_mass = (
+        q_bpe_subword_vocab_v1k(spark, sf_dir, _t)
+        .agg(F.sum("n_occurrences").alias("s"))
+        .collect()[0]["s"]
+    )
+    blocks_total = (
+        q_bpe_token_blocks_v1k(spark, sf_dir, _t)
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total_counts == vocab_mass == blocks_total > 0
