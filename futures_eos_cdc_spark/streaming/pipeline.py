@@ -166,6 +166,36 @@ def stream_bpe_token_counts(
     return doc_bpe_token_counts(stream, merges, id_col=id_col, text_col=text_col)
 
 
+def bpe_token_meter_writer(
+    merges,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch twin of the PRODUCTION-vocab apply
+    (``operators.bpe.doc_bpe_token_counts_joined``): meters a document
+    stream in exact BPE tokens at merge depths the replace-chain
+    projection cannot reach (8-32 k ranks). The join apply needs a
+    per-micro-batch distinct + aggregation, so it runs under foreachBatch
+    with full batch semantics — the dedup-gate rationale. The pure-stream
+    projection twin (:func:`stream_bpe_token_counts`) remains the right
+    shape for small merge tables.
+
+    Returns a (batch_df, epoch_id) callable handing the per-doc count
+    rows (same schema as the batch operator) to ``sink``."""
+    from ..operators.bpe import doc_bpe_token_counts_joined
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            doc_bpe_token_counts_joined(
+                batch_df, merges, id_col=id_col, text_col=text_col
+            ),
+            epoch_id,
+        )
+
+    return write
+
+
 def stream_quality_gate(
     stream: DataFrame,
     threshold: float = 0.0,

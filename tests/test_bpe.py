@@ -380,3 +380,41 @@ def test_v1k_family_internal_consistency(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert total_counts == vocab_mass == blocks_total > 0
+
+
+def test_stream_v1k_meter_matches_batch(spark, sf_dir, tmp_path):
+    """The production-vocab streaming meter (foreachBatch join apply)
+    produces exactly the batch operator's counts over a file-source
+    stream — the at-depth twin of test_stream_bpe_token_counts."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        doc_bpe_token_counts_joined,
+        train_bpe,
+    )
+    from futures_eos_cdc_spark.streaming.pipeline import bpe_token_meter_writer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=1000)
+    want = {
+        (r.doc_id, r.n_words, r.n_tokens)
+        for r in doc_bpe_token_counts_joined(docs, merges).collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    got = set()
+
+    def sink(df, epoch_id):
+        got.update((r.doc_id, r.n_words, r.n_tokens) for r in df.collect())
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .writeStream.foreachBatch(bpe_token_meter_writer(merges, sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want and len(got) > 0

@@ -1257,3 +1257,50 @@ def test_hybrid_rrf_ivf_semantic_side(spark, sf_dir):
 
     with pytest.raises(ValueError, match="expected 'exact' or 'ivf'"):
         hybrid_rrf_frame(docs, e, semantic="lsh")
+
+
+def test_hybrid_rrf_ivf_matches_exact_on_clustered_embeddings(spark):
+    """The companion to test_hybrid_rrf_ivf_semantic_side's fixture
+    caveat (BENCH_SCALING round9_hybrid_ivf): when the embeddings DO
+    cluster — the regime the IVF swap is for — the IVF-backed hybrid
+    reproduces the exact hybrid almost verbatim at a production probe
+    fraction (4/32 cells), because the trained cells capture the
+    neighborhoods that brute force finds."""
+    import random
+
+    import numpy as np
+
+    from futures_eos_cdc_spark.plans.dataprep import hybrid_rrf_frame
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 32, 40, 16
+    centers = rng.normal(0.0, 10.0, (n_clusters, dim))
+    pts = (
+        centers[:, None, :] + rng.normal(0.0, 0.5, (n_clusters, per, dim))
+    ).reshape(-1, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    pyrng = random.Random(11)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(pyrng.choice(words) for _ in range(12)))
+            for i in range(len(pts))
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_rrf_frame(docs, emb, semantic="exact").collect()
+    }
+    ivf = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_rrf_frame(
+            docs, emb, semantic="ivf", n_cells=n_clusters, nprobe=4, dim=dim
+        ).collect()
+    }
+    assert len(exact) > 0
+    fused_recall = len(exact & ivf) / len(exact)
+    assert fused_recall >= 0.9, f"clustered fused recall: {fused_recall:.2f}"

@@ -405,3 +405,21 @@ def test_bpe_v1k_corpus_side_shape(spark, sf_dir):
     assert plan.count("MapInPandas") == 1  # ...exactly one vocab stage
     assert "BroadcastHashJoin" in plan  # wtok joins the corpus broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_v1k_blocks_and_subwords_shapes(spark, sf_dir):
+    """The v1k family keeps its discipline everywhere: blocks adds only
+    the packing prefix sum's exchanges on top of the broadcast word
+    join; the subword vocabulary keeps Python on the distinct-word table
+    (one Arrow stage) with a broadcast join back."""
+    plan = _plan(spark, sf_dir, "bpe_subword_vocab_v1k")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = _plan(spark, sf_dir, "bpe_token_blocks_v1k")
+    # the packing prefix sum reads the counts subplan in TWO branches
+    # (per-doc window + shard totals — the established token_blocks
+    # shape), so the vocabulary Arrow stage appears twice; both instances
+    # stay vocabulary-shaped, and no corpus-side sort-merge join appears
+    assert 1 <= plan.count("MapInPandas") <= 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
