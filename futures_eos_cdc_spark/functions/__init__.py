@@ -9,6 +9,9 @@ Grouped by domain:
 - text:       ``tokens``, ``token_count``, ``subword_count``, ``shingles``,
               ``stopword_ratio``, ``punct_ratio``, ``quality_score``,
               ``lang_id``, ``fingerprint``
+- tokenizer:  ``bpe_tokens``, ``bpe_token_count`` (trained-merge-table BPE
+              as pure replace-chain expressions; small vocabs — the
+              production join apply lives in operators.bpe)
 - similarity: ``dot``, ``norm``, ``cosine``
 - sets:       ``jaccard``
 - hashing:    ``minhash_signatures``, ``lsh_bucket``, ``simhash16``
@@ -76,11 +79,19 @@ from ..operators.text import (
 from ..operators.text import (
     tokens_expr as tokens,
 )
+from ..operators.bpe import (
+    bpe_token_count_expr as bpe_token_count,
+)
+from ..operators.bpe import (
+    bpe_tokens_expr as bpe_tokens,
+)
 from ..sources.bucketing import (
     zorder_key_expr as zorder_key,
 )
 
 __all__ = [
+    "bpe_token_count",
+    "bpe_tokens",
     "classifier_logit",
     "cosine",
     "dot",

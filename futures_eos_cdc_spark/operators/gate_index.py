@@ -194,13 +194,20 @@ class DedupGateIndex:
         return self._commit(bid, token)
 
     # manifest-append serialization: contention here is writers COMMITTING
-    # (sub-ms file append), not running batches — a short poll is plenty
-    _COMMIT_WAIT_S = 30.0
+    # (sub-ms file append), not running batches — a short poll is plenty.
+    # The lease TTL is likewise short (the critical section is one file
+    # append): a committer that crashes INSIDE it heals by stale takeover
+    # within _COMMIT_TTL_S, well inside the wait window, instead of
+    # blocking appends for the versioned store's 600 s default.
+    _COMMIT_TTL_S = 20.0
+    _COMMIT_WAIT_S = 60.0
 
     def _commit(self, bid: str, token: str | None = None) -> str:
         from ..streaming.outbox import ConcurrentWriterError, _WriterLease
 
-        lease = _WriterLease(self.path, run_id=f"commit-{bid}")
+        lease = _WriterLease(
+            self.path, run_id=f"commit-{bid}", ttl_s=self._COMMIT_TTL_S
+        )
         deadline = time.monotonic() + self._COMMIT_WAIT_S
         while True:
             try:

@@ -464,3 +464,28 @@ def test_writer_append_survivors_checkpoint_replay(spark, sf_dir, tmp_path):
     assert replayed, "restart did not replay the epoch"
     assert all(s == set() for _, s in replayed)  # remainder only: empty
     assert idx._manifest_rows() == manifest_v1  # index grew exactly once
+
+
+def test_commit_heals_crashed_committer_lease(spark, sf_dir, tmp_path):
+    """A committer that died INSIDE the manifest critical section leaves
+    its lease file behind; the next append must heal by stale takeover
+    within the commit-lease TTL instead of blocking for the versioned
+    store's 600 s default."""
+    import os
+    import time as _time
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+
+    # forge the crash: a foreign lease file, mtime older than the commit TTL
+    lock = os.path.join(idx.path, "_WRITER_LOCK")
+    with open(lock, "w") as fh:
+        fh.write("commit-deadbeef 99999 0.0")
+    stale = _time.time() - DedupGateIndex._COMMIT_TTL_S - 5
+    os.utime(lock, (stale, stale))
+
+    t0 = _time.monotonic()
+    idx.append(batch.limit(5), token="heal/0")
+    took = _time.monotonic() - t0
+    assert idx._token_bids().get("heal/0")
+    assert took < DedupGateIndex._COMMIT_WAIT_S  # healed, not timed out
