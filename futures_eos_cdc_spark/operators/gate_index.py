@@ -28,7 +28,10 @@ module is the common contract:
   streaming.outbox._VersionedParquet's pointer swap, adapted to
   append-only growth: full-snapshot versions would rewrite the whole
   index on every append (wrong at 100 TB); here the manifest line IS the
-  version, and time travel falls out for free (read a manifest prefix).
+  version, and time travel falls out for free (read a manifest prefix —
+  ``tables(as_of=...)``). Unbounded append accumulates small batch dirs;
+  :meth:`DedupGateIndex.compact` is the maintenance pass (consolidated
+  rewrite + atomic manifest swap under the writer lease).
 
 ``containment``'s index persists the ALIGNED-GRAM table (the expensive
 explode+md5 pass, operators.dedup.containment_grams) but is deliberately
@@ -245,6 +248,78 @@ class DedupGateIndex:
     def _token_bids(self) -> dict[str, str]:
         """idempotency token → committed batch id (lines 4 fields wide)."""
         return {row[3]: row[1] for row in self._manifest_rows() if len(row) > 3}
+
+    def compact(self, spark: SparkSession, target_partitions: int = 8) -> str:
+        """Rewrite all committed batches into ONE consolidated batch and
+        atomically swap the manifest to reference only it — the
+        maintenance pass an append-only index needs at scale (thousands
+        of micro-batch appends otherwise mean thousands of tiny parquet
+        dirs: listing cost and scan fan-out grow without bound while the
+        LOGICAL content is unchanged).
+
+        Protocol: write the consolidated tables under a fresh ``b_<id>``
+        (invisible — no manifest line), then, holding the writer lease,
+        re-check that no new batch committed since the snapshot was read
+        (abort loudly if one did — the compaction would silently drop
+        it) and REPLACE ``_MANIFEST.log`` via temp-file + atomic rename
+        with a single line. Readers either resolve the old manifest (all
+        old batches, still on disk) or the new one (the consolidated
+        batch) — never a mix. Old batch dirs become orphans; remove them
+        out-of-band once no reader can hold the old manifest (the
+        versioned-store GC-grace discipline). Time travel resets: the
+        compacted line is the new seq 0 (documented trade — keep the old
+        manifest as ``_MANIFEST.log.pre-<id>`` for audit).
+
+        Returns the consolidated batch id."""
+        from ..streaming.outbox import ConcurrentWriterError, _WriterLease
+
+        snapshot = self._committed()
+        if not snapshot:
+            raise FileNotFoundError(
+                f"{self.path}: nothing to compact (no committed batches)"
+            )
+        bid = uuid.uuid4().hex[:12]
+        for t in _KIND_TABLES[self.kind]:
+            df = spark.read.parquet(
+                *[os.path.join(self.path, t, f"b_{b}") for b in snapshot]
+            )
+            df.repartition(target_partitions).write.mode("error").parquet(
+                os.path.join(self.path, t, f"b_{bid}")
+            )
+        lease = _WriterLease(
+            self.path, run_id=f"compact-{bid}", ttl_s=self._COMMIT_TTL_S
+        )
+        deadline = time.monotonic() + self._COMMIT_WAIT_S
+        while True:
+            try:
+                lease.acquire()
+                break
+            except ConcurrentWriterError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.02)
+        try:
+            if self._committed() != snapshot:
+                raise ConcurrentWriterError(
+                    f"{self.path}: batches committed during compaction — "
+                    "rerun it (the consolidated batch would drop them)"
+                )
+            manifest = os.path.join(self.path, "_MANIFEST.log")
+            tmp = f"{manifest}.tmp-{bid}"
+            with open(tmp, "w") as fh:
+                fh.write(f"0 {bid} {time.time()} compacted-{len(snapshot)}\n")
+                fh.flush()
+                os.fsync(fh.fileno())
+            # audit COPY first, then ONE atomic rename: a concurrent
+            # reader always finds a complete manifest (old or new), never
+            # a missing file
+            import shutil
+
+            shutil.copyfile(manifest, f"{manifest}.pre-{bid}")
+            os.replace(tmp, manifest)
+            return bid
+        finally:
+            lease.release()
 
     # -- read side ----------------------------------------------------------
     def tables(

@@ -489,3 +489,71 @@ def test_commit_heals_crashed_committer_lease(spark, sf_dir, tmp_path):
     took = _time.monotonic() - t0
     assert idx._token_bids().get("heal/0")
     assert took < DedupGateIndex._COMMIT_WAIT_S  # healed, not timed out
+
+
+def test_compact_preserves_gate_and_consolidates_files(spark, sf_dir, tmp_path):
+    """Compaction rewrites N committed batches into one and atomically
+    swaps the manifest: gate output is bit-identical, the manifest is a
+    single line, the batch-dir count collapses, and the pre-compaction
+    manifest survives as the audit copy."""
+    import os
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "minhash")
+    # grow the index with several appends (disjoint novel texts)
+    for i in range(3):
+        chunk = batch.filter(F.col("doc_id") % 3 == i).select(
+            (F.col("doc_id") + (i + 1) * 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" novel-{i}")).alias("text"),
+        )
+        idx.append(chunk, token=f"grow/{i}")
+    before = {r.doc_id for r in idx.gate(batch).collect()}
+    n_batches_before = len(idx._committed())
+    assert n_batches_before == 4  # build + 3 appends
+
+    bid = idx.compact(spark, target_partitions=2)
+    assert idx._committed() == [bid]
+    after = {r.doc_id for r in idx.gate(batch).collect()}
+    assert after == before  # logical content unchanged
+    # batch dirs: old ones remain as orphans (GC out-of-band), readers
+    # resolve only the consolidated one
+    dirs = os.listdir(os.path.join(idx.path, "bands"))
+    assert f"b_{bid}" in dirs and len(dirs) == n_batches_before + 1
+    assert any(
+        f.startswith("_MANIFEST.log.pre-") for f in os.listdir(idx.path)
+    )
+    # appends keep working on the compacted index
+    idx.append(batch.limit(3).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    ), token="post/0")
+    assert len(idx._committed()) == 2
+
+
+def test_compact_aborts_on_concurrent_commit(spark, sf_dir, tmp_path):
+    """A batch that commits between compaction's snapshot read and its
+    manifest swap must abort the swap loudly (it would otherwise vanish
+    from the compacted index)."""
+    from futures_eos_cdc_spark.streaming.outbox import ConcurrentWriterError
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+
+    real_committed = DedupGateIndex._committed
+    snapshots = {"n": 0}
+
+    class Sneaky(DedupGateIndex):
+        def _committed(self):
+            rows = real_committed(self)
+            # after the first (snapshot) read, simulate a concurrent
+            # appender landing a line before the lease re-check
+            if snapshots["n"] == 0:
+                snapshots["n"] = 1
+                with open(os.path.join(self.path, "_MANIFEST.log"), "a") as fh:
+                    fh.write(f"{len(rows)} feedfacefeed {0.0}\n")
+            return rows
+
+    sneaky = Sneaky(idx.path, idx.kind, idx.id_col, idx.text_col, idx.opts)
+    with pytest.raises(ConcurrentWriterError, match="during compaction"):
+        sneaky.compact(spark)
+    # the index is untouched: both lines present, gate still works
+    assert len(idx._committed()) == 2
