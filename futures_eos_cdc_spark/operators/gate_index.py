@@ -321,6 +321,45 @@ class DedupGateIndex:
         finally:
             lease.release()
 
+    def gc(self, grace_s: float | None = None) -> list[str]:
+        """Delete batch dirs the CURRENT manifest no longer references —
+        compaction's orphans and crashed appends — once they are older
+        than ``grace_s`` (default: the versioned-store reader-protection
+        window). The grace exists because a reader may have resolved the
+        PRE-swap manifest just before a compaction and still be scanning
+        the old dirs; age is measured from the dir's mtime, and a young
+        orphan is simply left for the next pass. The grace must ALSO
+        exceed the longest append's table-write phase: an in-flight
+        append's dirs are unreferenced until its commit line lands, so a
+        grace shorter than a slow append could delete a batch about to
+        commit (size it like the store's GC grace — "how long can one
+        batch legitimately run"). Returns the deleted ``b_<id>`` names."""
+        import shutil
+
+        if grace_s is None:
+            from ..streaming.outbox import DEFAULT_GC_GRACE_S
+
+            grace_s = DEFAULT_GC_GRACE_S
+        live = set(self._committed())
+        now = time.time()
+        deleted: list[str] = []
+        for t in _KIND_TABLES[self.kind]:
+            tdir = os.path.join(self.path, t)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if not d.startswith("b_") or d[2:] in live:
+                    continue
+                full = os.path.join(tdir, d)
+                try:
+                    if now - os.stat(full).st_mtime < grace_s:
+                        continue
+                    shutil.rmtree(full)
+                    deleted.append(d)
+                except OSError:
+                    continue  # concurrent GC or an in-flight write — skip
+        return sorted(deleted)
+
     # -- read side ----------------------------------------------------------
     def tables(
         self, spark: SparkSession, as_of: int | None = None

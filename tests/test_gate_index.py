@@ -557,3 +557,36 @@ def test_compact_aborts_on_concurrent_commit(spark, sf_dir, tmp_path):
         sneaky.compact(spark)
     # the index is untouched: both lines present, gate still works
     assert len(idx._committed()) == 2
+
+
+def test_gc_removes_aged_orphans_only(spark, sf_dir, tmp_path):
+    """gc() deletes only UNREFERENCED batch dirs past the grace window:
+    compaction orphans age out, live batches and young orphans stay, and
+    the gate is unaffected throughout."""
+    import os
+    import time as _time
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    idx.append(
+        batch.limit(10).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        ),
+        token="g/0",
+    )
+    bid = idx.compact(spark, target_partitions=1)
+    before = {r.doc_id for r in idx.gate(batch).collect()}
+
+    # young orphans survive a graceful pass
+    assert idx.gc(grace_s=3600) == []
+
+    # age the orphans, keep the live batch young
+    tdir = os.path.join(idx.path, "digests")
+    old = _time.time() - 7200
+    for d in os.listdir(tdir):
+        if d != f"b_{bid}":
+            os.utime(os.path.join(tdir, d), (old, old))
+    deleted = idx.gc(grace_s=3600)
+    assert len(deleted) == 2  # build + append orphans
+    assert sorted(os.listdir(tdir)) == [f"b_{bid}"]
+    assert {r.doc_id for r in idx.gate(batch).collect()} == before
