@@ -192,6 +192,24 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
     from futures_eos_cdc_spark.sources.scale_synth import ensure_scaled_dir
 
     t_section = time.perf_counter()
+    # JVM hygiene between sections: the main loop just ran the full
+    # registry in this JVM (broadcasts, localCheckpoint blocks, Python
+    # workers); measured r9, ngram at 10x reads ~10.7 s in a fresh
+    # session but ~60 s in the pressured one. Drop every persisted RDD
+    # and cached relation and ask for a full GC before timing.
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values().toArray():
+            try:
+                rdd.unpersist(True)
+            except Exception:  # noqa: BLE001
+                pass
+    except Exception:  # noqa: BLE001
+        pass
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
     sf1_dir = ensure_scaled_dir(sf_dir, factor=10)
     oracles = {**ORACLES, **oracle_overrides_for_sf(sf1_dir)}
     out: dict = {"dir": sf1_dir, "factor": 10, "spark": {}, "duckdb": {}}
