@@ -29,23 +29,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def _scheme_free(path: str) -> str:
-    """Strip a URI scheme AND authority (``file:/p`` → ``/p``,
-    ``hdfs://nn:8020/p`` → ``/p``) so a qualified live value compares
-    against a caller's plain path. Keeping the ``//host:port`` authority
-    (ADVICE r8) made the parent comparison never match on deployments
-    whose default FS qualifies paths with one, re-running
-    ``setCheckpointDir`` (fresh UUID subdir churn) on every call."""
+def _split_uri(path: str) -> tuple[str, str]:
+    """(authority, path) with the scheme dropped: ``/p`` → ("", "/p"),
+    ``file:/p`` → ("", "/p"), ``hdfs://nn:8020/p`` → ("nn:8020", "/p").
+    The authority is KEPT as a comparison component (code-review r9:
+    discarding it made the same path on a DIFFERENT cluster compare
+    equal), while a caller's plain path still matches the qualified live
+    value on whatever-the-default-FS (empty caller authority is a
+    wildcard — ADVICE r8's original complaint)."""
     head = path.split("/", 1)[0]
     if ":" not in head:
-        return path
+        return "", path
     rest = path.split(":", 1)[1]
     if rest.startswith("//"):
-        # scheme://authority/path — drop through the authority segment
         tail = rest[2:]
         slash = tail.find("/")
-        return tail[slash:] if slash >= 0 else "/"
-    return rest
+        if slash < 0:
+            return tail, "/"
+        return tail[:slash], tail[slash:]
+    return "", rest
+
+
+def _scheme_free(path: str) -> str:
+    """Path component only (back-compat helper; see :func:`_split_uri`)."""
+    return _split_uri(path)[1]
 
 
 def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
@@ -59,13 +66,18 @@ def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
     identical calls stay a no-op (no UUID-subdir churn)."""
     import os
 
-    want = _scheme_free(checkpoint_dir).rstrip("/")
+    want_auth, want = _split_uri(checkpoint_dir)
+    want = want.rstrip("/")
     if not want.startswith("/"):
         want = os.path.abspath(want)
     live = sc.getCheckpointDir()
     if live is not None:
-        live_parent = _scheme_free(live).rstrip("/").rsplit("/", 1)[0]
-        if live_parent == want:
+        live_auth, live_path = _split_uri(live)
+        live_parent = live_path.rstrip("/").rsplit("/", 1)[0]
+        # a plain caller path matches whatever authority the default FS
+        # qualified the live value with; an EXPLICIT caller authority
+        # must match exactly (same path on another cluster is not "set")
+        if live_parent == want and want_auth in ("", live_auth):
             return
     sc.setCheckpointDir(checkpoint_dir)
 

@@ -186,6 +186,11 @@ class DedupGateIndex:
                     f"token {token!r} must be non-empty and whitespace-free "
                     "(it is stored as one manifest-line field)"
                 )
+            if token.startswith(self._RESERVED_TOKEN_PREFIX):
+                raise ValueError(
+                    f"token {token!r}: the {self._RESERVED_TOKEN_PREFIX!r} "
+                    "prefix is reserved for compaction marker lines"
+                )
             existing = self._token_bids().get(token)
             if existing is not None:
                 return existing
@@ -243,11 +248,32 @@ class DedupGateIndex:
             return []
 
     def _committed(self) -> list[str]:
-        return [row[1] for row in self._manifest_rows()]
+        """Committed batch ids, de-duplicated in first-appearance order:
+        compaction carries idempotency tokens forward as extra lines
+        naming the SAME consolidated bid, which must not make readers
+        scan the dir twice."""
+        seen: set[str] = set()
+        out: list[str] = []
+        for row in self._manifest_rows():
+            if row[1] not in seen:
+                seen.add(row[1])
+                out.append(row[1])
+        return out
+
+    # token namespace reserved for compaction's internal marker lines —
+    # append() rejects caller tokens with this prefix so they can never
+    # collide (code-review r9: 'compacted-N' was a phantom token)
+    _RESERVED_TOKEN_PREFIX = "__"
 
     def _token_bids(self) -> dict[str, str]:
-        """idempotency token → committed batch id (lines 4 fields wide)."""
-        return {row[3]: row[1] for row in self._manifest_rows() if len(row) > 3}
+        """idempotency token → committed batch id (lines 4 fields wide);
+        reserved marker tokens are not idempotency tokens."""
+        return {
+            row[3]: row[1]
+            for row in self._manifest_rows()
+            if len(row) > 3
+            and not row[3].startswith(self._RESERVED_TOKEN_PREFIX)
+        }
 
     def compact(self, spark: SparkSession, target_partitions: int = 8) -> str:
         """Rewrite all committed batches into ONE consolidated batch and
@@ -306,8 +332,17 @@ class DedupGateIndex:
                 )
             manifest = os.path.join(self.path, "_MANIFEST.log")
             tmp = f"{manifest}.tmp-{bid}"
+            now = time.time()
             with open(tmp, "w") as fh:
-                fh.write(f"0 {bid} {time.time()} compacted-{len(snapshot)}\n")
+                fh.write(f"0 {bid} {now} __compacted-{len(snapshot)}\n")
+                # CARRY the idempotency tokens forward, re-pointed at the
+                # consolidated bid (code-review r9: dropping them voided
+                # append()'s retry-exactly-once contract — a streaming
+                # epoch retried across a compaction would re-append).
+                # _committed() de-duplicates bids, so readers still scan
+                # the consolidated dir once.
+                for i, tok in enumerate(sorted(self._token_bids()), start=1):
+                    fh.write(f"{i} {bid} {now} {tok}\n")
                 fh.flush()
                 os.fsync(fh.fileno())
             # audit COPY first, then ONE atomic rename: a concurrent
@@ -317,6 +352,16 @@ class DedupGateIndex:
 
             shutil.copyfile(manifest, f"{manifest}.pre-{bid}")
             os.replace(tmp, manifest)
+            # reset the orphans' GC clock: grace must run from the moment
+            # a dir became UNREFERENCED, not from its write-era mtime
+            # (code-review r9: day-old batches orphaned by this swap had
+            # zero effective reader protection)
+            for t in _KIND_TABLES[self.kind]:
+                for b in snapshot:
+                    try:
+                        os.utime(os.path.join(self.path, t, f"b_{b}"))
+                    except OSError:
+                        pass
             return bid
         finally:
             lease.release()
@@ -327,8 +372,10 @@ class DedupGateIndex:
         than ``grace_s`` (default: the versioned-store reader-protection
         window). The grace exists because a reader may have resolved the
         PRE-swap manifest just before a compaction and still be scanning
-        the old dirs; age is measured from the dir's mtime, and a young
-        orphan is simply left for the next pass. The grace must ALSO
+        the old dirs; age is measured from the dir's mtime, which
+        :meth:`compact` RESETS on the dirs it orphans — so the clock runs
+        from the moment of unreferencing, and a young orphan is simply
+        left for the next pass. The grace must ALSO
         exceed the longest append's table-write phase: an in-flight
         append's dirs are unreferenced until its commit line lands, so a
         grace shorter than a slow append could delete a batch about to
@@ -447,6 +494,12 @@ class DedupGateIndex:
             raise ValueError(
                 f"not gate-time options: {sorted(bad)} (structural options "
                 "are pinned by the index metadata at build time)"
+            )
+        if "assert_coverage" in gate_opts and self.kind != "containment":
+            raise ValueError(
+                "assert_coverage is the containment coverage contract; it "
+                f"means nothing for kind={self.kind!r} — silently accepting "
+                "it would fake an enforcement that never runs"
             )
         # as_of replays the gate against a manifest-prefix snapshot
         # (tables() docstring) — reproduce any past admission decision

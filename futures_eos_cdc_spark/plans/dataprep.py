@@ -10,6 +10,8 @@ order so float dot products are bit-identical.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3384,7 +3386,16 @@ def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 BPE_N_MERGES_LARGE = 1000  # production-shaped merge cap (r8 VERDICT next #1)
-BPE_V1K_MERGES_PATH = "/tmp/spark_graft_bpe_v1k_merges"
+# The persisted-merge-table location is baked into the v1k oracle SQL at
+# import, so it is one FIXED path per process; the env override exists so
+# concurrent harnesses (or multi-user hosts) can isolate themselves —
+# within one process, query construction always rewrites the table for
+# its own sf_dir before any oracle comparison runs (_v1k_merges), and the
+# import-time ensure below assumes SEQUENTIAL harness processes (true of
+# the driver's verify/bench steps and this repo's test/bench discipline).
+BPE_V1K_MERGES_PATH = os.environ.get(
+    "SPARK_GRAFT_BPE_V1K_DIR", "/tmp/spark_graft_bpe_v1k_merges"
+)
 _DRIVER_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 
 
@@ -3398,8 +3409,6 @@ def _ensure_v1k_merge_table() -> None:
     Harnesses at other SFs construct the Spark query first (parity tests
     / bench both do), and that query rewrites the table for ITS corpus
     before any compare runs."""
-    import os
-
     import duckdb as _duckdb
 
     from ..operators.bpe import BPE_VOCAB_CAP as _cap
@@ -3528,6 +3537,21 @@ def q_bpe_token_counts_v1k(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     40-merge family keeps per-call training: there the oracle replays
     training too, so THAT comparison is symmetric the other way.)
     """
+    docs, merges = _v1k_merges(spark, sf_dir, _t)
+    return doc_bpe_token_counts_joined(docs, merges)
+
+
+_BPE_V1K_MERGES: dict = {}
+_BPE_V1K_FILE_SF: dict = {}
+
+
+def _v1k_merges(spark: SparkSession, sf_dir: str, _t):
+    """Train-once + persist-for-the-oracle, shared by EVERY v1k entry
+    point (code-review r9: the file-SF guard lived only in the counts
+    query, so a session alternating fixtures could leave the persisted
+    table describing the OTHER corpus when blocks/subwords ran). Returns
+    (docs, merges); after this call the persisted table always matches
+    ``sf_dir``."""
     docs = spread(_t(spark, sf_dir, "documents"))
     key = (spark.sparkContext.applicationId, sf_dir)
     merges = _BPE_V1K_MERGES.get(key)
@@ -3545,11 +3569,7 @@ def q_bpe_token_counts_v1k(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
         save_bpe_merges(spark, merges, BPE_V1K_MERGES_PATH)
         _BPE_V1K_FILE_SF["sf"] = sf_dir
-    return doc_bpe_token_counts_joined(docs, merges)
-
-
-_BPE_V1K_MERGES: dict = {}
-_BPE_V1K_FILE_SF: dict = {}
+    return docs, merges
 
 
 q_bpe_token_counts_v1k.__doc__ = q_bpe_token_counts_v1k.__doc__.format(
@@ -3594,13 +3614,7 @@ def q_bpe_token_blocks_v1k(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     r8 VERDICT's "every token-denominated operator budgets through this"
     observation asks for. Oracle replays apply from the persisted merge
     table (recursive CTE) and the prefix sum over (lang, doc_id)."""
-    docs = spread(_t(spark, sf_dir, "documents"))
-    key = (spark.sparkContext.applicationId, sf_dir)
-    merges = _BPE_V1K_MERGES.get(key)
-    if merges is None:
-        # share the train-once cache with q_bpe_token_counts_v1k
-        q_bpe_token_counts_v1k(spark, sf_dir, _t)
-        merges = _BPE_V1K_MERGES[key]
+    docs, merges = _v1k_merges(spark, sf_dir, _t)
     counts = doc_bpe_token_counts_joined(docs, merges, keep_cols=("lang",))
     return _pack_token_blocks(counts)
 
@@ -3637,11 +3651,7 @@ def q_bpe_subword_vocab_v1k(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     table and unnests the same symbol strings."""
     from ..operators.bpe import _clean_words, bpe_word_tokens
 
-    docs = spread(_t(spark, sf_dir, "documents"))
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BPE_V1K_MERGES:
-        q_bpe_token_counts_v1k(spark, sf_dir, _t)  # train-once + persist
-    merges = _BPE_V1K_MERGES[key]
+    docs, merges = _v1k_merges(spark, sf_dir, _t)
     words = docs.filter(F.col("text").isNotNull()).select(
         F.explode(_clean_words(F.col("text"))).alias("word")
     )

@@ -378,6 +378,18 @@ def dedup_gate_writer(
         raise ValueError(
             "append_survivors maintains a persisted index: pass corpus_index"
         )
+    if append_survivors and kind == "containment":
+        # growing the gram index per epoch WITHOUT growing corpus_docs
+        # creates exactly the coverage violation gate(assert_coverage=True)
+        # exists to catch: an indexed container whose text is missing
+        # silently ADMITS its duplicates. The containment sink must append
+        # index AND corpus table in the same transaction itself.
+        raise ValueError(
+            "append_survivors is unsupported for kind='containment': the "
+            "writer cannot also grow corpus_docs, and an index/corpus "
+            "coverage gap silently admits duplicates — maintain both in "
+            "the sink transaction and gate with assert_coverage=True"
+        )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         survivors = survivors_of(batch_df)

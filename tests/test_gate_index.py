@@ -590,3 +590,66 @@ def test_gc_removes_aged_orphans_only(spark, sf_dir, tmp_path):
     assert len(deleted) == 2  # build + append orphans
     assert sorted(os.listdir(tdir)) == [f"b_{bid}"]
     assert {r.doc_id for r in idx.gate(batch).collect()} == before
+
+
+def test_compact_carries_epoch_tokens_forward(spark, sf_dir, tmp_path):
+    """Code-review r9: a streaming epoch retried ACROSS a compaction must
+    still be a no-op — compaction re-points every idempotency token at
+    the consolidated batch instead of dropping them — and the reserved
+    marker prefix can never collide with caller tokens."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch)
+    idx.append(surv, token="s1/41")
+    bid = idx.compact(spark, target_partitions=1)
+
+    # the retry across the compaction: no new line, no new rows
+    rows_before = idx._manifest_rows()
+    got = idx.append(surv, token="s1/41")
+    assert got == bid  # token now names the consolidated batch
+    assert idx._manifest_rows() == rows_before
+
+    # readers scan the consolidated dir ONCE despite multiple lines
+    assert idx._committed() == [bid]
+    # the compaction marker is not an idempotency token...
+    assert not any(
+        t.startswith("__") for t in idx._token_bids()
+    )
+    # ...and callers cannot mint colliding tokens
+    with pytest.raises(ValueError, match="reserved"):
+        idx.append(surv, token="__compacted-3")
+
+
+def test_review_r9_option_validation(spark, sf_dir, tmp_path):
+    """assert_coverage is refused where it cannot run, and the
+    admit-then-index writer is refused for containment (it cannot also
+    grow corpus_docs — the coverage gap would silently admit dups)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    midx = DedupGateIndex.build(corpus, str(tmp_path / "m"), "minhash")
+    with pytest.raises(ValueError, match="containment coverage contract"):
+        midx.gate(batch, assert_coverage=True)
+    cidx = DedupGateIndex.build(corpus, str(tmp_path / "c"), "containment")
+    with pytest.raises(ValueError, match="unsupported for kind='containment'"):
+        dedup_gate_writer(
+            "containment", lambda df, e: None, corpus=corpus,
+            corpus_index=cidx, append_survivors=True,
+        )
+
+
+def test_compact_resets_orphan_gc_clock(spark, sf_dir, tmp_path):
+    """Code-review r9: day-old batches orphaned by a compaction must get
+    the FULL grace window from the moment of the swap, not zero."""
+    import os
+    import time as _time
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    # age the (still referenced) build batch a day into the past
+    tdir = os.path.join(idx.path, "digests")
+    old = _time.time() - 86400
+    for d in os.listdir(tdir):
+        os.utime(os.path.join(tdir, d), (old, old))
+    idx.compact(spark, target_partitions=1)
+    # immediately after the swap, the day-old orphan is NOT collectable:
+    # its clock was reset at the moment it became unreferenced
+    assert idx.gc(grace_s=300) == []
