@@ -34,12 +34,29 @@ module is the common contract:
   rewrite + atomic manifest swap under the writer lease).
 
 ``containment``'s index persists the ALIGNED-GRAM table (the expensive
-explode+md5 pass, operators.dedup.containment_grams) but is deliberately
+explode+md5 pass, operators.dedup.containment_grams) but is by default
 NOT self-contained: its verification stage computes md5 over arbitrary
 substrings of the CONTAINER text, and duplicating the corpus text into an
 index would be wrong — so ``gate(batch, corpus_docs=...)`` takes the
 corpus table alongside the index, and text is read only for matched
-candidate containers (id-keyed join).
+candidate containers (id-keyed join). For the STREAMING admit-then-index
+wiring, where index and corpus growing out of lockstep is exactly the
+coverage gap ``assert_coverage`` exists to catch, ``build(...,
+self_corpus=True)`` makes the index carry its own ``corpus_docs`` table:
+every append writes grams AND container text under the same batch id and
+commits both with the ONE manifest line, so a gram row without its
+container text is unreachable by construction (r9 VERDICT next #6 — "the
+same sink transaction", realized as the same commit point).
+
+Maintenance cadence (r9 VERDICT next #7): :meth:`DedupGateIndex.compact`
+after every ~100-1000 appends (it rewrites the whole logical content, so
+amortize it over enough micro-batches that the rewrite cost stays a few
+percent of the append work it absorbs), and :meth:`DedupGateIndex.gc` on
+the same schedule or cheaper — it only lists directories. Both are safe
+to run from a second process while appends continue: compact aborts
+loudly (never drops a batch) if one commits mid-pass, and gc structurally
+skips in-flight appends via their heartbeat-renewed ``_PENDING_<bid>``
+intent files (not just via the grace window).
 
 The per-kind probe/verify semantics live in operators.dedup and are
 REUSED here (the gate methods delegate to the existing
@@ -127,6 +144,16 @@ class DedupGateIndex:
         return cls(path, meta["kind"], meta["id_col"], meta["text_col"], meta["opts"])
 
     # -- write side ---------------------------------------------------------
+    def _table_names(self) -> tuple[str, ...]:
+        """The tables THIS index maintains: the kind's base tables, plus
+        ``corpus_docs`` for a self-corpus containment index (module
+        docstring) — one list so append/compact/gc/tables can never
+        disagree about what a batch consists of."""
+        ts = _KIND_TABLES[self.kind]
+        if self.kind == "containment" and self.opts.get("self_corpus"):
+            ts = ts + ("corpus_docs",)
+        return ts
+
     def _batch_tables(self, docs: DataFrame) -> dict[str, DataFrame]:
         id_col, text_col, o = self.id_col, self.text_col, self.opts
         docs = spread(docs)
@@ -156,11 +183,18 @@ class DedupGateIndex:
                 )
             }
         assert self.kind == "containment"
-        return {
+        out = {
             "grams": containment_grams(
                 docs, o.get("gram_n", 16), id_col, text_col
             ).repartition("g")
         }
+        if o.get("self_corpus"):
+            # container text rides the SAME batch/commit as its grams —
+            # coverage gap unrepresentable (module docstring). Only the
+            # columns verification reads; id-keyed, never shuffled by
+            # the gate (text is joined for matched candidates only).
+            out["corpus_docs"] = docs.select(id_col, text_col)
+        return out
 
     def append(self, docs: DataFrame, token: str | None = None) -> str:
         """Write ALL tables for this batch under ``b_<uuid>`` dirs, then
@@ -178,7 +212,15 @@ class DedupGateIndex:
         versioned-store ``_WriterLease`` (read-seq-then-append was racy),
         and the token is RE-checked under the lease, so two appenders
         retrying the same epoch commit it exactly once — the loser's
-        orphan files are never resolved by a reader."""
+        orphan files are never resolved by a reader.
+
+        GC safety is structural, not timeout-sized (r9 VERDICT next #4):
+        the table-write phase runs under a ``_PENDING_<bid>`` intent
+        file, heartbeat-renewed from a daemon thread, which :meth:`gc`
+        treats as "this batch is an in-flight append, not an orphan" —
+        so a slow append survives even a zero-grace GC, and a CRASHED
+        append's intent goes stale (heartbeats stop with the process)
+        and is reaped after ``_INTENT_TTL_S``."""
         if token is not None:
             token = str(token)
             if not token or any(c.isspace() for c in token):
@@ -194,12 +236,38 @@ class DedupGateIndex:
             existing = self._token_bids().get(token)
             if existing is not None:
                 return existing
+        import threading
+
         bid = uuid.uuid4().hex[:12]
-        for table, df in self._batch_tables(docs).items():
-            df.write.mode("error").parquet(
-                os.path.join(self.path, table, f"b_{bid}")
-            )
-        return self._commit(bid, token)
+        intent = os.path.join(self.path, f"_PENDING_{bid}")
+        with open(intent, "w") as fh:
+            fh.write(f"{os.getpid()} {time.time():.3f}\n")
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(self._INTENT_HB_S):
+                try:
+                    os.utime(intent)
+                except OSError:
+                    return  # reaped as stale (a >TTL process pause) — done
+
+        hb = threading.Thread(
+            target=beat, name=f"gate-append-intent-{bid}", daemon=True
+        )
+        hb.start()
+        try:
+            for table, df in self._batch_tables(docs).items():
+                df.write.mode("error").parquet(
+                    os.path.join(self.path, table, f"b_{bid}")
+                )
+            return self._commit(bid, token)
+        finally:
+            stop.set()
+            hb.join(timeout=5)
+            try:
+                os.unlink(intent)
+            except FileNotFoundError:
+                pass
 
     # manifest-append serialization: contention here is writers COMMITTING
     # (sub-ms file append), not running batches — a short poll is plenty.
@@ -209,6 +277,12 @@ class DedupGateIndex:
     # blocking appends for the versioned store's 600 s default.
     _COMMIT_TTL_S = 20.0
     _COMMIT_WAIT_S = 60.0
+    # append-intent liveness: the heartbeat renews every _INTENT_HB_S
+    # while the append's table writes run; gc() treats an intent younger
+    # than _INTENT_TTL_S as "in-flight append — hands off" and reaps
+    # older ones (a crashed appender's heartbeats stopped with it).
+    _INTENT_TTL_S = 60.0
+    _INTENT_HB_S = 5.0
 
     def _commit(self, bid: str, token: str | None = None) -> str:
         from ..streaming.outbox import ConcurrentWriterError, _WriterLease
@@ -231,7 +305,19 @@ class DedupGateIndex:
                 if existing is not None:
                     return existing  # lost the epoch race; bid's files orphan
             tok = "" if token is None else f" {token}"
-            line = f"{len(self._committed())} {bid} {time.time()}{tok}\n"
+            # seq = RAW manifest line count (ADVICE r9): after a
+            # compaction the manifest holds 1 + n_tokens lines for ONE
+            # committed bid, so numbering by _committed() would mint
+            # duplicate seqs pointing at different bids. Nothing parses
+            # the field positionally, but audits read it.
+            seq = len(self._manifest_rows())
+            # abort-don't-clobber (ADVICE r9): if this holder stalled past
+            # the TTL after its token re-check, a contender may have taken
+            # the lease and committed the same token — appending now would
+            # double-commit it. Renew-or-raise immediately before the
+            # write so a usurped holder fails loudly instead.
+            lease.check_and_renew()
+            line = f"{seq} {bid} {time.time()}{tok}\n"
             with open(os.path.join(self.path, "_MANIFEST.log"), "a") as fh:
                 fh.write(line)
                 fh.flush()
@@ -305,7 +391,7 @@ class DedupGateIndex:
                 f"{self.path}: nothing to compact (no committed batches)"
             )
         bid = uuid.uuid4().hex[:12]
-        for t in _KIND_TABLES[self.kind]:
+        for t in self._table_names():
             df = spark.read.parquet(
                 *[os.path.join(self.path, t, f"b_{b}") for b in snapshot]
             )
@@ -324,6 +410,12 @@ class DedupGateIndex:
                 if time.monotonic() >= deadline:
                     raise
                 time.sleep(0.02)
+        # the critical section below (re-check → tmp write → audit copy →
+        # swap) is longer than one file append: heartbeat the lease so a
+        # GC pause/FS hiccup can't age it past the TTL mid-section and
+        # hand a contender a "stale" lease to commit under (ADVICE r9 —
+        # the swap would then silently wipe that commit).
+        lease.start_heartbeat()
         try:
             if self._committed() != snapshot:
                 raise ConcurrentWriterError(
@@ -351,12 +443,17 @@ class DedupGateIndex:
             import shutil
 
             shutil.copyfile(manifest, f"{manifest}.pre-{bid}")
+            # last line of defense against the heartbeat itself stalling
+            # (same ADVICE item): renew-or-raise at the point of no
+            # return, so a usurped compactor aborts instead of replacing
+            # a manifest that now carries a contender's committed line.
+            lease.check_and_renew()
             os.replace(tmp, manifest)
             # reset the orphans' GC clock: grace must run from the moment
             # a dir became UNREFERENCED, not from its write-era mtime
             # (code-review r9: day-old batches orphaned by this swap had
             # zero effective reader protection)
-            for t in _KIND_TABLES[self.kind]:
+            for t in self._table_names():
                 for b in snapshot:
                     try:
                         os.utime(os.path.join(self.path, t, f"b_{b}"))
@@ -375,12 +472,19 @@ class DedupGateIndex:
         the old dirs; age is measured from the dir's mtime, which
         :meth:`compact` RESETS on the dirs it orphans — so the clock runs
         from the moment of unreferencing, and a young orphan is simply
-        left for the next pass. The grace must ALSO
-        exceed the longest append's table-write phase: an in-flight
-        append's dirs are unreferenced until its commit line lands, so a
-        grace shorter than a slow append could delete a batch about to
-        commit (size it like the store's GC grace — "how long can one
-        batch legitimately run"). Returns the deleted ``b_<id>`` names."""
+        left for the next pass.
+
+        In-flight appends are protected STRUCTURALLY, not by sizing the
+        grace (r9 VERDICT next #4, closing the "grace must exceed the
+        longest append" documentation-only contract): every append's
+        table-write phase runs under a heartbeat-renewed
+        ``_PENDING_<bid>`` intent file, and any bid whose intent is
+        younger than ``_INTENT_TTL_S`` is skipped here outright — a slow
+        append survives a zero-grace GC. A CRASHED append's heartbeats
+        stop, its intent ages past the TTL, and this pass reaps the
+        intent along with the batch dirs (which remain additionally
+        covered by the reader-protection grace). Returns the deleted
+        ``b_<id>`` names."""
         import shutil
 
         if grace_s is None:
@@ -389,13 +493,26 @@ class DedupGateIndex:
             grace_s = DEFAULT_GC_GRACE_S
         live = set(self._committed())
         now = time.time()
+        pending: set[str] = set()
+        stale_intents: list[str] = []
+        for fn in os.listdir(self.path):
+            if not fn.startswith("_PENDING_"):
+                continue
+            try:
+                age = now - os.stat(os.path.join(self.path, fn)).st_mtime
+            except OSError:
+                continue  # the append just committed and removed it
+            if age < self._INTENT_TTL_S:
+                pending.add(fn[len("_PENDING_"):])
+            else:
+                stale_intents.append(fn)
         deleted: list[str] = []
-        for t in _KIND_TABLES[self.kind]:
+        for t in self._table_names():
             tdir = os.path.join(self.path, t)
             if not os.path.isdir(tdir):
                 continue
             for d in os.listdir(tdir):
-                if not d.startswith("b_") or d[2:] in live:
+                if not d.startswith("b_") or d[2:] in live or d[2:] in pending:
                     continue
                 full = os.path.join(tdir, d)
                 try:
@@ -405,6 +522,15 @@ class DedupGateIndex:
                     deleted.append(d)
                 except OSError:
                     continue  # concurrent GC or an in-flight write — skip
+        # reap stale intents LAST: their dirs (if any survived the grace
+        # check above) stay protected by grace until the next pass, and a
+        # committed bid's leftover intent (crash between commit and the
+        # append's own unlink) is just litter either way
+        for fn in stale_intents:
+            try:
+                os.unlink(os.path.join(self.path, fn))
+            except OSError:
+                pass
         return sorted(deleted)
 
     # -- read side ----------------------------------------------------------
@@ -436,12 +562,12 @@ class DedupGateIndex:
             t: spark.read.parquet(
                 *[os.path.join(self.path, t, f"b_{b}") for b in bids]
             )
-            for t in _KIND_TABLES[self.kind]
+            for t in self._table_names()
         }
 
     # options baked into the index DATA at build time (changing one
     # invalidates the tables) vs. legitimately per-gate thresholds
-    _STRUCTURAL_OPTS = {"k", "gram_n", "content_cols"}
+    _STRUCTURAL_OPTS = {"k", "gram_n", "content_cols", "self_corpus"}
     _GATE_OPTS = {"threshold", "max_hamming", "max_gram_occ", "assert_coverage"}
     # build-time defaults for the structural options, mirrored from the
     # gate methods' own `o.get(...)` fallbacks. Conflict checks must
@@ -449,7 +575,12 @@ class DedupGateIndex:
     # index built with default k plus a caller passing a different k is
     # exactly the silent mismatch the guard exists for (ADVICE r8 — the
     # old `opts.get(s, caller_value)` compared the caller to itself).
-    _STRUCTURAL_DEFAULTS = {"k": SHINGLE_K, "gram_n": 16, "content_cols": None}
+    _STRUCTURAL_DEFAULTS = {
+        "k": SHINGLE_K,
+        "gram_n": 16,
+        "content_cols": None,
+        "self_corpus": False,
+    }
 
     def effective_structural(self, name: str):
         """The structural option value the index DATA was actually built
@@ -458,6 +589,8 @@ class DedupGateIndex:
         v = self.opts.get(name, self._STRUCTURAL_DEFAULTS[name])
         if name == "content_cols":
             return list(v) if v else [self.text_col]
+        if name == "self_corpus":
+            return bool(v)
         return v
 
     def gate(
@@ -506,7 +639,16 @@ class DedupGateIndex:
         t = self.tables(batch_df.sparkSession, as_of=as_of)
         id_col, text_col, o = self.id_col, self.text_col, self.opts
         if self.kind == "containment":
-            if corpus_docs is None:
+            if self.opts.get("self_corpus"):
+                if corpus_docs is not None:
+                    raise ValueError(
+                        "this index carries its own corpus_docs table "
+                        "(built with self_corpus=True) — passing another "
+                        "corpus would silently verify against text the "
+                        "grams were not derived from"
+                    )
+                corpus_docs = t["corpus_docs"]
+            elif corpus_docs is None:
                 raise ValueError(
                     "containment verification reads container text: pass "
                     "corpus_docs alongside the gram index"

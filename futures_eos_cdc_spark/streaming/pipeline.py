@@ -252,7 +252,7 @@ def dedup_gate_writer(
     id_col: str = "doc_id",
     text_col: str = "text",
     append_survivors: bool = False,
-    stream_id: str = "stream",
+    stream_id: str | None = None,
     **opts,
 ):
     """THE unified foreachBatch admission gate (r7 VERDICT #8): one entry
@@ -270,11 +270,26 @@ def dedup_gate_writer(
     ``append_survivors=True`` keeps the index current from inside the
     writer: survivors go to the sink AND ``index.append(...,
     token=f"{stream_id}/{epoch_id}")``, so a retried epoch appends
-    exactly once (gate_index epoch idempotency); set ``stream_id`` when
-    several streams feed one index.
-    'containment' takes ``corpus`` only (gate_index module docstring:
-    its verification reads container text, which belongs in the corpus
-    table, not a copy inside an index).
+    exactly once (gate_index epoch idempotency). ``stream_id`` is
+    REQUIRED then (ADVICE r9): epoch ids are only unique within one
+    streaming query, so two streams feeding one index under a default id
+    would collide on the token and the second stream's epochs would be
+    silently no-op'd — exactly the monotonically-wrong-index failure the
+    token exists to prevent, inverted. Use a name stable across restarts
+    of the SAME query (its checkpoint identity is the natural choice)
+    and unique across queries. CHECKPOINT-RESET HAZARD: wiping a query's
+    checkpoint restarts epoch ids at 0, so its new epochs re-use old
+    tokens against a persisted index and are treated as already
+    committed — after a checkpoint reset, change the stream_id (or start
+    a fresh index).
+    'containment' takes ``corpus`` alongside an (optional, accelerator)
+    gram index by default — its verification reads container text, which
+    belongs in the corpus table, not a copy inside an index. The
+    admit-then-index wiring is supported for containment ONLY via an
+    index built with ``self_corpus=True`` (gate_index module docstring):
+    there grams and container text commit under the same manifest line,
+    so the writer's append grows both atomically and the coverage gap
+    the default layout would create is unrepresentable.
 
     ``opts`` per kind: content_cols (exact; default [text_col]),
     threshold/k (minhash), max_hamming (simhash64),
@@ -304,10 +319,20 @@ def dedup_gate_writer(
     if isinstance(corpus_index, str):
         corpus_index = DedupGateIndex.open(corpus_index)
     if kind == "containment":
-        if corpus is None:
+        if corpus_index is not None and corpus_index.effective_structural(
+            "self_corpus"
+        ):
+            if corpus is not None:
+                raise ValueError(
+                    "this containment index carries its own corpus_docs "
+                    "table (self_corpus=True) — passing corpus too would "
+                    "verify against text its grams were not derived from"
+                )
+        elif corpus is None:
             raise ValueError(
                 "containment verification reads container text: corpus is "
-                "always required (corpus_index accelerates candidates)"
+                "required (corpus_index accelerates candidates) unless the "
+                "index was built with self_corpus=True"
             )
     elif (corpus is None) == (corpus_index is None):
         raise ValueError("pass exactly one of corpus / corpus_index")
@@ -378,17 +403,34 @@ def dedup_gate_writer(
         raise ValueError(
             "append_survivors maintains a persisted index: pass corpus_index"
         )
-    if append_survivors and kind == "containment":
+    if (
+        append_survivors
+        and kind == "containment"
+        and not corpus_index.effective_structural("self_corpus")
+    ):
         # growing the gram index per epoch WITHOUT growing corpus_docs
         # creates exactly the coverage violation gate(assert_coverage=True)
         # exists to catch: an indexed container whose text is missing
-        # silently ADMITS its duplicates. The containment sink must append
-        # index AND corpus table in the same transaction itself.
+        # silently ADMITS its duplicates. Supported shape: an index built
+        # with self_corpus=True, whose append commits grams AND container
+        # text under one manifest line.
         raise ValueError(
-            "append_survivors is unsupported for kind='containment': the "
-            "writer cannot also grow corpus_docs, and an index/corpus "
-            "coverage gap silently admits duplicates — maintain both in "
-            "the sink transaction and gate with assert_coverage=True"
+            "append_survivors is unsupported for kind='containment' on a "
+            "default-layout index: the writer cannot also grow "
+            "corpus_docs, and an index/corpus coverage gap silently "
+            "admits duplicates — build the index with self_corpus=True "
+            "(grams + container text commit atomically) or maintain both "
+            "in the sink transaction and gate with assert_coverage=True"
+        )
+    if append_survivors and stream_id is None:
+        # epoch ids are per-query: a default shared stream_id would make
+        # two streams (or a checkpoint-reset restart) collide on the
+        # idempotency token and silently no-op real epochs (ADVICE r9 —
+        # docstring: stream_id contract / checkpoint-reset hazard)
+        raise ValueError(
+            "append_survivors=True requires an explicit stream_id: the "
+            "index idempotency token is f'{stream_id}/{epoch_id}', and "
+            "epoch ids are only unique within one streaming query"
         )
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:

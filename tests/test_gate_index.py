@@ -354,7 +354,7 @@ def test_api_validation(spark, sf_dir, tmp_path):
         dedup_gate_writer("exact", lambda df, e: None)
     with pytest.raises(ValueError, match="not 'minhash'"):
         dedup_gate_writer("minhash", lambda df, e: None, corpus_index=idx)
-    with pytest.raises(ValueError, match="always required"):
+    with pytest.raises(ValueError, match="corpus is required"):
         dedup_gate_writer("containment", lambda df, e: None)
     cidx = DedupGateIndex.build(corpus, str(tmp_path / "ci"), "containment")
     with pytest.raises(ValueError, match="pass corpus_docs"):
@@ -653,3 +653,266 @@ def test_compact_resets_orphan_gc_clock(spark, sf_dir, tmp_path):
     # immediately after the swap, the day-old orphan is NOT collectable:
     # its clock was reset at the moment it became unreferenced
     assert idx.gc(grace_s=300) == []
+
+
+# ---------------------------------------------------------------------------
+# r10: structural GC safety, self-corpus containment, maintenance loop
+# ---------------------------------------------------------------------------
+def test_gc_spares_inflight_append_at_zero_grace(spark, sf_dir, tmp_path):
+    """r9 VERDICT next #4: an in-flight append is GC-proof by
+    CONSTRUCTION (live _PENDING_<bid> intent), not by sizing the grace —
+    a zero-grace GC run mid-append must not touch its batch dirs."""
+    import threading
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch)
+
+    # slow the table-write phase down artificially: run gc() from a
+    # second thread the moment the intent file appears
+    gc_results = []
+    seen_pending = threading.Event()
+
+    def gc_when_pending():
+        while not seen_pending.wait(0.01):
+            pass
+        gc_results.append(idx.gc(grace_s=0.0))
+
+    orig = DedupGateIndex._batch_tables
+
+    def slow_tables(self, docs):
+        out = orig(self, docs)
+        seen_pending.set()
+        import time as _t
+
+        _t.sleep(1.0)  # let the concurrent gc() run against live intent
+        return out
+
+    t = threading.Thread(target=gc_when_pending)
+    t.start()
+    DedupGateIndex._batch_tables = slow_tables
+    try:
+        bid = idx.append(surv, token="s1/0")
+    finally:
+        DedupGateIndex._batch_tables = orig
+    t.join(timeout=10)
+    assert gc_results and gc_results[0] == []  # gc ran, deleted nothing
+    assert bid in idx._committed()
+    # and the committed batch is fully readable (nothing half-deleted)
+    idx.tables(spark)["digests"].count()
+    assert not any(
+        f.startswith("_PENDING_") for f in os.listdir(idx.path)
+    )  # intent removed on commit
+
+
+def test_gc_reaps_crashed_append_intent_after_ttl(spark, sf_dir, tmp_path):
+    """A CRASHED append (intent present, heartbeats stopped, no commit)
+    is reaped once the intent ages past the TTL: first the intent goes
+    stale, then the orphan dirs fall to the normal grace rule."""
+    import time as _t
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch)
+
+    # simulate the crash: write the tables + intent, never commit
+    bid = "deadbeef0000"
+    intent = os.path.join(idx.path, f"_PENDING_{bid}")
+    with open(intent, "w") as fh:
+        fh.write("0 0\n")
+    for table, df in idx._batch_tables(surv).items():
+        df.write.mode("error").parquet(os.path.join(idx.path, table, f"b_{bid}"))
+
+    # intent still live → structurally protected even at zero grace
+    assert idx.gc(grace_s=0.0) == []
+    assert os.path.exists(intent)
+
+    # age the intent past the TTL and the dirs past the grace
+    old = _t.time() - max(idx._INTENT_TTL_S, 10) - 1
+    os.utime(intent, (old, old))
+    os.utime(os.path.join(idx.path, "digests", f"b_{bid}"), (old, old))
+    deleted = idx.gc(grace_s=5.0)
+    assert deleted == [f"b_{bid}"]
+    assert not os.path.exists(intent)
+
+
+def test_manifest_seq_unique_after_compaction(spark, sf_dir, tmp_path):
+    """ADVICE r9: post-compaction appends must not re-mint seq values the
+    carried-token lines already used — seq derives from the raw line
+    count, so every line's seq is unique and monotone."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch)
+    idx.append(surv, token="s1/1")
+    idx.append(surv.limit(3), token="s1/2")
+    idx.compact(spark, target_partitions=1)
+    idx.append(surv.limit(1), token="s1/3")
+    seqs = [int(row[0]) for row in idx._manifest_rows()]
+    assert len(seqs) == len(set(seqs)), seqs
+    assert seqs == sorted(seqs), seqs
+
+
+def test_self_corpus_containment_gate_and_atomic_append(spark, sf_dir, tmp_path):
+    """r9 VERDICT next #6: a self_corpus containment index carries its
+    own container text; gate parity with the raw operator, and grams +
+    corpus_docs commit under ONE manifest line (retried epoch appends
+    both exactly once; a crash between table writes and commit admits
+    nothing — both tables are unreachable, not half-visible)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    want = {r.doc_id for r in _raw_survivors("containment", batch, corpus).collect()}
+
+    idx = DedupGateIndex.build(
+        corpus, str(tmp_path / "sc"), "containment", self_corpus=True
+    )
+    got = {r.doc_id for r in idx.gate(batch).collect()}
+    assert got == want
+    # coverage holds by construction — the assert passes trivially
+    got2 = {r.doc_id for r in idx.gate(batch, assert_coverage=True).collect()}
+    assert got2 == want
+    # passing an external corpus against a self-corpus index is refused
+    with pytest.raises(ValueError, match="carries its own corpus_docs"):
+        idx.gate(batch, corpus_docs=corpus)
+
+    # epoch-idempotent append grows BOTH tables exactly once
+    surv = idx.gate(batch)
+    t0 = idx.tables(spark)
+    g0, c0 = t0["grams"].count(), t0["corpus_docs"].count()
+    idx.append(surv, token="s1/5")
+    idx.append(surv, token="s1/5")  # the retry
+    t1 = idx.tables(spark)
+    assert len(idx._committed()) == 2
+    assert t1["grams"].count() > g0
+    assert t1["corpus_docs"].count() == c0 + surv.count()
+
+    # crash between the table writes and the commit: nothing visible
+    bid = "cafecafe0000"
+    for table, df in idx._batch_tables(batch.limit(2)).items():
+        df.write.mode("error").parquet(os.path.join(idx.path, table, f"b_{bid}"))
+    t2 = idx.tables(spark)
+    assert t2["grams"].count() == t1["grams"].count()
+    assert t2["corpus_docs"].count() == t1["corpus_docs"].count()
+
+
+def test_self_corpus_containment_writer_append_survivors(spark, sf_dir, tmp_path):
+    """The admit-then-index writer, previously refused for containment,
+    works against a self_corpus index: survivors of epoch N block their
+    own duplicates in epoch N+1, exactly-once under retry."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(
+        corpus, str(tmp_path / "sc"), "containment", self_corpus=True
+    )
+    deliveries = []
+
+    def sink(df, epoch_id):
+        deliveries.append((epoch_id, {r.doc_id for r in df.collect()}))
+
+    w = dedup_gate_writer(
+        "containment", sink, corpus_index=idx,
+        append_survivors=True, stream_id="cw",
+    )
+    # epoch 0: long novel docs admitted and indexed (with their text)
+    novel = batch.filter(F.length("text") >= 200).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("zq xv "), F.col("text")).alias("text"),
+    )
+    w(novel, 0)
+    admitted = deliveries[-1][1]
+    assert admitted
+    # epoch 1: fragments of epoch-0 docs — contained in the JUST-appended
+    # containers, so the gate drops them (text came from the index itself)
+    frags = novel.filter(F.length("text") >= 200).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.substring("text", 8, 90).alias("text"),
+    )
+    w(frags, 1)
+    assert deliveries[-1] == (1, set())
+    # retry of epoch 0 appends nothing new
+    rows = idx._manifest_rows()
+    w(novel, 0)
+    assert idx._manifest_rows() == rows
+
+    # the default-layout refusal still stands
+    didx = DedupGateIndex.build(corpus, str(tmp_path / "dc"), "containment")
+    with pytest.raises(ValueError, match="unsupported for kind='containment'"):
+        dedup_gate_writer(
+            "containment", sink, corpus=corpus,
+            corpus_index=didx, append_survivors=True, stream_id="x",
+        )
+
+
+def test_writer_requires_explicit_stream_id(spark, sf_dir, tmp_path):
+    """ADVICE r9: append_survivors without an explicit stream_id is
+    refused — epoch ids are per-query, and a shared default would
+    silently no-op the second stream's epochs."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    with pytest.raises(ValueError, match="explicit stream_id"):
+        dedup_gate_writer(
+            "exact", lambda df, e: None, corpus_index=idx,
+            append_survivors=True,
+        )
+
+
+def test_maintenance_loop_compact_gc_under_appends(spark, sf_dir, tmp_path):
+    """r9 VERDICT next #7: the production wiring — appends interleaved
+    with compact() + gc() from a second thread. Invariants: the gate
+    result never changes, no committed batch is ever lost, and the final
+    compact+gc bound the on-disk batch-dir count."""
+    import threading
+
+    from futures_eos_cdc_spark.streaming.outbox import ConcurrentWriterError
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch).persist()
+    chunks = [surv.filter(F.col("doc_id") % 5 == i) for i in range(5)]
+    want = {r.doc_id for r in idx.gate(batch).collect()}
+
+    stop = threading.Event()
+    maint_errors = []
+
+    def maintain():
+        while not stop.wait(0.05):
+            try:
+                idx.compact(spark, target_partitions=1)
+            except ConcurrentWriterError:
+                pass  # a batch committed mid-pass — documented abort
+            except FileNotFoundError:
+                pass  # nothing to compact yet
+            except Exception as exc:  # noqa: BLE001
+                maint_errors.append(exc)
+            try:
+                idx.gc(grace_s=0.0)
+            except Exception as exc:  # noqa: BLE001
+                maint_errors.append(exc)
+
+    t = threading.Thread(target=maintain)
+    t.start()
+    try:
+        for i, c in enumerate(chunks):
+            idx.append(c, token=f"m/{i}")
+            # every committed batch remains gate-readable mid-maintenance
+            assert idx.tables(spark)["digests"].count() >= 0
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    surv.unpersist()
+    assert not maint_errors, maint_errors
+
+    # all five appends survived every compaction (tokens carried forward)
+    toks = set(idx._token_bids())
+    assert {f"m/{i}" for i in range(5)} <= toks
+    # gate over the final index: the appended survivors now block their
+    # own duplicates; the original corpus hits are still blocked
+    after = {r.doc_id for r in idx.gate(batch).collect()}
+    assert after == set()  # every batch row was appended, so all blocked
+    assert want  # (and the pre-append gate really admitted something)
+
+    # final maintenance bounds the file count: one consolidated dir
+    idx.compact(spark, target_partitions=1)
+    idx.gc(grace_s=0.0)
+    dirs = [
+        d for d in os.listdir(os.path.join(idx.path, "digests"))
+        if d.startswith("b_")
+    ]
+    assert len(dirs) == 1, dirs
