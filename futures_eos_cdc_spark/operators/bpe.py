@@ -175,6 +175,91 @@ def apply_bpe_str(word: str, pats: list[tuple[str, str]]) -> str:
     return s
 
 
+def _rank_index(merges) -> tuple[dict[tuple[str, str], list[int]], list[tuple[str, str]]]:
+    """(pair → ascending 1-based ranks, rank-1 → pair). Duplicate pairs at
+    several ranks are legal in arbitrary tables (training never emits
+    them, but apply must not assume); each rank keeps its own sequential
+    turn."""
+    ranks: dict[tuple[str, str], list[int]] = {}
+    pair_at: list[tuple[str, str]] = []
+    for i, m in enumerate(merges):
+        p = (m[0], m[1])
+        ranks.setdefault(p, []).append(i + 1)
+        pair_at.append(p)
+    return ranks, pair_at
+
+
+def apply_bpe_ranked(word: str, merges, _index=None) -> list[str]:
+    """Sequential-by-rank apply with PAIR-INDEXED cost (r9 VERDICT next
+    #1 — the subword-nmt/GPT-2 production shape): instead of giving every
+    rank a turn (one failed substring scan per ABSENT rank —
+    :func:`apply_bpe_str` is rank-count-LINEAR, 32 k scans per word at
+    32 k ranks), look up only the pairs PRESENT in this word in a
+    pair→rank index and process their ranks in ascending order off a
+    heap. Cost is O(word_len · merges_performed) — INDEPENDENT of the
+    table size.
+
+    Semantics are EXACTLY :func:`apply_bpe_py`'s sequential-by-rank,
+    leftmost-first non-overlapping (pytest-pinned on trained and
+    synthetic tables): each rank gets at most ONE turn, in rank order. A
+    rank whose pair is absent at its turn never merges later even if the
+    pair re-forms (the ``pushed`` set), and a pair re-formed by an
+    EARLIER merge gets its not-yet-passed ranks pushed by the post-merge
+    rescan — so the symbol state at every rank's turn equals the
+    sequential walk's, by induction. (For TRAINED tables the two
+    formulations coincide anyway: a rule consuming a composite token
+    always ranks after the rule that created it.)
+
+    ``_index`` is the prebuilt :func:`_rank_index` — pass it when
+    applying one table to many words (the Arrow batch body does)."""
+    from bisect import bisect_right
+    from heapq import heappop, heappush
+
+    ranks, pair_at = _rank_index(merges) if _index is None else _index
+    syms = [*word, EOW]
+    heap: list[int] = []
+    pushed: set[int] = set()
+
+    def scan(lo: int) -> None:
+        # push, per adjacent pair, its smallest not-yet-passed rank
+        for i in range(len(syms) - 1):
+            rs = ranks.get((syms[i], syms[i + 1]))
+            if rs is None:
+                continue
+            j = bisect_right(rs, lo)
+            if j < len(rs) and rs[j] not in pushed:
+                pushed.add(rs[j])
+                heappush(heap, rs[j])
+
+    scan(0)
+    while heap:
+        r = heappop(heap)
+        lhs, rhs = pair_at[r - 1]
+        syms = _merge_pair(syms, lhs, rhs)
+        scan(r)
+    return syms
+
+
+# Measured crossover between the two per-word applies (BENCH_NOTES r10,
+# 14-char words): str/ranked µs-per-word 9.7/8.0 at 64 ranks, 66/43 at
+# 1k, 295/40 at 4k, 800/41 at 16k — ranked is FLAT in table size (the
+# complexity-class pytest pins <4x from 1k→16k; measured ~1.0x), str is
+# rank-linear by construction. The crossover is shallow and sits below
+# 64; str keeps a small edge only for toy tables where both are
+# microseconds.
+BPE_APPLY_AUTO_THRESHOLD = 64
+
+
+def _resolve_apply_shape(apply_shape: str, n_merges: int) -> str:
+    if apply_shape == "auto":
+        return "ranked" if n_merges > BPE_APPLY_AUTO_THRESHOLD else "str"
+    if apply_shape not in ("str", "ranked"):
+        raise ValueError(
+            f"apply_shape={apply_shape!r}; expected 'auto' | 'str' | 'ranked'"
+        )
+    return apply_shape
+
+
 def train_bpe_py_fast(
     word_freqs: list[tuple[str, int]],
     n_merges: int = BPE_N_MERGES,
@@ -328,37 +413,101 @@ def bpe_token_count_expr(word: Column, merges) -> Column:
 
 
 def bpe_word_token_counts(
-    words_df: DataFrame, merges, word_col: str = "word"
+    words_df: DataFrame, merges, word_col: str = "word",
+    apply_shape: str = "auto",
 ) -> DataFrame:
     """(word, n_tok): exact BPE token counts for a table of DISTINCT
     words — the vocabulary-shaped half of the join-based apply
     (:func:`doc_bpe_token_counts_joined`). Arrow ``mapInPandas``: the
     merge table rides the closure (a few hundred KB even at 32 k ranks
-    — far below broadcast limits), each batch runs the string-level
-    sequential apply (:func:`apply_bpe_str`, the pytest-pinned twin of
-    the replace chain and of :func:`apply_bpe_py`). Python touches only
-    the distinct-word table, never the corpus — the corpus_token_stats
-    discipline the module docstring names as the 100 TB shape."""
-    pats = _merge_pats(merges)
+    — far below broadcast limits). Python touches only the distinct-word
+    table, never the corpus — the corpus_token_stats discipline the
+    module docstring names as the 100 TB shape.
+
+    ``apply_shape`` picks the per-word tokenizer (both pytest-pinned
+    twins of :func:`apply_bpe_py`): ``'str'`` runs the string-level
+    sequential apply (:func:`apply_bpe_str` — one C substring scan per
+    rank, fastest for small tables), ``'ranked'`` runs the pair-indexed
+    apply (:func:`apply_bpe_ranked` — cost flat in table size, the
+    production shape at 8-32 k ranks; r9 VERDICT next #1). ``'auto'``
+    switches on the measured crossover (:data:`BPE_APPLY_AUTO_THRESHOLD`)."""
+    shape = _resolve_apply_shape(apply_shape, len(merges))
     sep, eow = SEP, EOW
 
-    # fully self-contained nested closure (the multimodal.decode_features
-    # discipline): cloudpickle ships it by VALUE, so workers never need
-    # this package importable on their own sys.path. The body is
-    # apply_bpe_str inlined — the parity pytest pins the two together.
-    def tok(batches):
-        import pandas as _pd
+    # fully self-contained nested closures (the multimodal.decode_features
+    # discipline): cloudpickle ships them by VALUE, so workers never need
+    # this package importable on their own sys.path. Each body is its
+    # module-level twin inlined — parity pytests pin them together.
+    if shape == "str":
+        pats = _merge_pats(merges)
 
-        def n_tok(w: str) -> int:
-            s = "".join(sep + c + sep for c in w) + sep + eow + sep
-            for pat, repl in pats:
-                if pat in s:
-                    s = s.replace(pat, repl)
-            return s.count(sep) // 2
+        def tok(batches):
+            import pandas as _pd
 
-        for pdf in batches:
-            ws = pdf[word_col]
-            yield _pd.DataFrame({word_col: ws, "n_tok": [n_tok(w) for w in ws]})
+            def n_tok(w: str) -> int:
+                s = "".join(sep + c + sep for c in w) + sep + eow + sep
+                for pat, repl in pats:
+                    if pat in s:
+                        s = s.replace(pat, repl)
+                return s.count(sep) // 2
+
+            for pdf in batches:
+                ws = pdf[word_col]
+                yield _pd.DataFrame(
+                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
+                )
+
+    else:
+        pairs = [(m[0], m[1]) for m in merges]
+
+        def tok(batches):
+            from bisect import bisect_right as _br
+            from heapq import heappop as _pop
+            from heapq import heappush as _push
+
+            import pandas as _pd
+
+            ranks: dict = {}
+            for i, p in enumerate(pairs):
+                ranks.setdefault(p, []).append(i + 1)
+
+            def n_tok(w: str) -> int:
+                syms = [*w, eow]
+                heap: list = []
+                pushed: set = set()
+
+                def scan(lo: int) -> None:
+                    for i in range(len(syms) - 1):
+                        rs = ranks.get((syms[i], syms[i + 1]))
+                        if rs is None:
+                            continue
+                        j = _br(rs, lo)
+                        if j < len(rs) and rs[j] not in pushed:
+                            pushed.add(rs[j])
+                            _push(heap, rs[j])
+
+                scan(0)
+                while heap:
+                    r = _pop(heap)
+                    lhs, rhs = pairs[r - 1]
+                    out: list = []
+                    i, n = 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                            out.append(lhs + rhs)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                    scan(r)
+                return len(syms)
+
+            for pdf in batches:
+                ws = pdf[word_col]
+                yield _pd.DataFrame(
+                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
+                )
 
     return words_df.select(word_col).mapInPandas(
         tok, schema=f"{word_col} string, n_tok long"
@@ -366,29 +515,88 @@ def bpe_word_token_counts(
 
 
 def bpe_word_tokens(
-    words_df: DataFrame, merges, word_col: str = "word"
+    words_df: DataFrame, merges, word_col: str = "word",
+    apply_shape: str = "auto",
 ) -> DataFrame:
     """(word, toks array<string>): the token LISTS for a table of
     DISTINCT words — :func:`bpe_word_token_counts`'s sibling for
     consumers that need the subwords themselves (vocabulary reports,
-    OOV audits), same vocabulary-shaped Arrow scale shape and the same
-    self-contained-closure discipline."""
-    pats = _merge_pats(merges)
+    OOV audits), same vocabulary-shaped Arrow scale shape, the same
+    self-contained-closure discipline, and the same ``apply_shape``
+    rungs (str / ranked / auto)."""
+    shape = _resolve_apply_shape(apply_shape, len(merges))
     sep, eow = SEP, EOW
 
-    def tok(batches):
-        import pandas as _pd
+    if shape == "str":
+        pats = _merge_pats(merges)
 
-        def toks(w: str) -> list[str]:
-            s = "".join(sep + c + sep for c in w) + sep + eow + sep
-            for pat, repl in pats:
-                if pat in s:
-                    s = s.replace(pat, repl)
-            return [t for t in s.split(sep) if t]
+        def tok(batches):
+            import pandas as _pd
 
-        for pdf in batches:
-            ws = pdf[word_col]
-            yield _pd.DataFrame({word_col: ws, "toks": [toks(w) for w in ws]})
+            def toks(w: str) -> list[str]:
+                s = "".join(sep + c + sep for c in w) + sep + eow + sep
+                for pat, repl in pats:
+                    if pat in s:
+                        s = s.replace(pat, repl)
+                return [t for t in s.split(sep) if t]
+
+            for pdf in batches:
+                ws = pdf[word_col]
+                yield _pd.DataFrame(
+                    {word_col: ws, "toks": [toks(w) for w in ws]}
+                )
+
+    else:
+        pairs = [(m[0], m[1]) for m in merges]
+
+        def tok(batches):
+            from bisect import bisect_right as _br
+            from heapq import heappop as _pop
+            from heapq import heappush as _push
+
+            import pandas as _pd
+
+            ranks: dict = {}
+            for i, p in enumerate(pairs):
+                ranks.setdefault(p, []).append(i + 1)
+
+            def toks(w: str) -> list:
+                syms = [*w, eow]
+                heap: list = []
+                pushed: set = set()
+
+                def scan(lo: int) -> None:
+                    for i in range(len(syms) - 1):
+                        rs = ranks.get((syms[i], syms[i + 1]))
+                        if rs is None:
+                            continue
+                        j = _br(rs, lo)
+                        if j < len(rs) and rs[j] not in pushed:
+                            pushed.add(rs[j])
+                            _push(heap, rs[j])
+
+                scan(0)
+                while heap:
+                    r = _pop(heap)
+                    lhs, rhs = pairs[r - 1]
+                    out: list = []
+                    i, n = 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                            out.append(lhs + rhs)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                    scan(r)
+                return syms
+
+            for pdf in batches:
+                ws = pdf[word_col]
+                yield _pd.DataFrame(
+                    {word_col: ws, "toks": [toks(w) for w in ws]}
+                )
 
     return words_df.select(word_col).mapInPandas(
         tok, schema=f"{word_col} string, toks array<string>"
@@ -402,6 +610,7 @@ def doc_bpe_token_counts_joined(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
     broadcast_vocab: bool = True,
+    apply_shape: str = "auto",
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, fertility) — same output contract as
     :func:`doc_bpe_token_counts`, but apply runs over DISTINCT words and
@@ -430,7 +639,9 @@ def doc_bpe_token_counts_joined(
         *[F.col(c) for c in keep_cols],
         F.explode(words_arr).alias("word"),
     )
-    wtok = bpe_word_token_counts(words.select("word").distinct(), merges)
+    wtok = bpe_word_token_counts(
+        words.select("word").distinct(), merges, apply_shape=apply_shape
+    )
     if broadcast_vocab:
         wtok = F.broadcast(wtok)
     return (

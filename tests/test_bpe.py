@@ -418,3 +418,192 @@ def test_stream_v1k_meter_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 10: pair-indexed apply (rank-count-INDEPENDENT per-word cost —
+# r9 VERDICT next #1)
+# ---------------------------------------------------------------------------
+def _synthetic_merge_table(n_ranks: int, seed: int = 20260815):
+    """A WELL-FORMED synthetic merge table of exactly ``n_ranks`` rules —
+    the route the fixture cannot provide (its 31-word vocabulary
+    exhausts training at ~106 merges). Rules are the prefix-collapse
+    chains of random words, emitted breadth-first by prefix length, so —
+    like a TRAINED table — every rule consuming a composite token ranks
+    after the rule that created it. Returns (merges, words)."""
+    import random
+
+    rng = random.Random(seed)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(14))
+            for _ in range(2000)
+        }
+    )
+    merges: list[tuple[str, str, int]] = []
+    seen: set[tuple[str, str]] = set()
+    from futures_eos_cdc_spark.operators.bpe import EOW as _EOW
+
+    max_len = max(len(w) for w in words)
+    for plen in range(1, max_len + 1):
+        for w in words:
+            if len(w) > plen:
+                rule = (w[:plen], w[plen])
+            elif len(w) == plen:
+                rule = (w, _EOW)
+            else:
+                continue
+            if rule not in seen:
+                seen.add(rule)
+                merges.append((rule[0], rule[1], 1))
+            if len(merges) >= n_ranks:
+                return merges, words
+    raise AssertionError(f"vocabulary too small for {n_ranks} ranks")
+
+
+def test_ranked_apply_matches_py_on_trained_tables():
+    """apply_bpe_ranked == apply_bpe_py on TRAINED random-vocabulary
+    tables, for both training words and unseen words (including words
+    that share only prefixes with the vocabulary)."""
+    import random
+
+    from futures_eos_cdc_spark.operators.bpe import (
+        _rank_index,
+        apply_bpe_py,
+        apply_bpe_ranked,
+        train_bpe_py_fast,
+    )
+
+    rng = random.Random(424242)
+    for trial in range(3):
+        vocab = sorted(
+            {
+                "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 14)))
+                for _ in range(250)
+            }
+        )
+        wf = [(w, rng.randint(1, 9)) for w in vocab]
+        merges = train_bpe_py_fast(wf, n_merges=400)
+        idx = _rank_index(merges)
+        unseen = [
+            "".join(rng.choice("abcdefghz") for _ in range(rng.randint(1, 20)))
+            for _ in range(120)
+        ] + [w[: max(1, len(w) // 2)] + "z" for w in vocab[:50]] + [""]
+        for w in vocab + unseen:
+            assert apply_bpe_ranked(w, merges, idx) == apply_bpe_py(w, merges), (
+                trial,
+                w,
+            )
+
+
+def test_ranked_apply_single_turn_per_rank():
+    """The documented sequential-by-rank edge: a rank whose pair is
+    absent at its turn never merges later (hand-constructed table where
+    a LATER merge re-creates an EARLIER rank's pair)."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        apply_bpe_py,
+        apply_bpe_ranked,
+    )
+
+    # rank 1: (ab, c) — absent initially (no 'ab' token yet)
+    # rank 2: (a, b) — creates 'ab', re-creating rank 1's pair TOO LATE
+    merges = [("ab", "c", 1), ("a", "b", 1)]
+    want = apply_bpe_py("abc", merges)  # ['ab', 'c', EOW] — rank 1 missed
+    assert apply_bpe_ranked("abc", merges) == want
+    assert want[0] == "ab" and want[1] == "c"
+
+    # and the productive order merges fully
+    merges2 = [("a", "b", 1), ("ab", "c", 1)]
+    assert apply_bpe_ranked("abc", merges2) == apply_bpe_py("abc", merges2)
+    assert apply_bpe_ranked("abc", merges2)[0] == "abc"
+
+
+def test_ranked_apply_at_16k_ranks_parity_and_flat_cost():
+    """The production-depth pin (r9 VERDICT next #1): at 16 384 ranks the
+    pair-indexed apply (a) still equals the string-sequential twin
+    word-for-word (which is itself pytest-pinned to apply_bpe_py), with
+    apply_bpe_py spot-checked directly, and (b) costs the SAME per word
+    as at 1 024 ranks (flat in table size), while the str apply's cost
+    is rank-linear by construction."""
+    import time
+
+    from futures_eos_cdc_spark.operators.bpe import (
+        SEP,
+        _merge_pats,
+        _rank_index,
+        apply_bpe_py,
+        apply_bpe_ranked,
+        apply_bpe_str,
+    )
+
+    merges16k, words = _synthetic_merge_table(16384)
+    assert len(merges16k) == 16384
+    merges1k = merges16k[:1024]
+
+    sample = words[:: max(1, len(words) // 300)][:300]
+    # (a) parity at full depth: ranked == str on every sampled word...
+    pats = _merge_pats(merges16k)
+    idx = _rank_index(merges16k)
+    for w in sample:
+        toks = [t for t in apply_bpe_str(w, pats).split(SEP) if t]
+        assert apply_bpe_ranked(w, merges16k, idx) == toks, w
+    # ...with the list-level reference spot-checked directly (it walks
+    # all 16k ranks per word, so keep the direct check small)
+    for w in sample[:12]:
+        assert apply_bpe_ranked(w, merges16k, idx) == apply_bpe_py(w, merges16k), w
+
+    # (b) per-word cost flat in table size: time the SAME words through
+    # ranked at 1k and at 16k ranks. Generous 4x bound — the honest
+    # numbers go to BENCH_NOTES; this guards the complexity class only
+    # (str at 16x the ranks costs ~16x by construction, no assert).
+    idx1k = _rank_index(merges1k)
+    timing_words = sample * 3
+
+    def clock(index, table):
+        t0 = time.perf_counter()
+        for w in timing_words:
+            apply_bpe_ranked(w, table, index)
+        return time.perf_counter() - t0
+
+    clock(idx1k, merges1k)  # warm-up (dict/heap allocation paths)
+    t_1k = min(clock(idx1k, merges1k) for _ in range(3))
+    t_16k = min(clock(idx, merges16k) for _ in range(3))
+    assert t_16k < 4 * t_1k, (t_1k, t_16k)
+
+
+def test_join_apply_ranked_shape_matches_str_on_spark(spark):
+    """Both Arrow closures (str / ranked) produce identical word token
+    counts through Spark on a synthetic table deep enough to cross the
+    auto threshold — and 'auto' picks the ranked rung there."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        BPE_APPLY_AUTO_THRESHOLD,
+        _resolve_apply_shape,
+        bpe_word_token_counts,
+        bpe_word_tokens,
+    )
+
+    merges, words = _synthetic_merge_table(2048)
+    assert _resolve_apply_shape("auto", len(merges)) == "ranked"
+    assert _resolve_apply_shape("auto", BPE_APPLY_AUTO_THRESHOLD) == "str"
+
+    wdf = spark.createDataFrame([(w,) for w in words[:400]], "word string")
+    a = {
+        r["word"]: r["n_tok"]
+        for r in bpe_word_token_counts(wdf, merges, apply_shape="str").collect()
+    }
+    b = {
+        r["word"]: r["n_tok"]
+        for r in bpe_word_token_counts(wdf, merges, apply_shape="ranked").collect()
+    }
+    assert a == b and len(a) == 400
+
+    ta = {
+        r["word"]: list(r["toks"])
+        for r in bpe_word_tokens(wdf, merges, apply_shape="str").collect()
+    }
+    tb = {
+        r["word"]: list(r["toks"])
+        for r in bpe_word_tokens(wdf, merges, apply_shape="ranked").collect()
+    }
+    assert ta == tb
+    assert all(len(ta[w]) == a[w] for w in ta)
