@@ -29,30 +29,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def _split_uri(path: str) -> tuple[str, str]:
-    """(authority, path) with the scheme dropped: ``/p`` → ("", "/p"),
-    ``file:/p`` → ("", "/p"), ``hdfs://nn:8020/p`` → ("nn:8020", "/p").
-    The authority is KEPT as a comparison component (code-review r9:
-    discarding it made the same path on a DIFFERENT cluster compare
-    equal), while a caller's plain path still matches the qualified live
-    value on whatever-the-default-FS (empty caller authority is a
-    wildcard — ADVICE r8's original complaint)."""
+def _split_uri(path: str) -> tuple[str, str, str]:
+    """(scheme, authority, path): ``/p`` → ("", "", "/p"), ``file:/p`` →
+    ("file", "", "/p"), ``hdfs://nn:8020/p`` → ("hdfs", "nn:8020", "/p").
+    BOTH scheme and authority are kept as comparison components (ADVICE
+    r9: dropping the scheme made ``file:/ckpt`` — explicit scheme, no
+    authority — compare equal to ``hdfs://nn:8020/ckpt``'s path on a
+    different filesystem; code-review r9 made the same point for the
+    authority), while a caller's PLAIN path still matches the qualified
+    live value on whatever-the-default-FS (empty caller scheme/authority
+    are wildcards — ADVICE r8's original complaint)."""
     head = path.split("/", 1)[0]
     if ":" not in head:
-        return "", path
-    rest = path.split(":", 1)[1]
+        return "", "", path
+    scheme, rest = path.split(":", 1)
     if rest.startswith("//"):
         tail = rest[2:]
         slash = tail.find("/")
         if slash < 0:
-            return tail, "/"
-        return tail[:slash], tail[slash:]
-    return "", rest
+            return scheme, tail, "/"
+        return scheme, tail[:slash], tail[slash:]
+    return scheme, "", rest
 
 
 def _scheme_free(path: str) -> str:
     """Path component only (back-compat helper; see :func:`_split_uri`)."""
-    return _split_uri(path)[1]
+    return _split_uri(path)[2]
 
 
 def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
@@ -66,18 +68,23 @@ def _ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
     identical calls stay a no-op (no UUID-subdir churn)."""
     import os
 
-    want_auth, want = _split_uri(checkpoint_dir)
+    want_scheme, want_auth, want = _split_uri(checkpoint_dir)
     want = want.rstrip("/")
     if not want.startswith("/"):
         want = os.path.abspath(want)
     live = sc.getCheckpointDir()
     if live is not None:
-        live_auth, live_path = _split_uri(live)
+        live_scheme, live_auth, live_path = _split_uri(live)
         live_parent = live_path.rstrip("/").rsplit("/", 1)[0]
-        # a plain caller path matches whatever authority the default FS
-        # qualified the live value with; an EXPLICIT caller authority
-        # must match exactly (same path on another cluster is not "set")
-        if live_parent == want and want_auth in ("", live_auth):
+        # a plain caller path matches whatever scheme/authority the
+        # default FS qualified the live value with; an EXPLICIT caller
+        # scheme or authority must match exactly (same path on another
+        # filesystem or cluster is not "set")
+        if (
+            live_parent == want
+            and want_auth in ("", live_auth)
+            and want_scheme in ("", live_scheme)
+        ):
             return
     sc.setCheckpointDir(checkpoint_dir)
 

@@ -3386,15 +3386,34 @@ def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 BPE_N_MERGES_LARGE = 1000  # production-shaped merge cap (r8 VERDICT next #1)
+
+
+def _default_v1k_dir() -> str:
+    """User-scoped default (ADVICE r9): a fixed world-shared /tmp path
+    let two USERS' harnesses clobber each other's parquet parts; scoping
+    by user removes the cross-user hazard while keeping the path stable
+    across this user's sequential harness processes."""
+    import getpass
+    import tempfile
+
+    try:
+        who = getpass.getuser()
+    except (KeyError, OSError):  # no passwd entry (containers)
+        who = f"uid{os.getuid()}"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_bpe_v1k_{who}")
+
+
 # The persisted-merge-table location is baked into the v1k oracle SQL at
 # import, so it is one FIXED path per process; the env override exists so
-# concurrent harnesses (or multi-user hosts) can isolate themselves —
-# within one process, query construction always rewrites the table for
-# its own sf_dir before any oracle comparison runs (_v1k_merges), and the
-# import-time ensure below assumes SEQUENTIAL harness processes (true of
-# the driver's verify/bench steps and this repo's test/bench discipline).
+# concurrent harnesses can isolate themselves — within one process, query
+# construction always rewrites the table for its own sf_dir before any
+# oracle comparison runs (_v1k_merges), and the import-time ensure below
+# assumes SEQUENTIAL harness processes per path (true of the driver's
+# verify/bench steps and this repo's test/bench discipline); writers of
+# the SAME path additionally serialize on an flock so concurrent imports
+# (pytest-xdist) cannot interleave the write/cleanup phases.
 BPE_V1K_MERGES_PATH = os.environ.get(
-    "SPARK_GRAFT_BPE_V1K_DIR", "/tmp/spark_graft_bpe_v1k_merges"
+    "SPARK_GRAFT_BPE_V1K_DIR", _default_v1k_dir()
 )
 _DRIVER_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 
@@ -3431,35 +3450,68 @@ def _ensure_v1k_merge_table() -> None:
     import pyarrow.parquet as _pq
 
     os.makedirs(BPE_V1K_MERGES_PATH, exist_ok=True)
-    _pq.write_table(
-        _pa.table(
-            {
-                "merge_rank": _pa.array(
-                    range(1, len(merges) + 1), type=_pa.int32()
-                ),
-                "lhs": _pa.array([m[0] for m in merges]),
-                "rhs": _pa.array([m[1] for m in merges]),
-                "pair_freq": _pa.array(
-                    [int(m[2]) for m in merges], type=_pa.int64()
-                ),
-            }
-        ),
-        os.path.join(BPE_V1K_MERGES_PATH, "part-import-ensure.parquet"),
-    )
-    # drop any stale Spark-written parts from an earlier process at a
-    # different SF — the directory must describe exactly one corpus
-    for fn in os.listdir(BPE_V1K_MERGES_PATH):
-        if fn.endswith(".parquet") and fn != "part-import-ensure.parquet":
-            try:
-                os.unlink(os.path.join(BPE_V1K_MERGES_PATH, fn))
-            except OSError:
-                pass
+    # same-path writers serialize on an flock (ADVICE r9: two concurrent
+    # importers could delete each other's parts mid-glob); the lock is
+    # advisory and writer-side only — the sequential-process assumption
+    # for READERS stays documented above
+    import contextlib
+
+    with open(os.path.join(BPE_V1K_MERGES_PATH, ".writer.lock"), "w") as lk:
+        with contextlib.suppress(ImportError):
+            import fcntl
+
+            fcntl.flock(lk, fcntl.LOCK_EX)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "merge_rank": _pa.array(
+                        range(1, len(merges) + 1), type=_pa.int32()
+                    ),
+                    "lhs": _pa.array([m[0] for m in merges]),
+                    "rhs": _pa.array([m[1] for m in merges]),
+                    "pair_freq": _pa.array(
+                        [int(m[2]) for m in merges], type=_pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(BPE_V1K_MERGES_PATH, "part-import-ensure.parquet"),
+        )
+        # drop any stale Spark-written parts from an earlier process at a
+        # different SF — the directory must describe exactly one corpus
+        for fn in os.listdir(BPE_V1K_MERGES_PATH):
+            if fn.endswith(".parquet") and fn != "part-import-ensure.parquet":
+                try:
+                    os.unlink(os.path.join(BPE_V1K_MERGES_PATH, fn))
+                except OSError:
+                    pass
 
 
 try:
     _ensure_v1k_merge_table()
-except Exception:  # noqa: BLE001 — import must never fail on a bare box
-    pass
+except (ImportError, OSError) as _exc:
+    # NARROW and LOUD (r9 VERDICT wrong #2): a bare box may lack the
+    # fixture's parents or write access (fine — the Spark query persists
+    # the table itself at first construction), but swallowing silently
+    # masked real defects until they surfaced as an opaque oracle read
+    # error. One warning line names the path and the env override.
+    import warnings
+
+    warnings.warn(
+        f"v1k BPE merge-table import-ensure skipped ({type(_exc).__name__}: "
+        f"{_exc}) — oracle SQL reads {BPE_V1K_MERGES_PATH!r}; the table "
+        "will be written at first v1k query construction, or set "
+        "SPARK_GRAFT_BPE_V1K_DIR to a writable directory",
+        stacklevel=2,
+    )
+except Exception as _exc:  # noqa: BLE001 — import must never fail outright
+    import warnings
+
+    warnings.warn(
+        f"v1k BPE merge-table import-ensure FAILED unexpectedly "
+        f"({type(_exc).__name__}: {_exc}) at {BPE_V1K_MERGES_PATH!r} — "
+        "v1k oracles will not run until a v1k query is constructed",
+        stacklevel=2,
+    )
 
 # Oracle for the production-shaped apply: training is replayed via the
 # PERSISTED merge table (the query trains with the same pytest-pinned
@@ -3567,6 +3619,22 @@ def _v1k_merges(spark: SparkSession, sf_dir: str, _t):
         # the other corpus's vocabulary)
         from ..operators.bpe import save_bpe_merges
 
+        # fail READABLY here, not as an opaque oracle error three steps
+        # later (r9 VERDICT next #5): the oracle's SQL reads this path
+        try:
+            os.makedirs(BPE_V1K_MERGES_PATH, exist_ok=True)
+            probe = os.path.join(BPE_V1K_MERGES_PATH, ".write-probe")
+            with open(probe, "w"):
+                pass
+            os.unlink(probe)
+        except OSError as exc:
+            raise RuntimeError(
+                f"v1k BPE merge-table dir {BPE_V1K_MERGES_PATH!r} is not "
+                f"writable ({exc}) — the v1k oracles replay apply from the "
+                "persisted table there; set SPARK_GRAFT_BPE_V1K_DIR to a "
+                "writable directory (the value is baked into the oracle "
+                "SQL at import, so set it before importing the package)"
+            ) from exc
         save_bpe_merges(spark, merges, BPE_V1K_MERGES_PATH)
         _BPE_V1K_FILE_SF["sf"] = sf_dir
     return docs, merges

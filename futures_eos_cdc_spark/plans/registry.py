@@ -1126,73 +1126,68 @@ ORACLES["bpe_subword_vocab"] = _dp.BPE_SUBWORD_VOCAB_ORACLE
 # reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 0 — NEW this round (never had a driver row): the
-    # production-shaped BPE apply (r8 VERDICT next #1) and the SQ8
-    # re-rank rung (next #3).
+    # Priority 1 — r9 VERDICT next #3's explicit list: the 22 queries
+    # whose newest driver row is r7; after r10 no query's newest row is
+    # older than r8.
+    "above_brand_avg_parts",
+    "cohort_retention",
+    "dedup_exact_documents",
+    "funnel_view_click_purchase",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_sole_blame_suppliers",
+    # Priority 2 — implementation touched THIS round: the v1k family now
+    # runs the pair-indexed (ranked) Arrow apply — bit-identical by
+    # design (parity pytests), but fresh driver rows prove it.
     "bpe_token_counts_v1k",
     "bpe_token_blocks_v1k",
     "bpe_subword_vocab_v1k",
-    "cosine_topk_q8_rerank",
-    # Priority 1 — r8 VERDICT item 2's explicit list: newest row is r6;
-    # after r9 no query's newest row is older than r7.
-    "asof_join_purchases",
-    "cube_order_stats",
-    "distinct_aggregates",
-    "full_outer_reconciliation",
-    "gap_fill_price_grid",
-    "grouping_sets_revenue",
-    "market_price_lookup",
-    "moving_aggregates",
-    "order_price_histogram",
-    "order_value_percentiles",
-    "q22_idle_wealthy_customers",
-    "range_join_click_attribution",
-    "sessionize_events",
-    "skew_salted_aggregate",
-    "sliding_window_events",
-    "stratified_sample_per_lang",
-    "token_budget_mixture",
-    "train_val_test_split",
-    "window_functions",
-    # Priority 2 — implementation touched THIS round (bit-identical by
-    # design, but fresh rows prove it): train_bpe now routes through the
-    # incremental-pair-count trainer (whole BPE family), hybrid's body
-    # was factored into hybrid_rrf_frame, and cosine_topk_q8 shares the
-    # module the re-rank rung landed in.
-    "bpe_vocab",
-    "bpe_token_counts",
-    "bpe_token_blocks",
-    "bpe_subword_vocab",
-    "hybrid_rrf_retrieval",
-    "cosine_topk_q8",
-    # Priority 3 — newest row is r7; rotate as many into the ~50-query
-    # window as fit (flagship + data-heavy + TPC-H spine first). The
-    # tail that misses keeps its r7 row AND every oracle-backed query is
-    # re-verified each session by tests/test_oracle_parity.py over the
-    # full ORACLES dict.
-    "signal_decisions",
-    "decision_records",
-    "orders_from_decisions",
-    "outbox_event_router",
-    "pagerank_near_dup",
-    "duplicate_span_removal",
-    "leakage_safe_split",
-    "ohlcv_candles",
-    "technical_indicators",
-    "tfidf_top_terms",
-    "decontaminate_docs",
-    "doc_chunks",
-    "domain_cap_sample",
-    "quality_weighted_sample",
-    "fuzzy_join_part_names",
-    "doc_repetition_stats",
-    "embedding_near_dup",
-    "cosine_topk_bruteforce",
-    "q1_pricing_summary",
-    "q9_profit_by_nation",
-    "q18_large_volume_orders",
-    "q21_sole_blame_suppliers",
-    "cohort_retention",
+    # Priority 3 — newest row is r8; rotate as many into the ~50-query
+    # window as fit (flagship + data-heavy + incremental-gate spine
+    # first, plus dedup_clusters whose checkpoint-dir guard was touched
+    # this round). The tail that misses keeps its r8 row AND every
+    # oracle-backed query is re-verified each session by
+    # tests/test_oracle_parity.py over the full ORACLES dict.
+    "minhash_lsh_near_dup",
+    "simhash64_hamming_near_dup",
+    "ngram_jaccard_near_dup",
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "doc_containment_dedup",
+    "line_dedup_docs",
+    "duplicate_text_spans",
+    "exact_dedup_keep_first",
+    "dedup_keep_rows",
+    "dedup_incremental_batch",
+    "neardup_incremental_batch",
+    "containment_incremental_batch",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "semantic_dedup_embeddings",
+    "embedding_kmeans_clusters",
+    "bm25_topk_retrieval",
+    "corpus_token_stats",
+    "token_blocks",
+    "text_stats",
+    "quality_classifier_scores",
+    "cdc_customer_snapshot",
+    "scd2_customer_history",
+    "multimodal_features",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

@@ -607,3 +607,23 @@ def test_join_apply_ranked_shape_matches_str_on_spark(spark):
     }
     assert ta == tb
     assert all(len(ta[w]) == a[w] for w in ta)
+
+
+def test_v1k_poisoned_dir_fails_readably_at_construction(spark, sf_dir, monkeypatch):
+    """r9 VERDICT next #5: an unusable SPARK_GRAFT_BPE_V1K_DIR must
+    surface a readable, named error when the v1k QUERY is constructed —
+    not an opaque parquet-glob failure when the oracle runs later."""
+    import pytest as _pytest
+
+    from futures_eos_cdc_spark.plans import dataprep as dp
+    from futures_eos_cdc_spark.plans.registry import _t
+
+    # a regular FILE where the merge-table directory should go — the
+    # canonical poisoned value (os.makedirs cannot replace it)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile() as poison:
+        monkeypatch.setattr(dp, "BPE_V1K_MERGES_PATH", poison.name)
+        monkeypatch.setattr(dp, "_BPE_V1K_FILE_SF", {})
+        with _pytest.raises(RuntimeError, match="SPARK_GRAFT_BPE_V1K_DIR"):
+            dp.q_bpe_token_counts_v1k(spark, sf_dir, _t)

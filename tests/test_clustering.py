@@ -181,14 +181,19 @@ def test_split_uri_authority_comparison():
     equal, while a plain caller path still matches any authority."""
     from futures_eos_cdc_spark.operators.clustering import _split_uri
 
-    assert _split_uri("/ckpt") == ("", "/ckpt")
-    assert _split_uri("file:/ckpt") == ("", "/ckpt")
-    assert _split_uri("hdfs://nnA:8020/ckpt") == ("nnA:8020", "/ckpt")
-    assert _split_uri("hdfs://nnA:8020") == ("nnA:8020", "/")
-    assert _split_uri("s3a://bucket/a/b") == ("bucket", "/a/b")
-    a1, p1 = _split_uri("hdfs://nnA:8020/ckpt")
-    a2, p2 = _split_uri("hdfs://nnB:8020/ckpt")
-    assert p1 == p2 and a1 != a2  # same path, DIFFERENT cluster
+    assert _split_uri("/ckpt") == ("", "", "/ckpt")
+    assert _split_uri("file:/ckpt") == ("file", "", "/ckpt")
+    assert _split_uri("hdfs://nnA:8020/ckpt") == ("hdfs", "nnA:8020", "/ckpt")
+    assert _split_uri("hdfs://nnA:8020") == ("hdfs", "nnA:8020", "/")
+    assert _split_uri("s3a://bucket/a/b") == ("s3a", "bucket", "/a/b")
+    s1, a1, p1 = _split_uri("hdfs://nnA:8020/ckpt")
+    s2, a2, p2 = _split_uri("hdfs://nnB:8020/ckpt")
+    assert p1 == p2 and a1 != a2 and s1 == s2  # same path, DIFFERENT cluster
+    # ADVICE r9: the SCHEME alone distinguishes filesystems too —
+    # file:/ckpt (explicit scheme, no authority) vs hdfs://nn:8020/ckpt
+    fs, fa, fp = _split_uri("file:/ckpt")
+    hs, ha, hp = _split_uri("hdfs://nn:8020/ckpt")
+    assert fp == hp and fs != hs  # paths equal; schemes must decide
 
 
 def test_ensure_checkpoint_dir_resets_on_foreign_authority(spark):
@@ -205,7 +210,7 @@ def test_ensure_checkpoint_dir_resets_on_foreign_authority(spark):
     with tempfile.TemporaryDirectory() as d:
         _ensure_checkpoint_dir(sc, d)
         live1 = sc.getCheckpointDir()
-        assert live1 and _split_uri(live1)[1].startswith(d)
+        assert live1 and _split_uri(live1)[2].startswith(d)
         # same plain path again: no churn (the ADVICE r8 case)
         _ensure_checkpoint_dir(sc, d)
         assert sc.getCheckpointDir() == live1
@@ -214,5 +219,19 @@ def test_ensure_checkpoint_dir_resets_on_foreign_authority(spark):
         # setCheckpointDir on an unreachable cluster would error, so
         # assert the decision logic directly: a foreign authority fails
         # the want_auth in ("", live_auth) guard.
-        live_auth = _split_uri(live1)[0]
+        live_auth = _split_uri(live1)[1]
         assert "nnB:8020" != live_auth
+        # ADVICE r9 (scheme half): an explicit caller scheme must match
+        # the live scheme under the same empty-is-wildcard rule. The
+        # local session qualifies the live dir as file:, so a caller
+        # naming hdfs:/ must fail the want_scheme in ("", live_scheme)
+        # guard even with an identical path and no authority.
+        live_scheme = _split_uri(live1)[0]
+        assert live_scheme == "file"
+        foreign_scheme = _split_uri("hdfs:" + d)[0]
+        assert foreign_scheme not in ("", live_scheme)
+        same_scheme = _split_uri("file:" + d)[0]
+        assert same_scheme in ("", live_scheme)
+        # and an explicit file: caller over the same path is a no-op
+        _ensure_checkpoint_dir(sc, "file:" + d)
+        assert sc.getCheckpointDir() == live1
