@@ -145,13 +145,68 @@ def main() -> None:
     # the data-dominated regime the sf0.1 totals can't show (most queries
     # there sit on the ~0.3-0.6 s task-scheduling floor). Gated to the
     # driver's default sf0.1 run; SPARK_GRAFT_BENCH_SF1=0 disables.
+    #
+    # Runs in a FRESH SUBPROCESS with its own SparkSession (r9 VERDICT
+    # wrong #1 / next #2): the JVM that just executed all ~116 registry
+    # queries carries heap, broadcast, and Python-worker pressure that an
+    # advisory System.gc() demonstrably does not clear under driver
+    # conditions (ngram at 10x: 30.6 s in the r9 driver artifact vs
+    # 10.7-11.2 s fresh). The main session is STOPPED first so the two
+    # JVMs never compete for the box.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1":
-        try:
-            result["sf1"] = bench_sf1(spark, sf_dir, cpus)
-        except Exception as exc:  # noqa: BLE001 — sf1 is additive evidence
-            result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        spark.stop()
+        result["sf1"] = run_sf1_subprocess(sf_dir)
 
     emit(result)
+
+
+def run_sf1_subprocess(sf_dir: str) -> dict:
+    """Launch ``bench.py --sf1 <sf_dir>`` as a child process and parse
+    its one-line JSON result. The child builds its own SparkSession in a
+    new JVM — steady-state numbers, not post-116-query heap pressure."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sf1", sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env={**os.environ, "SPARK_GRAFT_BENCH_SF1": "0"},
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": "sf1 subprocess timed out (1200s)"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                break
+    return {
+        "error": (
+            f"sf1 subprocess rc={proc.returncode}; no JSON on stdout; "
+            f"stderr tail: {proc.stderr[-200:]}"
+        )[:300]
+    }
+
+
+def sf1_child_main(sf_dir: str) -> None:
+    """Child-process entry (``--sf1``): fresh session, run the section,
+    print ONE JSON line."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    spark = get_spark(
+        "futures_eos_cdc_spark-bench-sf1",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    try:
+        out = bench_sf1(spark, sf_dir, cpus)
+    except Exception as exc:  # noqa: BLE001 — sf1 is additive evidence
+        out = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 # Heaviest data-dominated queries, cheapest DuckDB side first so a budget
@@ -182,9 +237,17 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
     sources/scale_synth.py: replica texts are token-SUFFIXED into disjoint
     replicas so near-dup density scales linearly — a faithful 10× workload,
     not an N² pair explosion; permutation is explicitly rejected there
-    because the fixture's shingle space saturates). Spark: warm-up + one timed run (data-dominated, so the
-    min-of-2 JIT guard matters less and the budget buys more queries).
-    DuckDB: one run per oracle under an interrupt timeout."""
+    because the fixture's shingle space saturates). Spark: warm-up + MIN
+    OF TWO timed runs (r9 VERDICT next #2 — symmetric with the sf0.1
+    loop). DuckDB: one run per oracle under an interrupt timeout (its
+    sf1 pass alone is ~350 s; doubling it would blow the budget, and the
+    buffer pool carries no cross-query JIT slope to guard against).
+
+    CONTRACT: call this in a FRESH SparkSession (the --sf1 subprocess
+    does) — the r9 driver artifact measured one query 3x slower in the
+    JVM that had just run the full registry, and in-place hygiene
+    (unpersist + clearCache + System.gc) demonstrably did not protect
+    the driver's run."""
     import threading
 
     from futures_eos_cdc_spark.plans import ORACLES
@@ -192,24 +255,6 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
     from futures_eos_cdc_spark.sources.scale_synth import ensure_scaled_dir
 
     t_section = time.perf_counter()
-    # JVM hygiene between sections: the main loop just ran the full
-    # registry in this JVM (broadcasts, localCheckpoint blocks, Python
-    # workers); measured r9, ngram at 10x reads ~10.7 s in a fresh
-    # session but ~60 s in the pressured one. Drop every persisted RDD
-    # and cached relation and ask for a full GC before timing.
-    try:
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values().toArray():
-            try:
-                rdd.unpersist(True)
-            except Exception:  # noqa: BLE001
-                pass
-    except Exception:  # noqa: BLE001
-        pass
-    spark.catalog.clearCache()
-    try:
-        spark._jvm.System.gc()
-    except Exception:  # noqa: BLE001
-        pass
     sf1_dir = ensure_scaled_dir(sf_dir, factor=10)
     oracles = {**ORACLES, **oracle_overrides_for_sf(sf1_dir)}
     out: dict = {"dir": sf1_dir, "factor": 10, "spark": {}, "duckdb": {}}
@@ -221,12 +266,16 @@ def bench_sf1(spark, sf_dir: str, cpus: int) -> dict:
         try:
             fn = QUERIES[name]
             fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
-            # construction inside the window — same honesty rule as the
-            # main loop (eager iterative operators)
-            t0 = time.perf_counter()
-            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            out["spark"][name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                # construction inside the window — same honesty rule as
+                # the main loop (eager iterative operators)
+                t0 = time.perf_counter()
+                fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out["spark"][name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             out.setdefault("errors", {})[name] = (
                 f"spark {type(exc).__name__}: {exc}"[:200]
@@ -362,4 +411,7 @@ def emit(result: dict) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sf1":
+        sf1_child_main(sys.argv[2])
+    else:
+        main()
