@@ -882,7 +882,12 @@ def test_maintenance_loop_compact_gc_under_appends(spark, sf_dir, tmp_path):
             except Exception as exc:  # noqa: BLE001
                 maint_errors.append(exc)
             try:
-                idx.gc(grace_s=0.0)
+                # nonzero grace IN THE LOOP: the main thread is reading,
+                # and the grace window is exactly the documented reader
+                # protection for freshly-orphaned (mtime-reset) dirs —
+                # zero-grace-under-readers would be a contract violation,
+                # not a test of one. Zero grace runs once at the end.
+                idx.gc(grace_s=10.0)
             except Exception as exc:  # noqa: BLE001
                 maint_errors.append(exc)
 
