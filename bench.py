@@ -176,6 +176,11 @@ def run_sf1_subprocess(sf_dir: str) -> dict:
         )
     except subprocess.TimeoutExpired:
         return {"error": "sf1 subprocess timed out (1200s)"}
+    except Exception as exc:  # noqa: BLE001 — sf1 is additive evidence:
+        # a fork/exec failure (plausible on a memory-pressured box right
+        # after the full registry run) must not lose the whole round's
+        # sf0.1 artifact by crashing main() before emit()
+        return {"error": f"sf1 subprocess spawn: {type(exc).__name__}: {exc}"[:300]}
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):

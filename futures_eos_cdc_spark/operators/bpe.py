@@ -175,28 +175,20 @@ def apply_bpe_str(word: str, pats: list[tuple[str, str]]) -> str:
     return s
 
 
-def _rank_index(merges) -> tuple[dict[tuple[str, str], list[int]], list[tuple[str, str]]]:
-    """(pair → ascending 1-based ranks, rank-1 → pair). Duplicate pairs at
-    several ranks are legal in arbitrary tables (training never emits
-    them, but apply must not assume); each rank keeps its own sequential
-    turn."""
-    ranks: dict[tuple[str, str], list[int]] = {}
-    pair_at: list[tuple[str, str]] = []
-    for i, m in enumerate(merges):
-        p = (m[0], m[1])
-        ranks.setdefault(p, []).append(i + 1)
-        pair_at.append(p)
-    return ranks, pair_at
+def _make_ranked_word_apply(merges, eow: str = EOW):
+    """Build the pair-indexed per-word tokenizer for one merge table and
+    return a closure ``word -> list[token]`` — THE single implementation
+    of the ranked apply (r9 VERDICT next #1, the subword-nmt/GPT-2
+    production shape): :func:`apply_bpe_ranked` and both Arrow batch
+    bodies call the closure this factory returns, so the semantics live
+    in exactly one place (code-review r10 — four textual copies would
+    let a future fix silently diverge from the pytest-pinned twins).
 
-
-def apply_bpe_ranked(word: str, merges, _index=None) -> list[str]:
-    """Sequential-by-rank apply with PAIR-INDEXED cost (r9 VERDICT next
-    #1 — the subword-nmt/GPT-2 production shape): instead of giving every
-    rank a turn (one failed substring scan per ABSENT rank —
-    :func:`apply_bpe_str` is rank-count-LINEAR, 32 k scans per word at
-    32 k ranks), look up only the pairs PRESENT in this word in a
-    pair→rank index and process their ranks in ascending order off a
-    heap. Cost is O(word_len · merges_performed) — INDEPENDENT of the
+    Instead of giving every rank a turn (one failed substring scan per
+    ABSENT rank — :func:`apply_bpe_str` is rank-count-LINEAR, 32 k scans
+    per word at 32 k ranks), look up only the pairs PRESENT in this word
+    in a pair→rank index and process their ranks in ascending order off
+    a heap. Cost is O(word_len · merges_performed) — INDEPENDENT of the
     table size.
 
     Semantics are EXACTLY :func:`apply_bpe_py`'s sequential-by-rank,
@@ -208,36 +200,66 @@ def apply_bpe_ranked(word: str, merges, _index=None) -> list[str]:
     rescan — so the symbol state at every rank's turn equals the
     sequential walk's, by induction. (For TRAINED tables the two
     formulations coincide anyway: a rule consuming a composite token
-    always ranks after the rule that created it.)
+    always ranks after the rule that created it. Duplicate pairs at
+    several ranks are legal in arbitrary tables — each rank keeps its
+    own turn via the per-pair rank LIST.)
 
-    ``_index`` is the prebuilt :func:`_rank_index` — pass it when
-    applying one table to many words (the Arrow batch body does)."""
+    Shipping discipline: the returned closure is DYNAMICALLY created, so
+    cloudpickle serializes it BY VALUE (its cells: the ranks dict, the
+    pair list, ``eow``, and stdlib functions) — workers never need this
+    package importable, the multimodal.decode_features rule the str
+    closures follow by inlining."""
     from bisect import bisect_right
     from heapq import heappop, heappush
 
-    ranks, pair_at = _rank_index(merges) if _index is None else _index
-    syms = [*word, EOW]
-    heap: list[int] = []
-    pushed: set[int] = set()
+    pairs = [(m[0], m[1]) for m in merges]
+    ranks: dict = {}
+    for i, p in enumerate(pairs):
+        ranks.setdefault(p, []).append(i + 1)
 
-    def scan(lo: int) -> None:
-        # push, per adjacent pair, its smallest not-yet-passed rank
-        for i in range(len(syms) - 1):
-            rs = ranks.get((syms[i], syms[i + 1]))
-            if rs is None:
-                continue
-            j = bisect_right(rs, lo)
-            if j < len(rs) and rs[j] not in pushed:
-                pushed.add(rs[j])
-                heappush(heap, rs[j])
+    def apply_word(w: str) -> list:
+        syms = [*w, eow]
+        heap: list = []
+        pushed: set = set()
 
-    scan(0)
-    while heap:
-        r = heappop(heap)
-        lhs, rhs = pair_at[r - 1]
-        syms = _merge_pair(syms, lhs, rhs)
-        scan(r)
-    return syms
+        def scan(lo: int) -> None:
+            # push, per adjacent pair, its smallest not-yet-passed rank
+            for i in range(len(syms) - 1):
+                rs = ranks.get((syms[i], syms[i + 1]))
+                if rs is None:
+                    continue
+                j = bisect_right(rs, lo)
+                if j < len(rs) and rs[j] not in pushed:
+                    pushed.add(rs[j])
+                    heappush(heap, rs[j])
+
+        scan(0)
+        while heap:
+            r = heappop(heap)
+            lhs, rhs = pairs[r - 1]
+            out: list = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            scan(r)
+        return syms
+
+    return apply_word
+
+
+def apply_bpe_ranked(word: str, merges, _apply=None) -> list[str]:
+    """One-word convenience wrapper over :func:`_make_ranked_word_apply`
+    (semantics and cost model documented there). ``_apply`` is the
+    prebuilt factory closure — pass it when applying one table to many
+    words, as the Arrow batch bodies and the parity tests do (building
+    the rank index is O(table) and must not repeat per word)."""
+    return (_make_ranked_word_apply(merges) if _apply is None else _apply)(word)
 
 
 # Measured crossover between the two per-word applies (BENCH_NOTES r10,
@@ -458,55 +480,18 @@ def bpe_word_token_counts(
                 )
 
     else:
-        pairs = [(m[0], m[1]) for m in merges]
+        # ONE implementation: the factory's dynamic closure ships by
+        # value inside this batch body (factory docstring) — no package
+        # import on workers, no textual copy of the heap walk here
+        apply_w = _make_ranked_word_apply(merges, eow)
 
         def tok(batches):
-            from bisect import bisect_right as _br
-            from heapq import heappop as _pop
-            from heapq import heappush as _push
-
             import pandas as _pd
-
-            ranks: dict = {}
-            for i, p in enumerate(pairs):
-                ranks.setdefault(p, []).append(i + 1)
-
-            def n_tok(w: str) -> int:
-                syms = [*w, eow]
-                heap: list = []
-                pushed: set = set()
-
-                def scan(lo: int) -> None:
-                    for i in range(len(syms) - 1):
-                        rs = ranks.get((syms[i], syms[i + 1]))
-                        if rs is None:
-                            continue
-                        j = _br(rs, lo)
-                        if j < len(rs) and rs[j] not in pushed:
-                            pushed.add(rs[j])
-                            _push(heap, rs[j])
-
-                scan(0)
-                while heap:
-                    r = _pop(heap)
-                    lhs, rhs = pairs[r - 1]
-                    out: list = []
-                    i, n = 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
-                            out.append(lhs + rhs)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                    scan(r)
-                return len(syms)
 
             for pdf in batches:
                 ws = pdf[word_col]
                 yield _pd.DataFrame(
-                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
+                    {word_col: ws, "n_tok": [len(apply_w(w)) for w in ws]}
                 )
 
     return words_df.select(word_col).mapInPandas(
@@ -547,55 +532,16 @@ def bpe_word_tokens(
                 )
 
     else:
-        pairs = [(m[0], m[1]) for m in merges]
+        # same single-implementation discipline as bpe_word_token_counts
+        apply_w = _make_ranked_word_apply(merges, eow)
 
         def tok(batches):
-            from bisect import bisect_right as _br
-            from heapq import heappop as _pop
-            from heapq import heappush as _push
-
             import pandas as _pd
-
-            ranks: dict = {}
-            for i, p in enumerate(pairs):
-                ranks.setdefault(p, []).append(i + 1)
-
-            def toks(w: str) -> list:
-                syms = [*w, eow]
-                heap: list = []
-                pushed: set = set()
-
-                def scan(lo: int) -> None:
-                    for i in range(len(syms) - 1):
-                        rs = ranks.get((syms[i], syms[i + 1]))
-                        if rs is None:
-                            continue
-                        j = _br(rs, lo)
-                        if j < len(rs) and rs[j] not in pushed:
-                            pushed.add(rs[j])
-                            _push(heap, rs[j])
-
-                scan(0)
-                while heap:
-                    r = _pop(heap)
-                    lhs, rhs = pairs[r - 1]
-                    out: list = []
-                    i, n = 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
-                            out.append(lhs + rhs)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                    scan(r)
-                return syms
 
             for pdf in batches:
                 ws = pdf[word_col]
                 yield _pd.DataFrame(
-                    {word_col: ws, "toks": [toks(w) for w in ws]}
+                    {word_col: ws, "toks": [apply_w(w) for w in ws]}
                 )
 
     return words_df.select(word_col).mapInPandas(

@@ -66,6 +66,7 @@ adds no second implementation to drift.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -236,9 +237,27 @@ class DedupGateIndex:
             existing = self._token_bids().get(token)
             if existing is not None:
                 return existing
+        bid = uuid.uuid4().hex[:12]
+        with self._pending_intent(bid) as intent:
+            for table, df in self._batch_tables(docs).items():
+                df.write.mode("error").parquet(
+                    os.path.join(self.path, table, f"b_{bid}")
+                )
+            return self._commit(bid, token, intent=intent)
+
+    @contextlib.contextmanager
+    def _pending_intent(self, bid: str):
+        """The write-phase intent protocol shared by :meth:`append` and
+        :meth:`compact`: create ``_PENDING_<bid>``, heartbeat it from a
+        daemon thread while the protected section runs, remove it on the
+        way out. :meth:`gc` treats a live intent as "in-flight batch —
+        hands off". The file's ABSENCE mid-section means this process
+        stalled past ``_INTENT_TTL_S`` and a GC pass may already have
+        reaped the batch dirs — committers re-check existence at their
+        point of no return and abort instead of publishing a reference
+        to possibly-deleted files."""
         import threading
 
-        bid = uuid.uuid4().hex[:12]
         intent = os.path.join(self.path, f"_PENDING_{bid}")
         with open(intent, "w") as fh:
             fh.write(f"{os.getpid()} {time.time():.3f}\n")
@@ -252,15 +271,11 @@ class DedupGateIndex:
                     return  # reaped as stale (a >TTL process pause) — done
 
         hb = threading.Thread(
-            target=beat, name=f"gate-append-intent-{bid}", daemon=True
+            target=beat, name=f"gate-intent-{bid}", daemon=True
         )
         hb.start()
         try:
-            for table, df in self._batch_tables(docs).items():
-                df.write.mode("error").parquet(
-                    os.path.join(self.path, table, f"b_{bid}")
-                )
-            return self._commit(bid, token)
+            yield intent
         finally:
             stop.set()
             hb.join(timeout=5)
@@ -284,7 +299,9 @@ class DedupGateIndex:
     _INTENT_TTL_S = 60.0
     _INTENT_HB_S = 5.0
 
-    def _commit(self, bid: str, token: str | None = None) -> str:
+    def _commit(
+        self, bid: str, token: str | None = None, intent: str | None = None
+    ) -> str:
         from ..streaming.outbox import ConcurrentWriterError, _WriterLease
 
         lease = _WriterLease(
@@ -317,6 +334,19 @@ class DedupGateIndex:
             # double-commit it. Renew-or-raise immediately before the
             # write so a usurped holder fails loudly instead.
             lease.check_and_renew()
+            # commit-the-deleted guard (code-review r10): a >_INTENT_TTL_S
+            # process stall lets gc() reap the intent and then the batch
+            # dirs — committing now would publish a bid whose files are
+            # gone, and readers would fail forever (the bid is "live", so
+            # gc never cleans it). The intent's absence IS the stall
+            # signal: abort and let the caller retry the whole append.
+            if intent is not None and not os.path.exists(intent):
+                raise RuntimeError(
+                    f"{self.path}: append intent for batch {bid} was "
+                    "reaped mid-write (process stalled past the intent "
+                    "TTL; the batch dirs may already be GC'd) — retry "
+                    "the append"
+                )
             line = f"{seq} {bid} {time.time()}{tok}\n"
             with open(os.path.join(self.path, "_MANIFEST.log"), "a") as fh:
                 fh.write(line)
@@ -391,6 +421,22 @@ class DedupGateIndex:
                 f"{self.path}: nothing to compact (no committed batches)"
             )
         bid = uuid.uuid4().hex[:12]
+        with self._pending_intent(bid) as intent:
+            return self._compact_guarded(
+                spark, snapshot, bid, intent, target_partitions
+            )
+
+    def _compact_guarded(
+        self, spark, snapshot, bid, intent, target_partitions
+    ) -> str:
+        """:meth:`compact`'s body, run under the batch's ``_PENDING``
+        intent (code-review r10): the consolidated ``b_<bid>`` dirs are
+        UNREFERENCED until the manifest swap, so without the intent a
+        concurrent zero/short-grace gc() could delete them mid-pass and
+        the swap would publish a manifest pointing at nothing — total
+        index loss. Same protocol as append's write phase."""
+        from ..streaming.outbox import ConcurrentWriterError, _WriterLease
+
         for t in self._table_names():
             df = spark.read.parquet(
                 *[os.path.join(self.path, t, f"b_{b}") for b in snapshot]
@@ -448,6 +494,16 @@ class DedupGateIndex:
             # return, so a usurped compactor aborts instead of replacing
             # a manifest that now carries a contender's committed line.
             lease.check_and_renew()
+            # and the same commit-the-deleted guard as _commit (code-
+            # review r10): if this process stalled past the intent TTL,
+            # gc may have reaped the UNREFERENCED consolidated dirs —
+            # swapping now would leave the manifest pointing at nothing.
+            if not os.path.exists(intent):
+                raise RuntimeError(
+                    f"{self.path}: compaction intent for {bid} was reaped "
+                    "mid-pass (stall past the intent TTL; the consolidated "
+                    "dirs may already be GC'd) — rerun the compaction"
+                )
             os.replace(tmp, manifest)
             # reset the orphans' GC clock: grace must run from the moment
             # a dir became UNREFERENCED, not from its write-era mtime
@@ -518,6 +574,20 @@ class DedupGateIndex:
                 try:
                     if now - os.stat(full).st_mtime < grace_s:
                         continue
+                    # re-check the intent FRESH at the point of deletion
+                    # (code-review r10): the pending set above was one
+                    # listdir at entry, and an append/compact starting
+                    # AFTER that scan may have written this dir under a
+                    # perfectly live intent — a zero-grace pass would
+                    # otherwise delete an in-flight batch (TOCTOU).
+                    try:
+                        intent_age = time.time() - os.stat(
+                            os.path.join(self.path, f"_PENDING_{d[2:]}")
+                        ).st_mtime
+                        if intent_age < self._INTENT_TTL_S:
+                            continue
+                    except OSError:
+                        pass  # no intent — a plain orphan
                     shutil.rmtree(full)
                     deleted.append(d)
                 except OSError:

@@ -294,9 +294,12 @@ def dedup_gate_writer(
     ``opts`` per kind: content_cols (exact; default [text_col]),
     threshold/k (minhash), max_hamming (simhash64),
     gram_n/max_gram_occ (containment). For 'containment', ``corpus`` is
-    ALWAYS required (verification reads container text) and
-    ``corpus_index`` (the persisted gram table) is an optional
-    accelerator alongside it.
+    required (verification reads container text) with ``corpus_index``
+    (the persisted gram table) as an optional accelerator alongside it —
+    UNLESS the index was built with ``self_corpus=True``, which carries
+    its own container text: then pass only ``corpus_index`` (passing
+    ``corpus`` too is refused — the gate must verify against exactly the
+    text its grams were derived from).
 
     Returns a (batch_df, epoch_id) callable handing SURVIVORS (batch rows
     unchanged) to ``sink(survivors_df, epoch_id)``. Same foreachBatch

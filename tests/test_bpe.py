@@ -468,7 +468,7 @@ def test_ranked_apply_matches_py_on_trained_tables():
     import random
 
     from futures_eos_cdc_spark.operators.bpe import (
-        _rank_index,
+        _make_ranked_word_apply,
         apply_bpe_py,
         apply_bpe_ranked,
         train_bpe_py_fast,
@@ -484,13 +484,13 @@ def test_ranked_apply_matches_py_on_trained_tables():
         )
         wf = [(w, rng.randint(1, 9)) for w in vocab]
         merges = train_bpe_py_fast(wf, n_merges=400)
-        idx = _rank_index(merges)
+        ap = _make_ranked_word_apply(merges)
         unseen = [
             "".join(rng.choice("abcdefghz") for _ in range(rng.randint(1, 20)))
             for _ in range(120)
         ] + [w[: max(1, len(w) // 2)] + "z" for w in vocab[:50]] + [""]
         for w in vocab + unseen:
-            assert apply_bpe_ranked(w, merges, idx) == apply_bpe_py(w, merges), (
+            assert apply_bpe_ranked(w, merges, ap) == apply_bpe_py(w, merges), (
                 trial,
                 w,
             )
@@ -529,8 +529,8 @@ def test_ranked_apply_at_16k_ranks_parity_and_flat_cost():
 
     from futures_eos_cdc_spark.operators.bpe import (
         SEP,
+        _make_ranked_word_apply,
         _merge_pats,
-        _rank_index,
         apply_bpe_py,
         apply_bpe_ranked,
         apply_bpe_str,
@@ -543,31 +543,31 @@ def test_ranked_apply_at_16k_ranks_parity_and_flat_cost():
     sample = words[:: max(1, len(words) // 300)][:300]
     # (a) parity at full depth: ranked == str on every sampled word...
     pats = _merge_pats(merges16k)
-    idx = _rank_index(merges16k)
+    ap16k = _make_ranked_word_apply(merges16k)
     for w in sample:
         toks = [t for t in apply_bpe_str(w, pats).split(SEP) if t]
-        assert apply_bpe_ranked(w, merges16k, idx) == toks, w
+        assert apply_bpe_ranked(w, merges16k, ap16k) == toks, w
     # ...with the list-level reference spot-checked directly (it walks
     # all 16k ranks per word, so keep the direct check small)
     for w in sample[:12]:
-        assert apply_bpe_ranked(w, merges16k, idx) == apply_bpe_py(w, merges16k), w
+        assert apply_bpe_ranked(w, merges16k, ap16k) == apply_bpe_py(w, merges16k), w
 
     # (b) per-word cost flat in table size: time the SAME words through
     # ranked at 1k and at 16k ranks. Generous 4x bound — the honest
     # numbers go to BENCH_NOTES; this guards the complexity class only
     # (str at 16x the ranks costs ~16x by construction, no assert).
-    idx1k = _rank_index(merges1k)
+    ap1k = _make_ranked_word_apply(merges1k)
     timing_words = sample * 3
 
-    def clock(index, table):
+    def clock(ap):
         t0 = time.perf_counter()
         for w in timing_words:
-            apply_bpe_ranked(w, table, index)
+            ap(w)
         return time.perf_counter() - t0
 
-    clock(idx1k, merges1k)  # warm-up (dict/heap allocation paths)
-    t_1k = min(clock(idx1k, merges1k) for _ in range(3))
-    t_16k = min(clock(idx, merges16k) for _ in range(3))
+    clock(ap1k)  # warm-up (dict/heap allocation paths)
+    t_1k = min(clock(ap1k) for _ in range(3))
+    t_16k = min(clock(ap16k) for _ in range(3))
     assert t_16k < 4 * t_1k, (t_1k, t_16k)
 
 

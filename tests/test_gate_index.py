@@ -921,3 +921,103 @@ def test_maintenance_loop_compact_gc_under_appends(spark, sf_dir, tmp_path):
         if d.startswith("b_")
     ]
     assert len(dirs) == 1, dirs
+
+
+def test_append_aborts_commit_when_intent_reaped(spark, sf_dir, tmp_path, monkeypatch):
+    """Code-review r10: an appender that stalled past the intent TTL
+    (intent reaped, dirs possibly GC'd) must ABORT its commit — a
+    manifest line naming deleted files would brick every reader, since
+    the bid counts as live and gc never cleans committed batches."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch)
+    rows_before = idx._manifest_rows()
+
+    orig = DedupGateIndex._batch_tables
+
+    def stall_tables(self, docs):
+        out = orig(self, docs)
+        # simulate the >TTL stall + gc reap between the table writes
+        # and the commit: the intent file disappears
+        for fn in os.listdir(self.path):
+            if fn.startswith("_PENDING_"):
+                os.unlink(os.path.join(self.path, fn))
+        return out
+
+    monkeypatch.setattr(DedupGateIndex, "_batch_tables", stall_tables)
+    with pytest.raises(RuntimeError, match="retry the append"):
+        idx.append(surv, token="s1/9")
+    monkeypatch.undo()
+    assert idx._manifest_rows() == rows_before  # nothing committed
+    assert "s1/9" not in idx._token_bids()
+    idx.tables(spark)["digests"].count()  # index still fully readable
+
+
+def test_compact_aborts_swap_when_intent_reaped(spark, sf_dir, tmp_path, monkeypatch):
+    """Code-review r10: a compactor stalled past the intent TTL must not
+    swap the manifest — its UNREFERENCED consolidated dirs may already
+    be GC'd, and the swap would leave the manifest pointing at nothing
+    (total index loss)."""
+    import shutil as _shutil
+
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    idx.append(idx.gate(batch), token="s1/0")
+    want = {r.doc_id for r in idx.gate(batch).collect()}
+    rows_before = idx._manifest_rows()
+
+    real_copy = _shutil.copyfile
+
+    def reap_then_copy(src, dst):
+        # the audit copy runs just before the swap — reap the intent
+        # there to simulate gc winning a >TTL stall race
+        for fn in os.listdir(idx.path):
+            if fn.startswith("_PENDING_"):
+                os.unlink(os.path.join(idx.path, fn))
+        return real_copy(src, dst)
+
+    monkeypatch.setattr(_shutil, "copyfile", reap_then_copy)
+    with pytest.raises(RuntimeError, match="rerun the compaction"):
+        idx.compact(spark, target_partitions=1)
+    monkeypatch.undo()
+    assert idx._manifest_rows() == rows_before  # manifest untouched
+    assert {r.doc_id for r in idx.gate(batch).collect()} == want
+
+
+def test_gc_intent_recheck_closes_scan_race(spark, sf_dir, tmp_path, monkeypatch):
+    """Code-review r10 (TOCTOU): an intent created AFTER gc's one-shot
+    root listdir must still protect its batch dirs — the per-dir
+    re-check stats the intent fresh at the point of deletion."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact")
+    surv = idx.gate(batch)
+
+    # an uncommitted batch with an OLD dir mtime (well past any grace)
+    # but a LIVE intent
+    bid = "feedfeed0000"
+    for table, df in idx._batch_tables(surv).items():
+        d = os.path.join(idx.path, table, f"b_{bid}")
+        df.write.mode("error").parquet(d)
+        import time as _t
+
+        old = _t.time() - 86400
+        os.utime(d, (old, old))
+    with open(os.path.join(idx.path, f"_PENDING_{bid}"), "w") as fh:
+        fh.write("0 0\n")
+
+    # simulate "intent appeared after the scan": hide _PENDING_ entries
+    # from the ROOT listdir only (the pre-scan), leaving the file itself
+    # on disk for the per-dir re-check to stat
+    real_listdir = os.listdir
+
+    def hiding_listdir(path="."):
+        out = real_listdir(path)
+        if os.path.abspath(str(path)) == os.path.abspath(idx.path):
+            return [f for f in out if not f.startswith("_PENDING_")]
+        return out
+
+    monkeypatch.setattr(os, "listdir", hiding_listdir)
+    deleted = idx.gc(grace_s=0.0)
+    monkeypatch.undo()
+    assert deleted == []  # the live intent protected the aged dirs
+    assert os.path.isdir(os.path.join(idx.path, "digests", f"b_{bid}"))
