@@ -257,6 +257,71 @@ def token_budget_rates(
     ).filter(F.col("rate").isNotNull())
 
 
+def temperature_mixture_rates(
+    docs: DataFrame,
+    temperature: float = 0.5,
+    budget_fraction: float = 0.5,
+    group_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual rebalancing
+    rule of mT5 §3.1 / XLM-R §3.1 — public α-sampling): a group's target
+    share of the sampled corpus is proportional to ``available_g^τ``, so
+    τ=1 reproduces the natural distribution, τ→0 flattens it (maximally
+    upsampling tail languages), and the standard τ≈0.3-0.7 sits between.
+    Unlike :func:`token_budget_rates`, the WEIGHTS are derived from the
+    corpus itself — no hand mixture spec — which is how multilingual
+    pretraining actually sets language proportions.
+
+    ENGINE-EXACT formulation (the quality classifier's clipped-linear
+    precedent): the per-group weight is ``floor(available_g^τ)`` as a
+    BIGINT — for τ=0.5 computed via IEEE ``sqrt`` (correctly rounded in
+    every engine, so the floor agrees bit-for-bit; relative error vs the
+    real power is ≤ 1/sqrt(n), negligible at corpus token counts), and
+    τ=1.0/0.0 are exact. Other τ values use ``pow`` and work, but
+    cross-engine bit-parity of the floor is not guaranteed there
+    (``pow`` is not correctly rounded) — stick to the exact three for
+    oracle-checked pipelines. z = Σ weights and total = Σ tokens stay in
+    exact integer arithmetic, so no cross-engine float-summation-order
+    hazard exists; the only floating point is one fixed-association
+    multiply/divide chain per group.
+
+    rate_g = min(1, (w_g · budget_fraction · total) / (z · available_g))
+    — capped at 1 like token_budget_rates (no replication; the shortfall
+    is visible, not silently redistributed). ONE corpus aggregation +
+    one n_groups-row re-aggregation; apply with
+    :func:`token_budget_sample` (broadcast of n_groups rate rows, the
+    corpus never shuffles)."""
+    avail = docs.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("available_tokens")
+    )
+    n_dbl = F.col("available_tokens").cast("double")
+    if temperature == 1.0:
+        w = F.col("available_tokens")
+    elif temperature == 0.0:
+        w = F.lit(1).cast("long")
+    elif temperature == 0.5:
+        w = F.floor(F.sqrt(n_dbl)).cast("long")
+    else:
+        w = F.floor(F.pow(n_dbl, F.lit(float(temperature)))).cast("long")
+    weighted = avail.withColumn("weight", w)
+    stats = weighted.agg(
+        F.sum("weight").cast("long").alias("_z"),
+        F.sum("available_tokens").cast("long").alias("_total"),
+    )
+    wd, zd = F.col("weight").cast("double"), F.col("_z").cast("double")
+    rate = (
+        wd * F.lit(float(budget_fraction)) * F.col("_total").cast("double")
+    ) / (zd * F.col("available_tokens").cast("double"))
+    return weighted.crossJoin(F.broadcast(stats)).select(
+        group_col,
+        "available_tokens",
+        "weight",
+        (wd / zd).alias("share"),
+        F.least(F.lit(1.0), rate).alias("rate"),
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     rates: DataFrame,

@@ -2862,6 +2862,92 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture (mT5/XLM-R alpha-sampling, tau=0.5)
+# ---------------------------------------------------------------------------
+_TMIX_TAU = 0.5
+_TMIX_FRACTION = 0.6
+
+TEMPERATURE_MIXTURE_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS available_tokens
+  FROM d GROUP BY 1
+),
+wtd AS (
+  SELECT lang, available_tokens,
+    CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM avail
+),
+s AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS z,
+         CAST(sum(available_tokens) AS BIGINT) AS total
+  FROM wtd
+),
+r AS (
+  SELECT lang, available_tokens, weight,
+    CAST(weight AS DOUBLE) / CAST(z AS DOUBLE) AS share,
+    least(CAST(1.0 AS DOUBLE),
+          (CAST(weight AS DOUBLE) * CAST(0.6 AS DOUBLE)
+             * CAST(total AS DOUBLE))
+          / (CAST(z AS DOUBLE) * CAST(available_tokens AS DOUBLE))) AS rate
+  FROM wtd CROSS JOIN s
+),
+h AS (
+  SELECT doc_id, md5('tmix|' || CAST(doc_id AS VARCHAR)) AS hx FROM d
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_tokens,
+  round(r.share, 6) AS share,
+  round(r.rate, 6) AS rate,
+  ({_HEX4}) < CAST(floor(r.rate * 65536.0) AS BIGINT) AS kept
+FROM d JOIN r USING (lang) JOIN h USING (doc_id)
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Temperature-scaled language rebalancing (operators/sampling.py:
+    temperature_mixture_rates — the mT5/XLM-R alpha-sampling rule,
+    tau=0.5 over a budget of 60% of the corpus tokens): each language's
+    target share is proportional to sqrt(its available tokens), derived
+    from the corpus itself rather than a hand mixture spec, so tail
+    languages are upsampled relative to their natural frequency. The
+    weight is the engine-exact floor(sqrt(n)) BIGINT (operator
+    docstring), z/total stay exact integers, and the keep decision is
+    the content-stable 16-bit hash bucket — one corpus aggregation, one
+    4-row broadcast, no corpus shuffle."""
+    from ..operators.sampling import (
+        temperature_mixture_rates,
+        token_budget_sample,
+    )
+    from ..operators.text import token_count_expr
+
+    docs = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    rates = temperature_mixture_rates(
+        docs, temperature=_TMIX_TAU, budget_fraction=_TMIX_FRACTION
+    )
+    out = token_budget_sample(docs, rates, group_col="lang", salt="tmix|")
+    # second broadcast of the same 4-row frame for the share column
+    # (token_budget_sample's contract only carries group + rate through)
+    return out.join(
+        F.broadcast(rates.select("lang", "share")), "lang"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        F.round(F.col("share"), 6).alias("share"),
+        F.round(F.col("rate"), 6).alias("rate"),
+        "kept",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy string self-join (FastSS deletion neighborhoods)
 # ---------------------------------------------------------------------------
 FUZZY_PART_NAMES_ORACLE = """

@@ -1115,6 +1115,8 @@ QUERIES["hybrid_rrf_retrieval"] = _bind(_dp.q_hybrid_rrf)
 ORACLES["hybrid_rrf_retrieval"] = _dp.HYBRID_RRF_ORACLE
 QUERIES["bpe_subword_vocab"] = _bind(_dp.q_bpe_subword_vocab)
 ORACLES["bpe_subword_vocab"] = _dp.BPE_SUBWORD_VOCAB_ORACLE
+QUERIES["temperature_mixture_sample"] = _bind(_dp.q_temperature_mixture)
+ORACLES["temperature_mixture_sample"] = _dp.TEMPERATURE_MIXTURE_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1126,6 +1128,9 @@ ORACLES["bpe_subword_vocab"] = _dp.BPE_SUBWORD_VOCAB_ORACLE
 # reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
+    # Priority 0 — NEW this round (never had a driver row): the
+    # temperature-scaled mixture (mT5/XLM-R alpha-sampling).
+    "temperature_mixture_sample",
     # Priority 1 — r9 VERDICT next #3's explicit list: the 22 queries
     # whose newest driver row is r7; after r10 no query's newest row is
     # older than r8.

@@ -1304,3 +1304,62 @@ def test_hybrid_rrf_ivf_matches_exact_on_clustered_embeddings(spark):
     assert len(exact) > 0
     fused_recall = len(exact & ivf) / len(exact)
     assert fused_recall >= 0.9, f"clustered fused recall: {fused_recall:.2f}"
+
+
+def test_temperature_mixture_rates_invariants(spark, sf_dir):
+    """The alpha-sampling rule's pinned behavior: tau=1 reproduces the
+    natural distribution (uniform rate = budget_fraction), tau=0
+    flattens shares to equal, tau=0.5 sits between — upsampling tail
+    languages relative to dominant ones — and realized token mass stays
+    within the budget's ballpark on the fixture."""
+    from pyspark.sql import functions as F
+
+    from futures_eos_cdc_spark.operators.sampling import (
+        temperature_mixture_rates,
+        token_budget_sample,
+    )
+    from futures_eos_cdc_spark.operators.text import token_count_expr
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", "lang",
+            token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    B = 0.6
+    r1 = {r["lang"]: r for r in temperature_mixture_rates(
+        docs, temperature=1.0, budget_fraction=B).collect()}
+    # tau=1: share == natural share -> rate == B for every group
+    for lang, row in r1.items():
+        assert abs(row["rate"] - B) < 1e-12, (lang, row["rate"])
+
+    r0 = {r["lang"]: r for r in temperature_mixture_rates(
+        docs, temperature=0.0, budget_fraction=B).collect()}
+    shares0 = {row["share"] for row in r0.values()}
+    assert len(shares0) == 1  # tau=0: equal shares for all groups
+
+    rh = {r["lang"]: r for r in temperature_mixture_rates(
+        docs, temperature=0.5, budget_fraction=B).collect()}
+    big = max(rh.values(), key=lambda r: r["available_tokens"])
+    small = min(rh.values(), key=lambda r: r["available_tokens"])
+    # tau=0.5 upsamples the tail: smaller availability -> higher rate
+    assert small["rate"] > big["rate"]
+    # weights are the engine-exact floor(sqrt(n))
+    import math
+
+    for row in rh.values():
+        assert row["weight"] == math.isqrt(row["available_tokens"])
+
+    # applying the rates keeps roughly budget_fraction of the tokens
+    kept = (
+        token_budget_sample(docs, temperature_mixture_rates(
+            docs, temperature=0.5, budget_fraction=B),
+            group_col="lang", salt="tmix|")
+        .agg(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))).alias("k"),
+            F.sum("n_tokens").alias("t"),
+        )
+        .collect()[0]
+    )
+    assert 0.4 < kept["k"] / kept["t"] < 0.8  # hash-sample noise band
