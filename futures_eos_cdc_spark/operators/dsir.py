@@ -1,0 +1,171 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) over hashed n-gram features, Spark-first.
+
+The pretraining-data selection shape: given a small TARGET corpus (the
+distribution you want more of — e.g. curated English) and a large RAW
+corpus, estimate bag-of-hashed-n-gram distributions p (target) and q
+(raw), weight every candidate document by its log importance ratio
+
+    log w(x) = sum_b  c_b(x) * ( log p[b] - log q[b] )
+
+(c_b = the document's count in hash bucket b, Laplace-smoothed unigram
+probabilities over ``n_buckets`` buckets), then Gumbel-top-k sample: the
+standard trick that turns weighted sampling WITHOUT replacement into a
+deterministic top-k over ``log w(x) + Gumbel(u_x)``. Every random input
+is md5-derived, so the selection is content-stable and bit-reproducible
+in any engine (the DuckDB oracle replays it expression for expression).
+
+Scale shape (100 TB): the feature space is FIXED at ``n_buckets`` (the
+paper's hashing trick — vocabulary growth never grows state), so the
+distribution tables are n_buckets rows and always broadcast; the corpus
+touches two gram-keyed aggregates (bucket histogram; per-doc bucket
+counts) and one doc-keyed sum — all map-side-combinable, no
+vocabulary-sized shuffle anywhere, no driver collect. Cross-engine float
+discipline follows the BM25 convention (registry docstring): each ln()
+term is rounded to 6dp before the per-doc sum, which runs in
+DECIMAL(38,10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DSIR_BUCKETS = 256
+DSIR_SALT = "dsir"
+DSIR_TOPK = 50
+
+
+def grams_expr(toks: Column) -> Column:
+    """Unigrams + word bigrams (the paper's feature set) from a token
+    array — one array expression, no Python in the loop."""
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def bucket_expr(gram: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hash bucket: first 16 bits of md5, mod n_buckets — identical in
+    every engine with md5 (oracle: ('0x'||substr(md5(g),1,4))::INT % n)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 4), 16, 10).cast("int") % n_buckets
+    )
+
+
+def gumbel_expr(id_col: Column, salt: str = DSIR_SALT) -> Column:
+    """Deterministic Gumbel(0,1) noise: u = (md5-derived 32-bit int + 1)
+    / (2^32 + 1) in (0,1), g = -ln(-ln u) — content-stable resampling
+    noise (same id + salt => same draw in any engine), rounded to 6dp per
+    the cross-engine ln() convention."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1).cast("double")) / F.lit(float(2**32 + 1))
+    return F.round(-F.log(-F.log(u)), 6)
+
+
+def dsir_log_ratios(
+    grams: DataFrame, is_target: Column, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(bucket, lr) — per-bucket smoothed log importance ratio
+    round(ln p[b] - ln q[b], 6), estimated from a (doc_id, gram) stream.
+
+    One bucket-keyed aggregate over the gram stream (n_buckets groups —
+    partial aggregation collapses it map-side), one single-row total,
+    both broadcastable forever: the table is n_buckets rows at ANY corpus
+    size. Buckets the raw corpus never hits are absent — a candidate
+    document can't hit them either (candidates are a subset of raw).
+
+    The histogram is localCheckpoint-ed (n_buckets rows): its totals and
+    ratio consumers would otherwise each replay the corpus-sized gram
+    aggregate — one extra FULL corpus scan at 100 TB for a 256-row
+    reduction. Same discipline as clustering.py's iteration state."""
+    hist = (
+        grams.select(
+            bucket_expr(F.col("gram"), n_buckets).alias("bucket"),
+            is_target.cast("int").alias("is_t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("raw_cnt"),
+            F.sum("is_t").alias("tgt_cnt"),
+        )
+        .localCheckpoint()
+    )
+    tot = hist.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    nb = float(n_buckets)
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("tgt_cnt") + 1.0).cast("double")
+                / (F.col("tgt_tot") + nb).cast("double")
+            )
+            - F.log(
+                (F.col("raw_cnt") + 1.0).cast("double")
+                / (F.col("raw_tot") + nb).cast("double")
+            ),
+            6,
+        ).alias("lr"),
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_TOPK,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """Gumbel-top-k importance resample of the NON-target documents of
+    ``docs`` toward the target distribution. Returns (doc_id, lang, w,
+    key, rank): w = the document's log importance ratio, key = w +
+    deterministic Gumbel noise, rank = 1..k by key desc.
+
+    Plan: gram explode -> bucket histogram (broadcast-sized) for the
+    ratios; gram explode -> (doc, bucket) counts -> broadcast join with
+    the ratio table -> doc-keyed decimal sum; global top-k is a
+    TakeOrderedAndProject (never a full sort). ``is_target`` must be an
+    expression over ``docs``'s columns (evaluated on both passes)."""
+    from .text import tokens_expr
+
+    base = docs.select(
+        "doc_id", "lang", F.explode(grams_expr(tokens_expr(F.col("text")))).alias("gram"),
+        is_target.alias("is_t"),
+    )
+    lr = dsir_log_ratios(base, F.col("is_t"), n_buckets)
+    dc = (
+        base.filter(~F.col("is_t"))
+        .groupBy("doc_id", "lang", bucket_expr(F.col("gram"), n_buckets).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        dc.join(F.broadcast(lr), "bucket")
+        .withColumn("term_w", F.round(F.col("cnt") * F.col("lr"), 6))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("term_w").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    scored = w.select(
+        "doc_id",
+        "lang",
+        "w",
+        F.round(F.col("w") + gumbel_expr(F.col("doc_id"), salt), 6).alias("key"),
+    )
+    # TakeOrderedAndProject picks the k winners without a full sort; the
+    # rank window then runs over k rows only (single tiny partition).
+    return scored.orderBy(F.desc("key"), F.asc("doc_id")).limit(k).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("key"), F.asc("doc_id"))),
+    )

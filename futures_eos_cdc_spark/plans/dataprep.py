@@ -4086,3 +4086,311 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     e = spread(_t(spark, sf_dir, "embeddings"))
     return hybrid_rrf_frame(docs, e, semantic="exact")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 10 — data selection, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+DSIR_N_BUCKETS = 256
+DSIR_SAMPLE_K = 50
+
+DSIR_SAMPLE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+    unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+), b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(gram), 1, 4))::INT % {DSIR_N_BUCKETS} AS bucket
+  FROM grams
+), hist AS (
+  SELECT bucket, count(*) AS raw_cnt,
+    count(*) FILTER (lang = 'en') AS tgt_cnt
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM hist
+), lr AS (
+  SELECT bucket,
+    round(ln((tgt_cnt + CAST(1.0 AS DOUBLE)) / CAST(tgt_tot + {DSIR_N_BUCKETS} AS DOUBLE))
+          - ln((raw_cnt + CAST(1.0 AS DOUBLE)) / CAST(raw_tot + {DSIR_N_BUCKETS} AS DOUBLE)),
+          6) AS lr
+  FROM hist CROSS JOIN tot
+), dc AS (
+  SELECT doc_id, lang, bucket, count(*) AS cnt
+  FROM b WHERE lang <> 'en' GROUP BY 1, 2, 3
+), w AS (
+  SELECT doc_id, lang,
+    CAST(CAST(sum(CAST(round(cnt * lr.lr, 6) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS w
+  FROM dc JOIN lr USING (bucket) GROUP BY 1, 2
+), keyed AS (
+  SELECT doc_id, lang, w,
+    round(w + round(-ln(-ln(
+      (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       + CAST(1.0 AS DOUBLE)) / CAST(4294967297.0 AS DOUBLE))), 6), 6) AS skey
+  FROM w
+)
+SELECT doc_id, lang, w, skey, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id) AS rank FROM keyed
+) WHERE rank <= {DSIR_SAMPLE_K}
+"""
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-resample the
+    non-English documents toward the English target distribution over
+    {DSIR_N_BUCKETS} hashed unigram+bigram buckets, Gumbel-top-{DSIR_SAMPLE_K}
+    with md5-derived (content-stable) noise. See operators/dsir.py for the
+    algorithm and the 100 TB plan shape (fixed-size feature space => the
+    distribution tables broadcast at any corpus size; the corpus touches
+    two map-side-combinable aggregates and one doc-keyed sum)."""
+    from ..operators.dsir import dsir_sample
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return dsir_sample(
+        docs,
+        F.col("lang") == "en",
+        n_buckets=DSIR_N_BUCKETS,
+        k=DSIR_SAMPLE_K,
+        salt="dsir",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "w",
+        F.col("key").alias("skey"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate (round 10 — Dolma-style dedup admission)
+# ---------------------------------------------------------------------------
+from ..operators.bloom import BLOOM_K as _BLOOM_K  # noqa: E402
+from ..operators.bloom import BLOOM_M_HEX as _BLOOM_M_HEX  # noqa: E402
+
+BLOOM_GATE_ORACLE = f"""
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+), ks AS (
+  SELECT unnest(range(0, {_BLOOM_K})) AS i
+), set_bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || digest), 1, {_BLOOM_M_HEX}))::INT AS pos
+  FROM ref CROSS JOIN ks
+), cand AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 = 0
+), probes AS (
+  SELECT DISTINCT doc_id, digest,
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || digest), 1, {_BLOOM_M_HEX}))::INT AS pos
+  FROM cand CROSS JOIN ks
+), verdict AS (
+  SELECT p.doc_id, p.digest,
+    count(*) = sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloom_positive
+  FROM probes p LEFT JOIN set_bits s ON p.pos = s.pos
+  GROUP BY 1, 2
+), exact AS (
+  SELECT v.doc_id, coalesce(r.dup, FALSE) AS true_dup
+  FROM verdict v
+  LEFT JOIN (SELECT digest, TRUE AS dup FROM ref) r ON v.digest = r.digest
+  WHERE v.bloom_positive
+)
+SELECT v.doc_id, v.bloom_positive, coalesce(e.true_dup, FALSE) AS true_dup
+FROM verdict v LEFT JOIN exact e ON v.doc_id = e.doc_id
+"""
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Bloom-filter admission gate: even doc_ids are the already-admitted
+    reference corpus; the probing batch (doc_id % 3 = 0) OVERLAPS it —
+    the replayed-shard re-ingest every long-running pipeline sees, so the
+    gate exercises true positives, not just misses (m = 16^{_BLOOM_M_HEX}
+    bits, k = {_BLOOM_K} md5-derived hashes). Output per candidate:
+    bloom_positive (the filter's verdict) and true_dup (exact digest
+    membership, computed only for positives — sound because the filter
+    has no false negatives). See operators/bloom.py for the 100 TB shape:
+    the set-bit table is <= m rows (a CONSTANT) and broadcasts forever;
+    the only data-sized exchange — the exact-verify digest join — runs
+    over bloom positives alone."""
+    from ..operators.bloom import bloom_gate
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return bloom_gate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "bloom_positive", "true_dup")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 10 — embedding-model training data shape:
+# lexically-similar candidates the semantic ranker does NOT retrieve)
+# ---------------------------------------------------------------------------
+HARD_NEG_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS len_d FROM toks
+), ex AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len_d) AS DOUBLE) / count(*) AS avgdl FROM lens
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t) AS term FROM toks WHERE doc_id < 5
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+    round(ln(CAST(1.0 AS DOUBLE) + (s.n_docs - df.df + CAST(0.5 AS DOUBLE))
+                                    / (df.df + CAST(0.5 AS DOUBLE)))
+          * tf.tf * CAST({_BM25_K1P1!r} AS DOUBLE)
+          / (tf.tf + CAST({BM25_K1!r} AS DOUBLE)
+                     * (CAST({_BM25_1MB!r} AS DOUBLE)
+                        + CAST({BM25_B!r} AS DOUBLE) * l.len_d / s.avgdl)),
+          6) AS term_score
+  FROM tf JOIN qt q USING (term) JOIN df USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+), lagg AS (
+  SELECT query_id, doc_id,
+    CAST(CAST(sum(CAST(term_score AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS score
+  FROM scored WHERE doc_id <> query_id GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+    FROM lagg
+  ) WHERE r <= {HYBRID_DEPTH}
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+), semsc AS (
+  SELECT q.q_id, c.c_id,
+    list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+         i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len(c.c_vec) + 1),
+           i -> CAST(c.c_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)), (x, y) -> x + y)))
+    AS cosine
+  FROM q JOIN c ON q.q_id <> c.c_id
+), sem AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS r
+    FROM semsc
+  ) WHERE r <= {HYBRID_DEPTH}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(r AS BIGINT) AS r_lex,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY r, doc_id) AS BIGINT) AS rank
+FROM lex
+WHERE NOT EXISTS (
+  SELECT 1 FROM sem WHERE sem.q_id = lex.query_id AND sem.c_id = lex.doc_id
+)
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Hard-negative mining for embedding-model training (DPR/contrastive
+    practice, Karpukhin et al. 2020): per query doc (ids < 5), the
+    lexical (BM25) top-{HYBRID_DEPTH} candidates that the semantic
+    (exact-cosine) top-{HYBRID_DEPTH} does NOT retrieve — lexically
+    plausible, semantically distant, exactly the negatives that teach a
+    dual encoder the most. Re-ranked by lexical rank.
+
+    Plan at 100 TB: inherits q_bm25_topk's query-bounded-df lexical plan
+    and brute_force_topk's broadcast-queries scan; the set difference is
+    a left-anti join on (query, doc) over two k-row-per-query lists —
+    trivially small at any corpus size. At corpus scale the semantic side
+    swaps to ANN (same contract as hybrid_rrf_frame(semantic='ivf'))."""
+    from ..operators.similarity import brute_force_topk
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    sem = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH).select(
+        F.col("q_id").alias("query_id"), F.col("c_id").alias("doc_id")
+    )
+    toks_q = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    lagg = _bm25_scores(docs, toks_q).filter(F.col("doc_id") != F.col("query_id"))
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lagg.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= HYBRID_DEPTH)
+        .select("query_id", "doc_id", "r")
+    )
+    neg = lex.join(sem, ["query_id", "doc_id"], "left_anti")
+    wr = Window.partitionBy("query_id").orderBy(F.asc("r"), F.asc("doc_id"))
+    return neg.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("r").cast("long").alias("r_lex"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round 10 — embedding-space eval-set leakage)
+# ---------------------------------------------------------------------------
+SEM_DECON_TAU = 0.30
+
+SEM_DECON_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+), tr AS (
+  SELECT vec_id, embedding AS c_vec FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT tr.vec_id,
+    list_reduce(list_transform(range(1, len(ev.q_vec) + 1),
+      i -> CAST(ev.q_vec[i] AS DOUBLE) * CAST(tr.c_vec[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, len(ev.q_vec) + 1),
+         i -> CAST(ev.q_vec[i] AS DOUBLE) * CAST(ev.q_vec[i] AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len(tr.c_vec) + 1),
+           i -> CAST(tr.c_vec[i] AS DOUBLE) * CAST(tr.c_vec[i] AS DOUBLE)), (x, y) -> x + y)))
+    AS cosine
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, round(max(cosine), 6) AS max_sim,
+  max(cosine) < CAST({SEM_DECON_TAU!r} AS DOUBLE) AS kept
+FROM scored GROUP BY vec_id
+"""
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Embedding-space decontamination: the n-gram decontaminate_docs
+    twin for PARAPHRASED leakage — drop training vectors whose max cosine
+    against any eval vector (ids < 5) reaches {SEM_DECON_TAU} (chosen at
+    the fixture's p98; production sets it on a held-out FP budget).
+    Output: every training vector with its max eval similarity and the
+    keep verdict.
+
+    Plan at 100 TB: eval sets are small — broadcast; the corpus is
+    scanned once, max() per vector is map-side-combinable, no shuffle of
+    embeddings. The cosine kernel is the same JVM fold the ANN family
+    uses (bit-identical to the oracle); at very large eval sets the scan
+    swaps to the ANN-IVF probe like hybrid's semantic side."""
+    from ..operators.similarity import cosine_expr
+
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    ev = e.filter(F.col("vec_id") < 5).select(
+        F.col("embedding").alias("q_vec")
+    )
+    tr = e.filter(F.col("vec_id") >= 5).select(
+        "vec_id", F.col("embedding").alias("c_vec")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).withColumn(
+        "cosine", cosine_expr(F.col("q_vec"), F.col("c_vec"))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.round(F.max("cosine"), 6).alias("max_sim"),
+        (F.max("cosine") < F.lit(SEM_DECON_TAU)).alias("kept"),
+    )

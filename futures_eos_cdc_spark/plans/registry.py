@@ -1118,6 +1118,18 @@ ORACLES["bpe_subword_vocab"] = _dp.BPE_SUBWORD_VOCAB_ORACLE
 QUERIES["temperature_mixture_sample"] = _bind(_dp.q_temperature_mixture)
 ORACLES["temperature_mixture_sample"] = _dp.TEMPERATURE_MIXTURE_ORACLE
 
+# --------------------------------------------------------------------------
+# Round 10: data-selection / retrieval-training / leakage operators
+# --------------------------------------------------------------------------
+QUERIES["dsir_importance_sample"] = _bind(_dp.q_dsir_sample)
+ORACLES["dsir_importance_sample"] = _dp.DSIR_SAMPLE_ORACLE
+QUERIES["bloom_dedup_gate"] = _bind(_dp.q_bloom_gate)
+ORACLES["bloom_dedup_gate"] = _dp.BLOOM_GATE_ORACLE
+QUERIES["hard_negative_mining"] = _bind(_dp.q_hard_negatives)
+ORACLES["hard_negative_mining"] = _dp.HARD_NEG_ORACLE
+QUERIES["semantic_decontamination"] = _bind(_dp.q_semantic_decontamination)
+ORACLES["semantic_decontamination"] = _dp.SEM_DECON_ORACLE
+
 
 # ---------------------------------------------------------------------------
 # Driver walk order. The driver checks ~50 queries per round in insertion
@@ -1129,8 +1141,13 @@ ORACLES["temperature_mixture_sample"] = _dp.TEMPERATURE_MIXTURE_ORACLE
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
     # Priority 0 — NEW this round (never had a driver row): the
-    # temperature-scaled mixture (mT5/XLM-R alpha-sampling).
+    # temperature-scaled mixture (mT5/XLM-R alpha-sampling), then the
+    # round-10 data-selection / retrieval-training / leakage family.
     "temperature_mixture_sample",
+    "dsir_importance_sample",
+    "bloom_dedup_gate",
+    "hard_negative_mining",
+    "semantic_decontamination",
     # Priority 1 — r9 VERDICT next #3's explicit list: the 22 queries
     # whose newest driver row is r7; after r10 no query's newest row is
     # older than r8.

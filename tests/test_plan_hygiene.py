@@ -423,3 +423,42 @@ def test_bpe_v1k_blocks_and_subwords_shapes(spark, sf_dir):
     # stay vocabulary-shaped, and no corpus-side sort-merge join appears
     assert 1 <= plan.count("MapInPandas") <= 2
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_r10_selection_queries_all_jvm_no_python(spark, sf_dir):
+    """The round-10 data-selection family stays whole-stage-codegen JVM:
+    hashed-n-gram featurization, Bloom probing, BM25/cosine composition
+    and the cosine max-reduction are all built-in expressions."""
+    for name in (
+        "dsir_importance_sample",
+        "bloom_dedup_gate",
+        "hard_negative_mining",
+        "semantic_decontamination",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_dsir_distribution_tables_broadcast(spark, sf_dir):
+    """DSIR's scale guarantee: the bucket histogram/ratio tables are
+    n_buckets rows (a constant) and must reach the per-doc counts as
+    broadcasts; the only corpus-sized exchanges are the two gram/doc
+    aggregates. The global top-k must be a TakeOrderedAndProject, never
+    a full sort."""
+    plan = _plan(spark, sf_dir, "dsir_importance_sample")
+    assert plan.count("BroadcastHashJoin") >= 1  # lr joins the doc counts
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval-embedding side is broadcast (nested-loop over a tiny
+    broadcast list) and the per-vector max is a partial aggregate — the
+    corpus scan never shuffles embeddings."""
+    plan = _plan(spark, sf_dir, "semantic_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan or plan.count(
+        "Exchange hashpartitioning"
+    ) <= 1  # at most the vec_id agg exchange
