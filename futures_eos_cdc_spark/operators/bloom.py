@@ -13,12 +13,16 @@ Everything is md5-derived (bit position i of a digest = the low
 content-stable and bit-reproducible in any engine with md5 — the DuckDB
 oracle replays filter construction AND probing expression-for-expression.
 
-Scale shape (100 TB): the set-bit table is AT MOST ``m`` rows (m is a
-configuration constant, never data-sized) — broadcast forever; building
-it is one digest-keyed distinct + a k-way explode collapsed by a distinct
-over <= m values. Probing is a broadcast join + per-doc count — no
+Scale shape (100 TB): the filter is AT MOST ``m`` bits (m is a
+configuration constant, never data-sized — 8 KiB at the default 65536),
+packed into m/64 longs that ride as an array literal; building it is one
+digest-keyed distinct + a k-way explode collapsed by a distinct over
+<= m values, of which only the <= m survivors reach the driver (the
+bounded-collect discipline, bounded by CONFIG not data). Probing is a
+PURE projection — k O(1) word lookups per candidate, no join, no
 shuffle of the corpus. The exact-verify join (digest-keyed, the only
-data-sized exchange) runs ONLY over bloom positives, which is the entire
+data-sized exchange) runs ONLY over bloom positives — non-positives
+carry a NULL join key, which never equi-matches — which is the entire
 point of the structure: at a 1% FP rate, 99% of genuinely-new documents
 never enter the verify shuffle.
 """
@@ -49,6 +53,68 @@ def bloom_positions_expr(
     )
 
 
+def bloom_bitmap(
+    reference: DataFrame,
+    *,
+    k: int = BLOOM_K,
+    m_hex_chars: int = BLOOM_M_HEX,
+    digests: bool = False,
+) -> list[int]:
+    """Build the filter as a packed bitmap: m/64 signed longs (m = a
+    configuration CONSTANT — 16^m_hex_chars bits, 8 KiB at the default
+    65536), from the distinct digests of ``reference.text``.
+
+    The set-bit positions are reduced distributively (distinct over <= m
+    ints) and only the <= m survivors reach the driver — the bounded-
+    collect discipline of the IVF centroid init, here bounded by a
+    config constant rather than data. Packing is exact two's-complement
+    (bit 63 per word), so probing reads the same bit every engine sets.
+    Pass ``digests=True`` when ``reference`` is already a distinct
+    ``digest`` table (avoids re-hashing the corpus)."""
+    m = 16**m_hex_chars
+    base = (
+        reference
+        if digests
+        else reference.select(F.md5("text").alias("digest")).distinct()
+    )
+    positions = (
+        base.select(
+            F.explode(bloom_positions_expr(F.col("digest"), k, m_hex_chars)).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m + 63) // 64)
+    for row in positions:
+        words[row.pos // 64] |= 1 << (row.pos % 64)
+    # two's complement: Python ints are unbounded, Spark longs are not
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe_expr(
+    digest: Column,
+    bitmap: list[int],
+    *,
+    k: int = BLOOM_K,
+    m_hex_chars: int = BLOOM_M_HEX,
+) -> Column:
+    """True iff every one of the digest's k bit positions is set in the
+    bitmap — a PURE projection (the bitmap rides as ONE array literal
+    shared by all k checks via the forall lambda; per probe: k O(1) word
+    lookups, no join, no shuffle)."""
+    words = F.lit(bitmap)
+    return F.forall(
+        bloom_positions_expr(digest, k, m_hex_chars),
+        lambda pos: F.bit_get(
+            F.element_at(words, (pos / 64).cast("int") + 1),
+            (pos % 64).cast("int"),
+        )
+        == 1,
+    )
+
+
 def bloom_gate(
     reference: DataFrame,
     candidates: DataFrame,
@@ -63,45 +129,42 @@ def bloom_gate(
     because a Bloom filter has no false negatives: a non-positive is
     definitely not a duplicate).
 
+    Probing is a pure projection against the bitmap literal — the
+    candidate side never shuffles (or joins) for the filter. The exact
+    verify is a digest-keyed left join over the BLOOM-POSITIVE subset
+    only; negatives take a join-free projection branch and union back —
+    the entire point of the structure: at a 1% FP rate, 99% of
+    genuinely-new documents never enter the verify join's exchange.
+    (A single NULL-keyed outer join would be one scan, but it shuffles
+    every negative into the one NULL partition — a skew bomb exactly
+    when the filter works best.)
+
     Both inputs need a ``text`` column; ``candidates`` needs ``doc_id``.
     """
-    ref_digests = reference.select(F.md5("text").alias("digest")).distinct()
-    # The filter itself: distinct set-bit positions, <= m rows by
-    # construction (m constant), hence unconditionally broadcastable.
-    set_bits = (
-        ref_digests.select(
-            F.explode(bloom_positions_expr(F.col("digest"), k, m_hex_chars)).alias(
-                "pos"
-            )
-        )
+    # One reference scan total: the distinct-digest table (the same
+    # artifact the exact-dedup gate index persists) is materialized once
+    # and feeds BOTH the bitmap construction and the verify join.
+    ref_digests = (
+        reference.select(F.md5("text").alias("digest"))
         .distinct()
-        .withColumn("is_set", F.lit(1))
+        .localCheckpoint()
     )
-    cand = candidates.select("doc_id", F.md5("text").alias("digest"))
-    # Distinct (doc, pos): two of a doc's k hashes may collide on one
-    # position; membership requires every DISTINCT position to be set.
-    probes = cand.select(
-        "doc_id",
-        "digest",
-        F.explode(bloom_positions_expr(F.col("digest"), k, m_hex_chars)).alias("pos"),
-    ).distinct()
-    verdict = (
-        probes.join(F.broadcast(set_bits), "pos", "left")
-        .groupBy("doc_id", "digest")
-        .agg(
-            (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("is_set"), F.lit(0))))
-            .alias("bloom_positive")
-        )
+    bitmap = bloom_bitmap(ref_digests, k=k, m_hex_chars=m_hex_chars, digests=True)
+    ref_digests = ref_digests.withColumn("dup", F.lit(True))
+    cand = candidates.select("doc_id", F.md5("text").alias("digest")).withColumn(
+        "bloom_positive",
+        bloom_probe_expr(F.col("digest"), bitmap, k=k, m_hex_chars=m_hex_chars),
     )
-    positives = verdict.filter(F.col("bloom_positive"))
-    exact = positives.join(
-        ref_digests.withColumn("dup", F.lit(True)), "digest", "left"
-    ).select("doc_id", F.coalesce(F.col("dup"), F.lit(False)).alias("true_dup"))
-    return (
-        verdict.join(exact, "doc_id", "left")
+    pos = (
+        cand.filter(F.col("bloom_positive"))
+        .join(ref_digests, "digest", "left")
         .select(
             "doc_id",
             "bloom_positive",
-            F.coalesce(F.col("true_dup"), F.lit(False)).alias("true_dup"),
+            F.coalesce(F.col("dup"), F.lit(False)).alias("true_dup"),
         )
     )
+    neg = cand.filter(~F.col("bloom_positive")).select(
+        "doc_id", "bloom_positive", F.lit(False).alias("true_dup")
+    )
+    return pos.unionByName(neg)

@@ -18,9 +18,10 @@ in any engine (the DuckDB oracle replays it expression for expression).
 Scale shape (100 TB): the feature space is FIXED at ``n_buckets`` (the
 paper's hashing trick — vocabulary growth never grows state), so the
 distribution tables are n_buckets rows and always broadcast; the corpus
-touches two gram-keyed aggregates (bucket histogram; per-doc bucket
-counts) and one doc-keyed sum — all map-side-combinable, no
-vocabulary-sized shuffle anywhere, no driver collect. Cross-engine float
+text is featurized exactly once into per-doc bucket counts (one gram
+explode + one map-side-combinable aggregate), everything downstream
+re-aggregates those counts — no vocabulary-sized shuffle anywhere, no
+driver collect. Cross-engine float
 discipline follows the BM25 convention (registry docstring): each ln()
 term is rounded to 6dp before the per-doc sum, which runs in
 DECIMAL(38,10).
@@ -70,32 +71,23 @@ def gumbel_expr(id_col: Column, salt: str = DSIR_SALT) -> Column:
 
 
 def dsir_log_ratios(
-    grams: DataFrame, is_target: Column, n_buckets: int = DSIR_BUCKETS
+    doc_bucket_counts: DataFrame, n_buckets: int = DSIR_BUCKETS
 ) -> DataFrame:
     """(bucket, lr) — per-bucket smoothed log importance ratio
-    round(ln p[b] - ln q[b], 6), estimated from a (doc_id, gram) stream.
+    round(ln p[b] - ln q[b], 6), derived from the per-document bucket
+    counts (doc_id, bucket, cnt, is_t).
 
-    One bucket-keyed aggregate over the gram stream (n_buckets groups —
-    partial aggregation collapses it map-side), one single-row total,
-    both broadcastable forever: the table is n_buckets rows at ANY corpus
-    size. Buckets the raw corpus never hits are absent — a candidate
-    document can't hit them either (candidates are a subset of raw).
-
-    The histogram is localCheckpoint-ed (n_buckets rows): its totals and
-    ratio consumers would otherwise each replay the corpus-sized gram
-    aggregate — one extra FULL corpus scan at 100 TB for a 256-row
-    reduction. Same discipline as clustering.py's iteration state."""
-    hist = (
-        grams.select(
-            bucket_expr(F.col("gram"), n_buckets).alias("bucket"),
-            is_target.cast("int").alias("is_t"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("raw_cnt"),
-            F.sum("is_t").alias("tgt_cnt"),
-        )
-        .localCheckpoint()
+    Two cheap re-aggregations of the already-featurized table: the bucket
+    histogram (n_buckets groups — partial aggregation collapses it
+    map-side) and the single-row totals, both broadcastable forever: the
+    table is n_buckets rows at ANY corpus size. Buckets the raw corpus
+    never hits are absent — a candidate document can't hit them either
+    (candidates are a subset of raw)."""
+    hist = doc_bucket_counts.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_cnt"),
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "tgt_cnt"
+        ),
     )
     tot = hist.agg(
         F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
@@ -130,25 +122,34 @@ def dsir_sample(
     key, rank): w = the document's log importance ratio, key = w +
     deterministic Gumbel noise, rank = 1..k by key desc.
 
-    Plan: gram explode -> bucket histogram (broadcast-sized) for the
-    ratios; gram explode -> (doc, bucket) counts -> broadcast join with
-    the ratio table -> doc-keyed decimal sum; global top-k is a
-    TakeOrderedAndProject (never a full sort). ``is_target`` must be an
-    expression over ``docs``'s columns (evaluated on both passes)."""
+    Plan — the corpus text is featurized EXACTLY ONCE (DSIR-paper
+    practice; a naive two-pass form re-explodes and re-hashes every gram
+    a second time, which at 100 TB is a second full corpus scan): one
+    gram explode -> (doc, bucket) counts, localCheckpoint-ed (the table
+    is O(docs x n_buckets) COUNTS — orders of magnitude under the gram
+    stream it replaces, and it is the same row set the downstream
+    aggregates shuffle anyway). The histogram/ratio tables then derive
+    from the checkpointed counts (n_buckets rows, broadcast), and the
+    weights are one broadcast join + doc-keyed decimal sum; global top-k
+    is a TakeOrderedAndProject (never a full sort). ``is_target`` must
+    be an expression over ``docs``'s columns."""
     from .text import tokens_expr
 
     base = docs.select(
         "doc_id", "lang", F.explode(grams_expr(tokens_expr(F.col("text")))).alias("gram"),
         is_target.alias("is_t"),
     )
-    lr = dsir_log_ratios(base, F.col("is_t"), n_buckets)
-    dc = (
-        base.filter(~F.col("is_t"))
-        .groupBy("doc_id", "lang", bucket_expr(F.col("gram"), n_buckets).alias("bucket"))
+    dc_all = (
+        base.groupBy(
+            "doc_id", "lang", "is_t", bucket_expr(F.col("gram"), n_buckets).alias("bucket")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
+    lr = dsir_log_ratios(dc_all, n_buckets)
     w = (
-        dc.join(F.broadcast(lr), "bucket")
+        dc_all.filter(~F.col("is_t"))
+        .join(F.broadcast(lr), "bucket")
         .withColumn("term_w", F.round(F.col("cnt") * F.col("lr"), 6))
         .groupBy("doc_id", "lang")
         .agg(

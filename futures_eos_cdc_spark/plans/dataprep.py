@@ -4144,8 +4144,9 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     {DSIR_N_BUCKETS} hashed unigram+bigram buckets, Gumbel-top-{DSIR_SAMPLE_K}
     with md5-derived (content-stable) noise. See operators/dsir.py for the
     algorithm and the 100 TB plan shape (fixed-size feature space => the
-    distribution tables broadcast at any corpus size; the corpus touches
-    two map-side-combinable aggregates and one doc-keyed sum)."""
+    distribution tables broadcast at any corpus size; the corpus text is
+    featurized exactly once into checkpointed per-doc bucket counts that
+    every downstream aggregate derives from)."""
     from ..operators.dsir import dsir_sample
 
     docs = spread(_t(spark, sf_dir, "documents"))

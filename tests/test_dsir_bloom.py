@@ -136,9 +136,11 @@ def test_bloom_gate_separates_at_production_sizing(spark):
     assert not any(out[300 + i].bloom_positive for i in range(10))
 
 
-def test_bloom_gate_plan_broadcasts_filter(spark):
-    """The set-bit table must reach the probe side as a broadcast — the
-    <=m-rows guarantee is the operator's whole scale story."""
+def test_bloom_gate_probe_is_pure_projection(spark):
+    """The operator's whole scale story: the bitmap rides as a literal,
+    so the PROBE adds no join and no exchange — the only join in the
+    plan is the exact verify (digest-keyed, bloom-positives only), and
+    nothing is Python."""
     ref = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
     )
@@ -146,5 +148,12 @@ def test_bloom_gate_plan_broadcasts_filter(spark):
         [(100 + i, f"doc {i % 30}") for i in range(30)], "doc_id long, text string"
     )
     plan = bloom_gate(ref, cand)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct")
+    )
+    assert n_joins == 1  # the exact verify over positives — nothing else
+    assert "bit_get" in plan and "forall" in plan  # the projection probe
+    assert "Union" in plan  # negatives bypass the join entirely
     assert "PythonUDF" not in plan
