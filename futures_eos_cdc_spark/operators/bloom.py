@@ -104,7 +104,10 @@ def bloom_probe_expr(
     bitmap — a PURE projection (the bitmap rides as ONE array literal
     shared by all k checks via the forall lambda; per probe: k O(1) word
     lookups, no join, no shuffle)."""
-    words = F.lit(bitmap)
+    # The explicit cast is load-bearing: F.lit infers array<int> whenever
+    # every word happens to fit int32 (e.g. a saturated filter whose words
+    # are all -1), and bit_get on an int rejects positions >= 32.
+    words = F.lit(bitmap).cast("array<bigint>")
     return F.forall(
         bloom_positions_expr(digest, k, m_hex_chars),
         lambda pos: F.bit_get(

@@ -136,6 +136,23 @@ def test_bloom_gate_separates_at_production_sizing(spark):
     assert not any(out[300 + i].bloom_positive for i in range(10))
 
 
+def test_bloom_probe_bitmap_type_is_stable(spark):
+    """Regression: a bitmap whose words ALL fit int32 (here a saturated
+    filter — words of -1/small ints) must still probe as 64-bit words;
+    F.lit would otherwise infer array<int> and bit_get rejects positions
+    >= 32 (surfaced first on the 100x corpus, where 250k reference docs
+    saturate m=65536 and most words collapse to -1)."""
+    from futures_eos_cdc_spark.operators.bloom import bloom_probe_expr
+
+    m_hex = 2  # m = 256 bits -> 4 words
+    bitmap = [-1, -1, -1, -1]  # every bit set, every word int32-representable
+    df = spark.createDataFrame([(f"digest {i}",) for i in range(32)], "digest string")
+    out = df.select(
+        bloom_probe_expr(F.col("digest"), bitmap, m_hex_chars=m_hex).alias("p")
+    ).collect()
+    assert all(r.p for r in out)  # saturated filter: everything positive
+
+
 def test_bloom_gate_probe_is_pure_projection(spark):
     """The operator's whole scale story: the bitmap rides as a literal,
     so the PROBE adds no join and no exchange — the only join in the
