@@ -124,6 +124,13 @@ class DedupGateIndex:
     ) -> "DedupGateIndex":
         if kind not in _KIND_TABLES:
             raise ValueError(f"kind={kind!r}; expected one of {sorted(_KIND_TABLES)}")
+        if opts.get("bloom") and kind != "exact":
+            raise ValueError(
+                "bloom=True maintains a Bloom-bitmap sidecar over content "
+                "digests — only kind='exact' has those; the near-dup kinds "
+                "probe band/block tables a membership filter cannot stand "
+                "in for"
+            )
         os.makedirs(path, exist_ok=True)
         meta = {"kind": kind, "id_col": id_col, "text_col": text_col, "opts": opts}
         meta_path = os.path.join(path, "_GATE_KIND.json")
@@ -153,6 +160,8 @@ class DedupGateIndex:
         ts = _KIND_TABLES[self.kind]
         if self.kind == "containment" and self.opts.get("self_corpus"):
             ts = ts + ("corpus_docs",)
+        if self.kind == "exact" and self.effective_structural("bloom"):
+            ts = ts + ("bloom",)
         return ts
 
     def _batch_tables(self, docs: DataFrame) -> dict[str, DataFrame]:
@@ -160,11 +169,39 @@ class DedupGateIndex:
         docs = spread(docs)
         if self.kind == "exact":
             cols = o.get("content_cols") or [text_col]
-            return {
-                "digests": docs.select(
-                    content_digest_expr(cols, docs).alias("content_hash")
-                ).distinct()
-            }
+            dig = docs.select(
+                content_digest_expr(cols, docs).alias("content_hash")
+            ).distinct()
+            out = {"digests": dig}
+            if self.effective_structural("bloom"):
+                # Per-batch Bloom bitmap as ROWS (word_idx, word): batch
+                # bitmaps OR together commutatively and idempotently, so
+                # they need no special merge path — the atomic manifest
+                # line that publishes the batch's digests publishes its
+                # filter increment too, compaction just concatenates rows,
+                # and the gate folds committed rows with bit_or. <= m/64
+                # rows per batch (m is a config constant), all JVM-side.
+                from .bloom import bloom_positions_expr
+
+                m_hex = self.effective_structural("bloom_m_hex")
+                bk = self.effective_structural("bloom_k")
+                out["bloom"] = (
+                    dig.select(
+                        F.explode(
+                            bloom_positions_expr(F.col("content_hash"), bk, m_hex)
+                        ).alias("pos")
+                    )
+                    .distinct()
+                    .select(
+                        F.expr("pos div 64").cast("int").alias("word_idx"),
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                        ).alias("bit"),
+                    )
+                    .groupBy("word_idx")
+                    .agg(F.expr("bit_or(bit)").alias("word"))
+                )
+            return out
         if self.kind == "minhash":
             k = o.get("k", SHINGLE_K)
             sh = docs.select(
@@ -637,8 +674,14 @@ class DedupGateIndex:
 
     # options baked into the index DATA at build time (changing one
     # invalidates the tables) vs. legitimately per-gate thresholds
-    _STRUCTURAL_OPTS = {"k", "gram_n", "content_cols", "self_corpus"}
-    _GATE_OPTS = {"threshold", "max_hamming", "max_gram_occ", "assert_coverage"}
+    _STRUCTURAL_OPTS = {
+        "k", "gram_n", "content_cols", "self_corpus",
+        "bloom", "bloom_m_hex", "bloom_k",
+    }
+    _GATE_OPTS = {
+        "threshold", "max_hamming", "max_gram_occ", "assert_coverage",
+        "use_bloom",
+    }
     # build-time defaults for the structural options, mirrored from the
     # gate methods' own `o.get(...)` fallbacks. Conflict checks must
     # compare against the EFFECTIVE build value (default included): an
@@ -650,6 +693,9 @@ class DedupGateIndex:
         "gram_n": 16,
         "content_cols": None,
         "self_corpus": False,
+        "bloom": False,
+        "bloom_m_hex": None,  # resolved lazily to bloom.BLOOM_M_HEX
+        "bloom_k": None,  # resolved lazily to bloom.BLOOM_K
     }
 
     def effective_structural(self, name: str):
@@ -659,8 +705,12 @@ class DedupGateIndex:
         v = self.opts.get(name, self._STRUCTURAL_DEFAULTS[name])
         if name == "content_cols":
             return list(v) if v else [self.text_col]
-        if name == "self_corpus":
+        if name in ("self_corpus", "bloom"):
             return bool(v)
+        if name in ("bloom_m_hex", "bloom_k") and v is None:
+            from .bloom import BLOOM_K, BLOOM_M_HEX
+
+            return BLOOM_M_HEX if name == "bloom_m_hex" else BLOOM_K
         return v
 
     def gate(
@@ -703,6 +753,12 @@ class DedupGateIndex:
                 "assert_coverage is the containment coverage contract; it "
                 f"means nothing for kind={self.kind!r} — silently accepting "
                 "it would fake an enforcement that never runs"
+            )
+        if "use_bloom" in gate_opts and self.kind != "exact":
+            raise ValueError(
+                "use_bloom accelerates the exact digest gate; it means "
+                f"nothing for kind={self.kind!r} — silently accepting it "
+                "would fake an acceleration that never runs"
             )
         # as_of replays the gate against a manifest-prefix snapshot
         # (tables() docstring) — reproduce any past admission decision
@@ -768,17 +824,58 @@ class DedupGateIndex:
             )
         if self.kind == "exact":
             cols = o.get("content_cols") or [text_col]
-            return (
-                batch_df.withColumn(
-                    "__gate_hash", content_digest_expr(cols, batch_df)
-                )
-                .join(
-                    t["digests"].withColumnRenamed("content_hash", "__gate_hash"),
-                    "__gate_hash",
-                    "left_anti",
-                )
-                .drop("__gate_hash")
+            hashed = batch_df.withColumn(
+                "__gate_hash", content_digest_expr(cols, batch_df)
             )
+            dig = t["digests"].withColumnRenamed("content_hash", "__gate_hash")
+            has_bloom = self.effective_structural("bloom")
+            use_bloom = gate_opts.get("use_bloom")
+            if use_bloom is None:
+                use_bloom = has_bloom  # auto: accelerate when the index can
+            if use_bloom:
+                if not has_bloom:
+                    raise ValueError(
+                        "use_bloom=True but this index carries no bloom "
+                        "table — build/rebuild it with bloom=True (the "
+                        "filter increments are per-batch index data, not "
+                        "something a gate call can synthesize cheaply)"
+                    )
+                from .bloom import bloom_probe_expr
+
+                m_hex = self.effective_structural("bloom_m_hex")
+                bk = self.effective_structural("bloom_k")
+                # Fold the committed per-batch filter increments: bit_or
+                # over <= m/64 word groups — bounded by CONFIG, the same
+                # bounded-collect discipline as operators.bloom.
+                bitmap = [0] * ((16**m_hex + 63) // 64)
+                for r in (
+                    t["bloom"]
+                    .groupBy("word_idx")
+                    .agg(F.expr("bit_or(word)").alias("word"))
+                    .collect()
+                ):
+                    bitmap[r.word_idx] = r.word
+                hashed = hashed.withColumn(
+                    "__bloom_pos",
+                    bloom_probe_expr(
+                        F.col("__gate_hash"), bitmap, k=bk, m_hex_chars=m_hex
+                    ),
+                )
+                # Negatives are DEFINITELY new (no false negatives): admit
+                # them join-free; only bloom positives pay the digest
+                # anti-join — at production FP rates that join's input is
+                # ~the true-duplicate subset, not the batch.
+                neg = hashed.filter(~F.col("__bloom_pos")).drop(
+                    "__bloom_pos", "__gate_hash"
+                )
+                pos = (
+                    hashed.filter(F.col("__bloom_pos"))
+                    .drop("__bloom_pos")
+                    .join(dig, "__gate_hash", "left_anti")
+                    .drop("__gate_hash")
+                )
+                return pos.unionByName(neg)
+            return hashed.join(dig, "__gate_hash", "left_anti").drop("__gate_hash")
         if self.kind == "minhash":
             return minhash_dedup_against_corpus(
                 batch_df,

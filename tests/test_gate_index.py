@@ -1021,3 +1021,87 @@ def test_gc_intent_recheck_closes_scan_race(spark, sf_dir, tmp_path, monkeypatch
     monkeypatch.undo()
     assert deleted == []  # the live intent protected the aged dirs
     assert os.path.isdir(os.path.join(idx.path, "digests", f"b_{bid}"))
+
+
+# ---------------------------------------------------------------------------
+# r10: Bloom-bitmap sidecar for the exact gate
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_sidecar_gate_parity_and_append_growth(spark, sf_dir, tmp_path):
+    """The bloom-accelerated exact gate admits EXACTLY the rows the plain
+    digest anti-join admits (the filter has no false negatives; its
+    positives all pass the verify join), and the sidecar grows with
+    appends: a batch admitted-and-appended is fully rejected on replay."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(
+        corpus, str(tmp_path / "idx"), "exact", bloom=True
+    )
+    assert "bloom" in idx._table_names()
+    plain = {r.doc_id for r in idx.gate(batch, use_bloom=False).collect()}
+    fast = {r.doc_id for r in idx.gate(batch, use_bloom=True).collect()}
+    auto = {r.doc_id for r in idx.gate(batch).collect()}  # auto = on
+    assert fast == plain == auto
+    idx.append(idx.gate(batch), token="s/0")
+    assert idx.gate(batch).count() == 0  # every survivor now indexed
+
+
+def test_bloom_sidecar_plan_and_compaction(spark, sf_dir, tmp_path):
+    """Plan shape: negatives bypass the anti-join via the union branch
+    and the probe is the bit_get projection. Compaction preserves the
+    sidecar (rows concatenate; bit_or folding is order-independent)."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(
+        corpus, str(tmp_path / "idx"), "exact", bloom=True, bloom_m_hex=3
+    )
+    plan = idx.gate(batch)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "bit_get" in plan
+    want = {r.doc_id for r in idx.gate(batch).collect()}
+    idx.append(batch.limit(7), token="s/1")
+    want2 = {r.doc_id for r in idx.gate(batch).collect()}
+    idx.compact(spark, target_partitions=1)
+    assert {r.doc_id for r in idx.gate(batch).collect()} == want2
+    assert want2 <= want
+
+
+def test_bloom_sidecar_option_guards(spark, sf_dir, tmp_path):
+    """bloom=True is exact-only; use_bloom on a bloom-less index or a
+    non-exact kind fails loudly instead of faking acceleration."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    with pytest.raises(ValueError, match="kind='exact'"):
+        DedupGateIndex.build(
+            corpus, str(tmp_path / "m"), "minhash", bloom=True
+        )
+    plain_idx = DedupGateIndex.build(corpus, str(tmp_path / "plain"), "exact")
+    with pytest.raises(ValueError, match="no bloom table"):
+        plain_idx.gate(batch, use_bloom=True).collect()
+    assert plain_idx.gate(batch, use_bloom=False).count() > 0  # explicit off ok
+    mh = DedupGateIndex.build(corpus, str(tmp_path / "mh"), "minhash")
+    with pytest.raises(ValueError, match="use_bloom"):
+        mh.gate(batch, use_bloom=True)
+
+
+def test_bloom_sidecar_streaming_writer_exactly_once(spark, sf_dir, tmp_path):
+    """The admit-then-index writer on a bloom=True index: the per-epoch
+    append publishes the batch's filter increment under the same token,
+    so a retried epoch neither re-delivers nor double-sets bits, and the
+    replayed gate (bloom-accelerated, auto mode) rejects everything."""
+    batch, corpus = _split(_docs(spark, sf_dir))
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "idx"), "exact", bloom=True)
+    deliveries = []
+
+    def sink(df, epoch_id):
+        deliveries.append((epoch_id, {r.doc_id for r in df.collect()}))
+
+    w = dedup_gate_writer(
+        "exact", sink, corpus_index=idx, append_survivors=True, stream_id="sb"
+    )
+    w(batch, 1)
+    admitted = deliveries[-1][1]
+    assert admitted
+    manifest_after = idx._manifest_rows()
+    w(batch, 1)  # retry
+    assert idx._manifest_rows() == manifest_after
+    assert deliveries[-1] == (1, set())
+    # and a plain-join gate agrees with the accelerated one post-append
+    assert idx.gate(batch, use_bloom=False).count() == 0
