@@ -4395,3 +4395,296 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str, _t) -> DataFram
         F.round(F.max("cosine"), 6).alias("max_sim"),
         (F.max("cosine") < F.lit(SEM_DECON_TAU)).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM subword tokenizer (round 10 — Kudo 2018 / SentencePiece,
+# completing the production tokenizer family next to BPE)
+# ---------------------------------------------------------------------------
+from ..operators.unigram import (  # noqa: E402
+    UNIGRAM_MAX_PIECE_LEN,
+    UNIGRAM_UNK_LOGP,
+    UNIGRAM_VOCAB_SIZE,
+)
+
+
+def _default_unigram_dir() -> str:
+    import getpass
+    import tempfile
+
+    try:
+        who = getpass.getuser()
+    except (KeyError, OSError):
+        who = f"uid{os.getuid()}"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_unigram_{who}")
+
+
+# Same contract as BPE_V1K_MERGES_PATH (see that block's comments): one
+# fixed path per process baked into the oracle SQL at import; env override
+# for concurrent-harness isolation; query construction rewrites the table
+# for its own sf_dir before any oracle comparison runs (_unigram_pieces).
+UNIGRAM_PIECES_PATH = os.environ.get(
+    "SPARK_GRAFT_UNIGRAM_DIR", _default_unigram_dir()
+)
+
+
+def _ensure_unigram_table() -> None:
+    """Harness-order robustness, the _ensure_v1k_merge_table twin: train
+    Spark-free on the driver's correctness fixture (DuckDB word freqs +
+    the pytest-pinned Python trainer) so the oracle's persisted piece
+    table always exists and matches sf0.01."""
+    import duckdb as _duckdb
+
+    from ..operators.bpe import BPE_VOCAB_CAP as _cap
+    from ..operators.unigram import train_unigram_py as _train
+
+    docs = os.path.join(_DRIVER_CORRECTNESS_SF_DIR, "documents.parquet")
+    if not os.path.exists(docs):
+        return
+    wf = _duckdb.sql(
+        rf"""
+        SELECT w, count(*) AS f FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM read_parquet('{docs}') WHERE text IS NOT NULL
+        ) GROUP BY w ORDER BY f DESC, w LIMIT {_cap}
+        """
+    ).fetchall()
+    pieces = _train(wf)
+    import contextlib
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    os.makedirs(UNIGRAM_PIECES_PATH, exist_ok=True)
+    with open(os.path.join(UNIGRAM_PIECES_PATH, ".writer.lock"), "w") as lk:
+        with contextlib.suppress(ImportError):
+            import fcntl
+
+            fcntl.flock(lk, fcntl.LOCK_EX)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "piece": _pa.array([p for p, _ in pieces]),
+                    "logp": _pa.array(
+                        [lp for _, lp in pieces], type=_pa.float64()
+                    ),
+                }
+            ),
+            os.path.join(UNIGRAM_PIECES_PATH, "part-import-ensure.parquet"),
+        )
+        for fn in os.listdir(UNIGRAM_PIECES_PATH):
+            if fn.endswith(".parquet") and fn != "part-import-ensure.parquet":
+                try:
+                    os.unlink(os.path.join(UNIGRAM_PIECES_PATH, fn))
+                except OSError:
+                    pass
+
+
+try:
+    _ensure_unigram_table()
+except (ImportError, OSError) as _exc:
+    import warnings
+
+    warnings.warn(
+        f"unigram piece-table import-ensure skipped ({type(_exc).__name__}: "
+        f"{_exc}) — oracle SQL reads {UNIGRAM_PIECES_PATH!r}; the table "
+        "will be written at first unigram query construction, or set "
+        "SPARK_GRAFT_UNIGRAM_DIR to a writable directory",
+        stacklevel=2,
+    )
+except Exception as _exc:  # noqa: BLE001 — import must never fail outright
+    import warnings
+
+    warnings.warn(
+        f"unigram piece-table import-ensure FAILED unexpectedly "
+        f"({type(_exc).__name__}: {_exc}) at {UNIGRAM_PIECES_PATH!r}",
+        stacklevel=2,
+    )
+
+
+_UNIGRAM_PIECES: dict = {}
+_UNIGRAM_FILE_SF: dict = {}
+
+
+def _unigram_pieces(spark: SparkSession, sf_dir: str, _t):
+    """Train-once + persist-for-the-oracle, the _v1k_merges twin shared
+    by every unigram entry point: after this call the persisted piece
+    table always matches ``sf_dir``. Returns (docs, pieces)."""
+    from ..operators.bpe import word_freq_table
+    from ..operators.unigram import save_unigram_pieces, train_unigram_py
+    from ..operators.text import tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pieces = _UNIGRAM_PIECES.get(key)
+    if pieces is None:
+        for k in [k for k in _UNIGRAM_PIECES if k[0] != key[0]]:
+            del _UNIGRAM_PIECES[k]
+        # unigram has no symbol-marker encoding, so the word table is the
+        # plain tokens_expr aggregate (no marker filter)
+        wf_df = (
+            docs.filter(F.col("text").isNotNull())
+            .select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "word")
+            .limit(65536)
+        )
+        wf = [(r["word"], r["freq"]) for r in wf_df.collect()]
+        pieces = _UNIGRAM_PIECES[key] = train_unigram_py(wf)
+    if _UNIGRAM_FILE_SF.get("sf") != sf_dir:
+        try:
+            os.makedirs(UNIGRAM_PIECES_PATH, exist_ok=True)
+            probe = os.path.join(UNIGRAM_PIECES_PATH, ".write-probe")
+            with open(probe, "w"):
+                pass
+            os.unlink(probe)
+        except OSError as exc:
+            raise RuntimeError(
+                f"unigram piece-table dir {UNIGRAM_PIECES_PATH!r} is not "
+                f"writable ({exc}) — the unigram oracles replay Viterbi "
+                "from the persisted table there; set SPARK_GRAFT_UNIGRAM_DIR "
+                "before importing the package"
+            ) from exc
+        save_unigram_pieces(spark, pieces, UNIGRAM_PIECES_PATH)
+        _UNIGRAM_FILE_SF["sf"] = sf_dir
+    return docs, pieces
+
+
+# Oracle: Viterbi REPLAYED from the persisted piece table as a recursive
+# CTE — dp carried as a list, candidates scanned by piece length ascending
+# with strict improvement (the exact tie rule viterbi_tokens_py uses), the
+# token path carried alongside so downstream CTEs see full segmentations.
+# Training itself is pinned by pytests (hand-trace + invariants) — EM in
+# SQL is not realistic; this is the v1k "oracle replays apply" shape.
+_UNIGRAM_ORACLE_PREFIX = rf"""
+WITH RECURSIVE pieces AS (
+  SELECT piece, logp FROM read_parquet('{UNIGRAM_PIECES_PATH}/*.parquet')
+),
+pm AS (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := logp))) AS m
+  FROM pieces
+),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+words AS MATERIALIZED (SELECT doc_id, unnest(t) AS word FROM toksrc),
+dw AS MATERIALIZED (SELECT word, length(word) AS n FROM (SELECT DISTINCT word FROM words)),
+seg AS (
+  SELECT word, n, 0 AS i,
+         [CAST(0 AS DOUBLE)] AS dp,
+         [CAST([] AS VARCHAR[])] AS tk
+  FROM dw
+  UNION ALL
+  SELECT word, n, i + 1,
+    dp || [best['s']],
+    tk || [tk[best['j'] + 1] || [substr(word, best['j'] + 1, (i + 1) - best['j'])]]
+  FROM (
+    SELECT word, n, i, dp, tk,
+      list_reduce(
+        list_filter(
+          list_transform(range(1, least({UNIGRAM_MAX_PIECE_LEN}, i + 1) + 1),
+            l -> struct_pack(
+              s := dp[i + 2 - l] + coalesce(
+                     list_extract(map_extract(m, substr(word, i + 2 - l, l)), 1),
+                     CASE WHEN l = 1 THEN CAST({UNIGRAM_UNK_LOGP!r} AS DOUBLE) END),
+              j := i + 1 - l)),
+          c -> c['s'] IS NOT NULL),
+        (a, b) -> CASE WHEN b['s'] > a['s'] THEN b ELSE a END) AS best
+    FROM seg CROSS JOIN pm WHERE i < n
+  )
+),
+wtok AS MATERIALIZED (SELECT word, tk[n + 1] AS toks FROM seg WHERE i = n)"""
+
+UNIGRAM_TOKEN_COUNTS_ORACLE = (
+    _UNIGRAM_ORACLE_PREFIX
+    + """
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS fertility
+FROM words JOIN wtok USING (word)
+GROUP BY doc_id
+"""
+)
+
+UNIGRAM_SUBWORD_VOCAB_ORACLE = (
+    _UNIGRAM_ORACLE_PREFIX
+    + """
+SELECT piece,
+  CAST(count(*) AS BIGINT) AS occurrences,
+  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM (
+  SELECT w.word, unnest(wt.toks) AS piece
+  FROM words w JOIN wtok wt USING (word)
+)
+GROUP BY piece
+"""
+)
+
+UNIGRAM_VOCAB_ORACLE = f"""
+SELECT piece, logp
+FROM read_parquet('{UNIGRAM_PIECES_PATH}/*.parquet')
+"""
+
+
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """EXACT unigram-LM token counts per document ({UNIGRAM_VOCAB_SIZE}-piece
+    SentencePiece-style vocabulary, hard-EM trained — operators/unigram.py):
+    the second production subword algorithm next to BPE, same join-based
+    apply plan (distinct words tokenized in Arrow batches, (word, n_tok)
+    ints broadcast back, one doc-keyed aggregation — corpus-side cost
+    independent of vocabulary size). The trained piece table is persisted
+    eagerly; the oracle REPLAYS Viterbi from it as a recursive CTE with
+    the identical ascending-length strict-improvement tie rule, so every
+    segmentation is bit-checked, not just the counts' plumbing."""
+    docs, pieces = _unigram_pieces(spark, sf_dir, _t)
+    from ..operators.unigram import doc_unigram_token_counts
+
+    return doc_unigram_token_counts(docs, pieces)
+
+
+def q_unigram_subword_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Per-piece corpus audit for the unigram tokenizer (the
+    bpe_subword_vocab twin): total corpus occurrences + distinct words
+    using each piece — the OOV/fertility table a tokenizer rollout
+    reviews. Same plan as the counts query with the (word, toks) table
+    exploded once; the oracle replays the full Viterbi segmentation."""
+    docs, pieces = _unigram_pieces(spark, sf_dir, _t)
+    from ..operators.text import tokens_expr
+    from ..operators.unigram import unigram_word_tokens
+
+    docs2 = docs.filter(F.col("text").isNotNull()).filter(
+        F.size(tokens_expr(F.col("text"))) > 0
+    )
+    words = docs2.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    wtok = F.broadcast(
+        unigram_word_tokens(words.select("word").distinct(), pieces)
+    )
+    return (
+        words.join(wtok, "word")
+        .select("word", F.explode("toks").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.count_distinct("word").cast("long").alias("n_words"),
+        )
+    )
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The trained unigram piece table itself (piece, 6dp logp). Both
+    sides read the persisted artifact — a shared-artifact check (the
+    training algorithm is pinned by tests/test_unigram.py's hand-trace
+    and invariants; EM cannot realistically be replayed in SQL the way
+    the 40-merge BPE training is)."""
+    _unigram_pieces(spark, sf_dir, _t)  # train + persist for THIS sf_dir
+    return spark.read.parquet(UNIGRAM_PIECES_PATH).select("piece", "logp")
+
+
+q_unigram_token_counts.__doc__ = q_unigram_token_counts.__doc__.format(
+    UNIGRAM_VOCAB_SIZE=UNIGRAM_VOCAB_SIZE
+)

@@ -1129,6 +1129,12 @@ QUERIES["hard_negative_mining"] = _bind(_dp.q_hard_negatives)
 ORACLES["hard_negative_mining"] = _dp.HARD_NEG_ORACLE
 QUERIES["semantic_decontamination"] = _bind(_dp.q_semantic_decontamination)
 ORACLES["semantic_decontamination"] = _dp.SEM_DECON_ORACLE
+QUERIES["unigram_token_counts"] = _bind(_dp.q_unigram_token_counts)
+ORACLES["unigram_token_counts"] = _dp.UNIGRAM_TOKEN_COUNTS_ORACLE
+QUERIES["unigram_subword_vocab"] = _bind(_dp.q_unigram_subword_vocab)
+ORACLES["unigram_subword_vocab"] = _dp.UNIGRAM_SUBWORD_VOCAB_ORACLE
+QUERIES["unigram_vocab"] = _bind(_dp.q_unigram_vocab)
+ORACLES["unigram_vocab"] = _dp.UNIGRAM_VOCAB_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1148,6 +1154,9 @@ _WALK_FIRST = [
     "bloom_dedup_gate",
     "hard_negative_mining",
     "semantic_decontamination",
+    "unigram_token_counts",
+    "unigram_subword_vocab",
+    "unigram_vocab",
     # Priority 1 — r9 VERDICT next #3's explicit list: the 22 queries
     # whose newest driver row is r7; after r10 no query's newest row is
     # older than r8.
