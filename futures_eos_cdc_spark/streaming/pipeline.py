@@ -196,6 +196,31 @@ def bpe_token_meter_writer(
     return write
 
 
+def unigram_token_meter_writer(
+    pieces,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch unigram-LM token meter — the
+    :func:`bpe_token_meter_writer` twin for the SentencePiece-style
+    tokenizer (operators/unigram.py): Viterbi apply needs a
+    per-micro-batch distinct-word pass + aggregation, so it runs under
+    foreachBatch with full batch semantics; per-doc count rows (same
+    schema as ``doc_unigram_token_counts``) go to ``sink``."""
+    from ..operators.unigram import doc_unigram_token_counts
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            doc_unigram_token_counts(
+                batch_df, pieces, id_col=id_col, text_col=text_col
+            ),
+            epoch_id,
+        )
+
+    return write
+
+
 def stream_quality_gate(
     stream: DataFrame,
     threshold: float = 0.0,

@@ -136,3 +136,45 @@ def test_doc_counts_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     row = df.agg(F.sum("n_tokens"), F.sum("n_words")).collect()[0]
     assert row[0] >= row[1]  # at least one token per word
+
+
+def test_stream_unigram_meter_matches_batch(spark, sf_dir, tmp_path):
+    """The unigram foreachBatch token meter produces exactly the batch
+    operator's counts over a file-source stream — the unigram twin of
+    test_stream_v1k_meter_matches_batch."""
+    from futures_eos_cdc_spark.streaming.pipeline import unigram_token_meter_writer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from futures_eos_cdc_spark.operators.text import tokens_expr
+
+    wf_df = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pieces = train_unigram_py([(r["word"], r["freq"]) for r in wf_df.collect()])
+    want = {
+        (r.doc_id, r.n_words, r.n_tokens)
+        for r in doc_unigram_token_counts(docs, pieces).collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    got = set()
+
+    def sink(df, epoch_id):
+        got.update((r.doc_id, r.n_words, r.n_tokens) for r in df.collect())
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .writeStream.foreachBatch(unigram_token_meter_writer(pieces, sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want and len(got) > 0
