@@ -15,6 +15,11 @@ Grouped by domain:
 - similarity: ``dot``, ``norm``, ``cosine``
 - sets:       ``jaccard``
 - hashing:    ``minhash_signatures``, ``lsh_bucket``, ``simhash16``
+- selection:  ``dsir_grams``, ``dsir_bucket``, ``dsir_gumbel`` (hashed
+              n-gram featurization + content-stable resampling noise —
+              operators.dsir), ``bloom_positions``, ``bloom_probe``
+              (membership-filter bit positions and the pure-projection
+              probe over a packed bitmap literal — operators.bloom)
 - layout:     ``zorder_key`` (Morton interleave for multi-column skipping)
 
 The reference engine exposes no user-function surface (its transforms are
@@ -85,13 +90,33 @@ from ..operators.bpe import (
 from ..operators.bpe import (
     bpe_tokens_expr as bpe_tokens,
 )
+from ..operators.bloom import (
+    bloom_positions_expr as bloom_positions,
+)
+from ..operators.bloom import (
+    bloom_probe_expr as bloom_probe,
+)
+from ..operators.dsir import (
+    bucket_expr as dsir_bucket,
+)
+from ..operators.dsir import (
+    grams_expr as dsir_grams,
+)
+from ..operators.dsir import (
+    gumbel_expr as dsir_gumbel,
+)
 from ..sources.bucketing import (
     zorder_key_expr as zorder_key,
 )
 
 __all__ = [
+    "bloom_positions",
+    "bloom_probe",
     "bpe_token_count",
     "bpe_tokens",
+    "dsir_bucket",
+    "dsir_grams",
+    "dsir_gumbel",
     "classifier_logit",
     "cosine",
     "dot",

@@ -154,9 +154,16 @@ def bloom_gate(
     )
     bitmap = bloom_bitmap(ref_digests, k=k, m_hex_chars=m_hex_chars, digests=True)
     ref_digests = ref_digests.withColumn("dup", F.lit(True))
+    # NULL text -> NULL digest -> NULL probe: coalesce to FALSE so the row
+    # takes the negative (join-free) branch — the same verdict the plain
+    # digest anti-join gives a NULL hash (NULL never equi-matches, the row
+    # is admitted); without the coalesce both filter branches drop it.
     cand = candidates.select("doc_id", F.md5("text").alias("digest")).withColumn(
         "bloom_positive",
-        bloom_probe_expr(F.col("digest"), bitmap, k=k, m_hex_chars=m_hex_chars),
+        F.coalesce(
+            bloom_probe_expr(F.col("digest"), bitmap, k=k, m_hex_chars=m_hex_chars),
+            F.lit(False),
+        ),
     )
     pos = (
         cand.filter(F.col("bloom_positive"))

@@ -855,10 +855,16 @@ class DedupGateIndex:
                     .collect()
                 ):
                     bitmap[r.word_idx] = r.word
+                # NULL digest (NULL content cols) -> NULL probe: coalesce
+                # to FALSE so the row takes the negative branch — the same
+                # admit verdict the plain anti-join gives a NULL hash.
                 hashed = hashed.withColumn(
                     "__bloom_pos",
-                    bloom_probe_expr(
-                        F.col("__gate_hash"), bitmap, k=bk, m_hex_chars=m_hex
+                    F.coalesce(
+                        bloom_probe_expr(
+                            F.col("__gate_hash"), bitmap, k=bk, m_hex_chars=m_hex
+                        ),
+                        F.lit(False),
                     ),
                 )
                 # Negatives are DEFINITELY new (no false negatives): admit

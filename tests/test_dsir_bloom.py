@@ -174,3 +174,40 @@ def test_bloom_gate_probe_is_pure_projection(spark):
     assert "bit_get" in plan and "forall" in plan  # the projection probe
     assert "Union" in plan  # negatives bypass the join entirely
     assert "PythonUDF" not in plan
+
+
+def test_bloom_gate_null_text_matches_plain_gate_semantics(spark):
+    """A NULL-text candidate has a NULL digest: the plain digest
+    anti-join ADMITS it (NULL never equi-matches), so the bloom gate
+    must too — before the coalesce fix the NULL probe verdict dropped
+    the row from BOTH filter branches (reported by neither)."""
+    ref = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(100, "doc 2"), (101, None), (102, "fresh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bloom_gate(ref, cand).collect()}
+    assert set(out) == {100, 101, 102}  # the NULL-text row is NOT lost
+    assert out[100].bloom_positive and out[100].true_dup
+    assert not out[101].bloom_positive and not out[101].true_dup
+    assert not out[102].bloom_positive
+
+
+def test_gate_index_bloom_null_content_matches_plain(spark, tmp_path):
+    """Same contract on the index gate: NULL content rows get the same
+    verdict from the bloom-accelerated path as from the plain anti-join."""
+    from futures_eos_cdc_spark.operators.gate_index import DedupGateIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "doc 2"), (101, None), (102, "fresh")],
+        "doc_id long, text string",
+    )
+    idx = DedupGateIndex.build(corpus, str(tmp_path / "i"), "exact", bloom=True)
+    fast = {r.doc_id for r in idx.gate(batch, use_bloom=True).collect()}
+    plain = {r.doc_id for r in idx.gate(batch, use_bloom=False).collect()}
+    assert fast == plain == {101, 102}
