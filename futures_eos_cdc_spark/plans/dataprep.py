@@ -4688,3 +4688,147 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 q_unigram_token_counts.__doc__ = q_unigram_token_counts.__doc__.format(
     UNIGRAM_VOCAB_SIZE=UNIGRAM_VOCAB_SIZE
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filter (round 10 — Rae et al. 2021 §A1.1, the
+# named rule set most from-scratch pipelines implement verbatim)
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 1000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 2.0, 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+
+GOPHER_RULES_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    len(toks) AS n_words,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      / len(toks) AS mwl,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      / len(toks) AS swr,
+    len(list_filter([{_STOP_EN}], s -> list_contains(toks, s))) AS n_stop,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{{L}}'))) AS DOUBLE)
+      / len(toks) AS awr
+  FROM t
+)
+SELECT doc_id, lang,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(swr, 6) AS symbol_word_ratio,
+  CAST(n_stop AS BIGINT) AS n_stop_distinct,
+  round(awr, 6) AS alpha_word_ratio,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+    AND (mwl BETWEEN CAST({GOPHER_MIN_MWL!r} AS DOUBLE)
+                 AND CAST({GOPHER_MAX_MWL!r} AS DOUBLE))
+    AND swr <= CAST({GOPHER_MAX_SYMBOL_RATIO!r} AS DOUBLE)
+    AND n_stop >= {GOPHER_MIN_STOPWORDS}
+    AND awr >= CAST({GOPHER_MIN_ALPHA_RATIO!r} AS DOUBLE) AS keep
+FROM s
+"""
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021 §A1.1),
+    adapted to the fixture's scale: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio cap, a minimum count of DISTINCT
+    English stop words (the original is an English filter — non-English
+    documents failing this rule is its real behavior), and a minimum
+    fraction of words containing a letter. Emits every metric plus the
+    conjunction keep flag, so downstream funnels can relax single rules.
+
+    Plan at 100 TB: ONE projection over the scan — every rule is an
+    array/regex expression on the document's own tokens, no join, no
+    aggregate, no shuffle (same scan-shape as quality_classifier_scores;
+    plan-asserted). Rule comparisons run on the exact int-ratio doubles
+    (identical bits in every engine); outputs round to 6dp."""
+    from ..operators.text import STOPWORDS_EN, punct_ratio_expr, tokens_expr
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    mwl = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n
+    )
+    swr = (punct_ratio_expr(F.col("text")) * F.length("text")).cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    awr = (
+        F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}"))).cast("double") / n
+    )
+    keep = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (swr <= GOPHER_MAX_SYMBOL_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+        & (awr >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(swr, 6).alias("symbol_word_ratio"),
+        n_stop.cast("long").alias("n_stop_distinct"),
+        F.round(awr, 6).alias("alpha_word_ratio"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (round 10 — head/middle/tail per language)
+# ---------------------------------------------------------------------------
+PPLX_BUCKETS_ORACLE = (
+    "WITH pplx AS (" + PERPLEXITY_ORACLE + """),
+ranked AS (
+  SELECT p.doc_id, d.lang, p.avg_neg_logprob,
+    ntile(3) OVER (PARTITION BY d.lang
+                   ORDER BY p.avg_neg_logprob, p.doc_id) AS nt
+  FROM pplx p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_neg_logprob,
+  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per LANGUAGE,
+    documents ranked by bigram-LM perplexity into tertiles — the bucket
+    label training pipelines key sampling decisions on (head = most
+    fluent third). Deterministic: the rank orders by the 6dp-rounded
+    score with doc_id tie-break.
+
+    Plan at 100 TB: the perplexity subplan is q_doc_perplexity's (two
+    model aggregates + one constant-width scoring join); the tertile is
+    one window partitioned BY LANGUAGE — bounded partitions, no global
+    sort (CCNet's own sharding; a skew-heavy language mix would move to
+    approx-quantile thresholds, the documented alternative)."""
+    from pyspark.sql import Window as _W
+
+    pplx = q_doc_perplexity(spark, sf_dir, _t)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = _W.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    return (
+        pplx.join(docs, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_neg_logprob",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -1135,6 +1135,10 @@ QUERIES["unigram_subword_vocab"] = _bind(_dp.q_unigram_subword_vocab)
 ORACLES["unigram_subword_vocab"] = _dp.UNIGRAM_SUBWORD_VOCAB_ORACLE
 QUERIES["unigram_vocab"] = _bind(_dp.q_unigram_vocab)
 ORACLES["unigram_vocab"] = _dp.UNIGRAM_VOCAB_ORACLE
+QUERIES["gopher_quality_rules"] = _bind(_dp.q_gopher_quality_rules)
+ORACLES["gopher_quality_rules"] = _dp.GOPHER_RULES_ORACLE
+QUERIES["perplexity_buckets"] = _bind(_dp.q_perplexity_buckets)
+ORACLES["perplexity_buckets"] = _dp.PPLX_BUCKETS_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1157,6 +1161,8 @@ _WALK_FIRST = [
     "unigram_token_counts",
     "unigram_subword_vocab",
     "unigram_vocab",
+    "gopher_quality_rules",
+    "perplexity_buckets",
     # Priority 1 — r9 VERDICT next #3's explicit list: the 22 queries
     # whose newest driver row is r7; after r10 no query's newest row is
     # older than r8.

@@ -462,3 +462,27 @@ def test_semantic_decontamination_broadcasts_eval_side(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan or plan.count(
         "Exchange hashpartitioning"
     ) <= 1  # at most the vec_id agg exchange
+
+
+def test_gopher_rules_scan_shape(spark, sf_dir):
+    """Every Gopher rule is an array/regex expression over the doc's own
+    tokens: the plan must be a pure projection over the scan — no join,
+    no aggregate exchange, no Python."""
+    plan = _plan(spark, sf_dir, "gopher_quality_rules")
+    # spread()'s round-robin file-spreading exchange is fixture plumbing;
+    # the RULES must add no key exchange of their own
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_buckets_window_partitioned_by_lang(spark, sf_dir):
+    """The CCNet tertile must be a LANGUAGE-partitioned window — a global
+    (unpartitioned) ntile would single-partition the corpus."""
+    plan = _plan(spark, sf_dir, "perplexity_buckets")
+    assert "ntile(3)" in plan
+    assert "Window" in plan and "partitionBy" not in plan  # physical form
+    import re
+
+    w = re.search(r"Window \[ntile\(3\).*?partition.*?lang", plan, re.S)
+    assert w is not None, "ntile window not partitioned by lang"
