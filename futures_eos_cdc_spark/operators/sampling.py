@@ -313,12 +313,23 @@ def temperature_mixture_rates(
     rate = (
         wd * F.lit(float(budget_fraction)) * F.col("_total").cast("double")
     ) / (zd * F.col("available_tokens").cast("double"))
-    return weighted.crossJoin(F.broadcast(stats)).select(
-        group_col,
-        "available_tokens",
-        "weight",
-        (wd / zd).alias("share"),
-        F.least(F.lit(1.0), rate).alias("rate"),
+    # Same unweighted-group guard as token_budget_rates (code-review r10):
+    # a group whose token sum is NULL (all-NULL tokens_col) or non-positive
+    # (e.g. legacy size(NULL) = -1 leaking upstream) has no defined weight —
+    # least(1.0, NULL) would silently admit it WHOLE (and NaN from
+    # sqrt(negative) ranks greatest, with engine-dependent least()
+    # semantics). Exclude it explicitly instead.
+    valid = F.col("available_tokens").isNotNull() & (F.col("available_tokens") > 0)
+    return (
+        weighted.crossJoin(F.broadcast(stats))
+        .select(
+            group_col,
+            "available_tokens",
+            "weight",
+            F.when(valid, wd / zd).alias("share"),
+            F.when(valid, F.least(F.lit(1.0), rate)).alias("rate"),
+        )
+        .filter(F.col("rate").isNotNull())
     )
 
 

@@ -47,46 +47,65 @@ UNIGRAM_SEED_MULT = 4  # seed keeps seed_mult * vocab_size multi-char pieces
 UNIGRAM_UNK_LOGP = -20.0
 
 
+def _make_viterbi(
+    logp: dict[str, float],
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    unk_logp: float = UNIGRAM_UNK_LOGP,
+):
+    """THE Viterbi segmenter, built once per vocabulary — the single
+    implementation every caller shares (the bpe._make_ranked_word_apply
+    factory discipline: a dynamically-created closure that cloudpickle
+    ships BY VALUE into Arrow batch bodies, so workers never import this
+    package, and a fix here cannot silently miss an inlined twin).
+
+    dp over codepoint positions; candidates scanned by piece length
+    ASCENDING with strict >, so ties keep the shortest piece ending at
+    each position — the exact rule the SQL oracle replays. Single chars
+    missing from the vocabulary fall back to ``unk_logp``."""
+
+    def viterbi(word: str) -> list:
+        n = len(word)
+        dp = [0.0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best = None
+            bj = 0
+            for length in range(1, min(max_piece_len, i) + 1):
+                j = i - length
+                prev = dp[j]
+                if prev is None:
+                    continue
+                p = logp.get(word[j:i])
+                if p is None:
+                    if length != 1:
+                        continue
+                    p = unk_logp
+                s = prev + p
+                if best is None or s > best:
+                    best, bj = s, j
+            dp[i] = best
+            back[i] = bj
+        toks: list = []
+        i = n
+        while i > 0:
+            j = back[i]
+            toks.append(word[j:i])
+            i = j
+        toks.reverse()
+        return toks
+
+    return viterbi
+
+
 def viterbi_tokens_py(
     word: str,
     logp: dict[str, float],
     max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
     unk_logp: float = UNIGRAM_UNK_LOGP,
 ) -> list[str]:
-    """Max-likelihood segmentation of ``word`` under piece log-probs.
-    dp over codepoint positions; candidates scanned by piece length
-    ASCENDING with strict >, so ties keep the shortest piece ending at
-    each position — the exact rule the SQL oracle replays. Single chars
-    missing from the vocabulary fall back to ``unk_logp``."""
-    n = len(word)
-    dp: list[float | None] = [0.0] + [None] * n
-    back = [0] * (n + 1)
-    for i in range(1, n + 1):
-        best = None
-        bj = 0
-        for length in range(1, min(max_piece_len, i) + 1):
-            j = i - length
-            prev = dp[j]
-            if prev is None:
-                continue
-            p = logp.get(word[j:i])
-            if p is None:
-                if length != 1:
-                    continue
-                p = unk_logp
-            s = prev + p
-            if best is None or s > best:
-                best, bj = s, j
-        dp[i] = best
-        back[i] = bj
-    toks: list[str] = []
-    i = n
-    while i > 0:
-        j = back[i]
-        toks.append(word[j:i])
-        i = j
-    toks.reverse()
-    return toks
+    """Max-likelihood segmentation of ``word`` — the one-shot wrapper
+    over :func:`_make_viterbi` (batch callers build the closure once)."""
+    return _make_viterbi(logp, max_piece_len, unk_logp)(word)
 
 
 def train_unigram_py(
@@ -133,9 +152,10 @@ def train_unigram_py(
     # 2-4. hard-EM: Viterbi counts -> prune -> re-estimate
     n_multi = max(vocab_size - len(chars), 0)
     for _ in range(em_iters):
+        vit = _make_viterbi(logp, max_piece_len)
         em_counts: dict[str, int] = {}
         for word, freq in word_freqs:
-            for tok in viterbi_tokens_py(word, logp, max_piece_len):
+            for tok in vit(word):
                 em_counts[tok] = em_counts.get(tok, 0) + freq
         logp = estimate(select(em_counts, n_multi), em_counts)
     return sorted(logp.items())
@@ -150,49 +170,17 @@ def unigram_word_tokens(
     """(word, toks): Viterbi segmentation for a table of DISTINCT words —
     the vocabulary-shaped Arrow half of the join-based apply (the
     bpe_word_token_counts discipline: the piece table rides the closure,
-    Python never touches the corpus). The closure is self-contained
-    (cloudpickle ships it by value), a pytest-pinned twin of
-    :func:`viterbi_tokens_py`."""
-    logp = dict(pieces)
-    ml, unk = max_piece_len, UNIGRAM_UNK_LOGP
+    Python never touches the corpus). The segmenter is the ONE
+    :func:`_make_viterbi` closure — cloudpickle ships it by value, so
+    there is no inlined twin to drift (code-review r10)."""
+    vit = _make_viterbi(dict(pieces), max_piece_len)
 
     def tok(batches):
         import pandas as _pd
 
-        def viterbi(word: str) -> list:
-            n = len(word)
-            dp = [0.0] + [None] * n
-            back = [0] * (n + 1)
-            for i in range(1, n + 1):
-                best = None
-                bj = 0
-                for length in range(1, min(ml, i) + 1):
-                    j = i - length
-                    prev = dp[j]
-                    if prev is None:
-                        continue
-                    p = logp.get(word[j:i])
-                    if p is None:
-                        if length != 1:
-                            continue
-                        p = unk
-                    s = prev + p
-                    if best is None or s > best:
-                        best, bj = s, j
-                dp[i] = best
-                back[i] = bj
-            toks = []
-            i = n
-            while i > 0:
-                j = back[i]
-                toks.append(word[j:i])
-                i = j
-            toks.reverse()
-            return toks
-
         for pdf in batches:
             yield _pd.DataFrame(
-                {"word": pdf["word"], "toks": pdf["word"].map(viterbi)}
+                {"word": pdf["word"], "toks": pdf["word"].map(vit)}
             )
 
     return words_df.select(F.col(word_col).alias("word")).mapInPandas(

@@ -1421,17 +1421,27 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     broadcasts them when they fit. Per-bigram log-probs round to 6dp before
     the DECIMAL(38,10) per-doc sum (ln ulp convention, as tfidf/bm25).
     """
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return _perplexity_frame(docs)
+
+
+def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """q_doc_perplexity's plan, factored so derived queries (the CCNet
+    buckets) can carry doc-constant columns (``keep_cols``, e.g. lang)
+    THROUGH the doc-keyed aggregation instead of paying a second doc_id
+    join to recover them afterwards."""
     from ..operators.text import tokens_expr
 
-    docs = spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    keep = list(keep_cols)
+    toks = docs.select("doc_id", *keep, tokens_expr(F.col("text")).alias("t"))
     bg = toks.filter(F.size("t") >= 2).select(
         "doc_id",
+        *keep,
         F.expr(
             "explode(transform(sequence(2, size(t)),"
             " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    ).select("doc_id", *keep, "bg.w1", "bg.w2")
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.select(F.explode("t").alias("term")).agg(
@@ -1446,7 +1456,7 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             F.expr(f"round(ln((c2 + {PPLX_K!r}d) / (c1 + {PPLX_K!r}d * v)), 6)"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id", *keep).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(
             -F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
@@ -1454,7 +1464,10 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     ).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams", "avg_neg_logprob"
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *keep,
+        "n_bigrams",
+        "avg_neg_logprob",
     )
 
 
@@ -2927,7 +2940,12 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
-        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        # NULL text counts NULL, not legacy size(NULL) = -1: the oracle's
+        # len(split(NULL)) is NULL and its SUM skips it — a -1 here would
+        # corrupt available_tokens (code-review r10)
+        F.when(
+            F.col("text").isNotNull(), token_count_expr(F.col("text"))
+        ).cast("long").alias("n_tokens"),
     )
     rates = temperature_mixture_rates(
         docs, temperature=_TMIX_TAU, budget_fraction=_TMIX_FRACTION
@@ -3474,11 +3492,12 @@ def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 BPE_N_MERGES_LARGE = 1000  # production-shaped merge cap (r8 VERDICT next #1)
 
 
-def _default_v1k_dir() -> str:
-    """User-scoped default (ADVICE r9): a fixed world-shared /tmp path
-    let two USERS' harnesses clobber each other's parquet parts; scoping
-    by user removes the cross-user hazard while keeping the path stable
-    across this user's sequential harness processes."""
+def _user_scoped_tmp_dir(prefix: str) -> str:
+    """User-scoped artifact default (ADVICE r9): a fixed world-shared
+    /tmp path let two USERS' harnesses clobber each other's parquet
+    parts; scoping by user removes the cross-user hazard while keeping
+    the path stable across this user's sequential harness processes.
+    Shared by every persisted-model path (v1k BPE, unigram)."""
     import getpass
     import tempfile
 
@@ -3486,7 +3505,39 @@ def _default_v1k_dir() -> str:
         who = getpass.getuser()
     except (KeyError, OSError):  # no passwd entry (containers)
         who = f"uid{os.getuid()}"
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_bpe_v1k_{who}")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{who}")
+
+
+def _locked_import_ensure_write(path: str, table) -> None:
+    """The import-ensure writer both persisted-model paths share: flock
+    same-path writers (ADVICE r9 — concurrent importers could delete
+    each other's parts mid-glob), write the pyarrow ``table`` as
+    ``part-import-ensure.parquet``, and drop any stale Spark-written
+    parts from an earlier process at a different SF — the directory must
+    describe exactly one corpus. The lock is advisory and writer-side
+    only; the sequential-process assumption for READERS stays documented
+    at the path constants."""
+    import contextlib
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".writer.lock"), "w") as lk:
+        with contextlib.suppress(ImportError):
+            import fcntl
+
+            fcntl.flock(lk, fcntl.LOCK_EX)
+        _pq.write_table(table, os.path.join(path, "part-import-ensure.parquet"))
+        for fn in os.listdir(path):
+            if fn.endswith(".parquet") and fn != "part-import-ensure.parquet":
+                try:
+                    os.unlink(os.path.join(path, fn))
+                except OSError:
+                    pass
+
+
+def _default_v1k_dir() -> str:
+    return _user_scoped_tmp_dir("spark_graft_bpe_v1k")
 
 
 # The persisted-merge-table location is baked into the v1k oracle SQL at
@@ -3533,43 +3584,22 @@ def _ensure_v1k_merge_table() -> None:
     ).fetchall()
     merges = _train(wf, n_merges=BPE_N_MERGES_LARGE)
     import pyarrow as _pa
-    import pyarrow.parquet as _pq
 
-    os.makedirs(BPE_V1K_MERGES_PATH, exist_ok=True)
-    # same-path writers serialize on an flock (ADVICE r9: two concurrent
-    # importers could delete each other's parts mid-glob); the lock is
-    # advisory and writer-side only — the sequential-process assumption
-    # for READERS stays documented above
-    import contextlib
-
-    with open(os.path.join(BPE_V1K_MERGES_PATH, ".writer.lock"), "w") as lk:
-        with contextlib.suppress(ImportError):
-            import fcntl
-
-            fcntl.flock(lk, fcntl.LOCK_EX)
-        _pq.write_table(
-            _pa.table(
-                {
-                    "merge_rank": _pa.array(
-                        range(1, len(merges) + 1), type=_pa.int32()
-                    ),
-                    "lhs": _pa.array([m[0] for m in merges]),
-                    "rhs": _pa.array([m[1] for m in merges]),
-                    "pair_freq": _pa.array(
-                        [int(m[2]) for m in merges], type=_pa.int64()
-                    ),
-                }
-            ),
-            os.path.join(BPE_V1K_MERGES_PATH, "part-import-ensure.parquet"),
-        )
-        # drop any stale Spark-written parts from an earlier process at a
-        # different SF — the directory must describe exactly one corpus
-        for fn in os.listdir(BPE_V1K_MERGES_PATH):
-            if fn.endswith(".parquet") and fn != "part-import-ensure.parquet":
-                try:
-                    os.unlink(os.path.join(BPE_V1K_MERGES_PATH, fn))
-                except OSError:
-                    pass
+    _locked_import_ensure_write(
+        BPE_V1K_MERGES_PATH,
+        _pa.table(
+            {
+                "merge_rank": _pa.array(
+                    range(1, len(merges) + 1), type=_pa.int32()
+                ),
+                "lhs": _pa.array([m[0] for m in merges]),
+                "rhs": _pa.array([m[1] for m in merges]),
+                "pair_freq": _pa.array(
+                    [int(m[2]) for m in merges], type=_pa.int64()
+                ),
+            }
+        ),
+    )
 
 
 try:
@@ -4409,14 +4439,7 @@ from ..operators.unigram import (  # noqa: E402
 
 
 def _default_unigram_dir() -> str:
-    import getpass
-    import tempfile
-
-    try:
-        who = getpass.getuser()
-    except (KeyError, OSError):
-        who = f"uid{os.getuid()}"
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_unigram_{who}")
+    return _user_scoped_tmp_dir("spark_graft_unigram")
 
 
 # Same contract as BPE_V1K_MERGES_PATH (see that block's comments): one
@@ -4450,34 +4473,17 @@ def _ensure_unigram_table() -> None:
         """
     ).fetchall()
     pieces = _train(wf)
-    import contextlib
-
     import pyarrow as _pa
-    import pyarrow.parquet as _pq
 
-    os.makedirs(UNIGRAM_PIECES_PATH, exist_ok=True)
-    with open(os.path.join(UNIGRAM_PIECES_PATH, ".writer.lock"), "w") as lk:
-        with contextlib.suppress(ImportError):
-            import fcntl
-
-            fcntl.flock(lk, fcntl.LOCK_EX)
-        _pq.write_table(
-            _pa.table(
-                {
-                    "piece": _pa.array([p for p, _ in pieces]),
-                    "logp": _pa.array(
-                        [lp for _, lp in pieces], type=_pa.float64()
-                    ),
-                }
-            ),
-            os.path.join(UNIGRAM_PIECES_PATH, "part-import-ensure.parquet"),
-        )
-        for fn in os.listdir(UNIGRAM_PIECES_PATH):
-            if fn.endswith(".parquet") and fn != "part-import-ensure.parquet":
-                try:
-                    os.unlink(os.path.join(UNIGRAM_PIECES_PATH, fn))
-                except OSError:
-                    pass
+    _locked_import_ensure_write(
+        UNIGRAM_PIECES_PATH,
+        _pa.table(
+            {
+                "piece": _pa.array([p for p, _ in pieces]),
+                "logp": _pa.array([lp for _, lp in pieces], type=_pa.float64()),
+            }
+        ),
+    )
 
 
 try:
@@ -4704,7 +4710,7 @@ GOPHER_RULES_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id, lang, text,
     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT doc_id, lang,
@@ -4748,9 +4754,14 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     aggregate, no shuffle (same scan-shape as quality_classifier_scores;
     plan-asserted). Rule comparisons run on the exact int-ratio doubles
     (identical bits in every engine); outputs round to 6dp."""
-    from ..operators.text import STOPWORDS_EN, punct_ratio_expr, tokens_expr
+    from ..operators.text import PUNCT_CLASS, STOPWORDS_EN, tokens_expr
 
-    docs = spread(_t(spark, sf_dir, "documents"))
+    # NULL text is unscoreable: filter it on BOTH sides (the oracle's
+    # WHERE) rather than let legacy size(NULL) = -1 leak a -1 word count
+    # where the oracle would emit NULL (code-review r10).
+    docs = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     toks = tokens_expr(F.col("text"))
     n = F.size(toks)
     mwl = (
@@ -4759,7 +4770,13 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         ).cast("double")
         / n
     )
-    swr = (punct_ratio_expr(F.col("text")) * F.length("text")).cast("double") / n
+    # punct COUNT / words directly — routing through punct_ratio_expr
+    # (count/chars) and multiplying chars back is not IEEE-identical to
+    # the oracle's count/words and can flip keep at the 0.1 boundary
+    # (code-review r10: 3 puncts / 187 chars * 187 = 3.0000000000000004)
+    swr = F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")).cast(
+        "double"
+    ) / n
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
     awr = (
@@ -4810,18 +4827,19 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     score with doc_id tie-break.
 
     Plan at 100 TB: the perplexity subplan is q_doc_perplexity's (two
-    model aggregates + one constant-width scoring join); the tertile is
-    one window partitioned BY LANGUAGE — bounded partitions, no global
-    sort (CCNet's own sharding; a skew-heavy language mix would move to
-    approx-quantile thresholds, the documented alternative)."""
+    model aggregates + one constant-width scoring join), with lang
+    carried THROUGH the doc-keyed aggregation (doc-constant, free in the
+    group key) instead of re-joined afterwards; the tertile is one window
+    partitioned BY LANGUAGE — bounded partitions, no global sort (CCNet's
+    own sharding; a skew-heavy language mix would move to approx-quantile
+    thresholds, the documented alternative)."""
     from pyspark.sql import Window as _W
 
-    pplx = q_doc_perplexity(spark, sf_dir, _t)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pplx = _perplexity_frame(docs, keep_cols=("lang",))
     w = _W.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
     return (
-        pplx.join(docs, "doc_id")
-        .withColumn("nt", F.ntile(3).over(w))
+        pplx.withColumn("nt", F.ntile(3).over(w))
         .select(
             "doc_id",
             "lang",
@@ -4832,3 +4850,20 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# Render the round-10 docstring placeholders (code-review r10: only
+# q_unigram_token_counts was .format()ed; the rest showed literal braces
+# in help()).
+q_dsir_sample.__doc__ = q_dsir_sample.__doc__.format(
+    DSIR_N_BUCKETS=DSIR_N_BUCKETS, DSIR_SAMPLE_K=DSIR_SAMPLE_K
+)
+q_bloom_gate.__doc__ = q_bloom_gate.__doc__.format(
+    _BLOOM_M_HEX=_BLOOM_M_HEX, _BLOOM_K=_BLOOM_K
+)
+q_hard_negatives.__doc__ = q_hard_negatives.__doc__.format(
+    HYBRID_DEPTH=HYBRID_DEPTH
+)
+q_semantic_decontamination.__doc__ = q_semantic_decontamination.__doc__.format(
+    SEM_DECON_TAU=SEM_DECON_TAU
+)

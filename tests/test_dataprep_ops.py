@@ -1363,3 +1363,19 @@ def test_temperature_mixture_rates_invariants(spark, sf_dir):
         .collect()[0]
     )
     assert 0.4 < kept["k"] / kept["t"] < 0.8  # hash-sample noise band
+
+
+def test_temperature_mixture_excludes_unweighted_groups(spark):
+    """Code-review r10: a group whose token column is all-NULL (or whose
+    sum is non-positive, e.g. legacy size(NULL) = -1 leaking upstream)
+    has no defined weight — it must be EXCLUDED from the rates table,
+    not silently admitted whole via least(1.0, NULL)."""
+    from futures_eos_cdc_spark.operators.sampling import temperature_mixture_rates
+
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 300), (3, "xx", None), (4, "yy", -5)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rates = {r["lang"]: r for r in temperature_mixture_rates(docs).collect()}
+    assert set(rates) == {"en"}  # xx (NULL sum) and yy (negative) excluded
+    assert 0 < rates["en"]["rate"] <= 1.0
