@@ -77,8 +77,14 @@ def bloom_bitmap(
         if digests
         else reference.select(F.md5("text").alias("digest")).distinct()
     )
+    # A NULL text gives a NULL digest, whose positions are all NULL — such
+    # a row sets NO bits (matching the oracle and the plain anti-join, where
+    # a NULL key never equi-matches). Dropped here so NULLs never reach the
+    # Python packing loop below; the probe side is NULL-guarded in the
+    # caller (coalesce-to-FALSE in bloom_gate).
     positions = (
-        base.select(
+        base.filter(F.col("digest").isNotNull())
+        .select(
             F.explode(bloom_positions_expr(F.col("digest"), k, m_hex_chars)).alias(
                 "pos"
             )

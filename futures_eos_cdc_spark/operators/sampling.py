@@ -304,7 +304,20 @@ def temperature_mixture_rates(
         w = F.floor(F.sqrt(n_dbl)).cast("long")
     else:
         w = F.floor(F.pow(n_dbl, F.lit(float(temperature)))).cast("long")
-    weighted = avail.withColumn("weight", w)
+    # Same unweighted-group guard as token_budget_rates (code-review r10):
+    # a group whose token sum is NULL (all-NULL tokens_col) or non-positive
+    # (e.g. legacy size(NULL) = -1 leaking upstream) has no defined weight —
+    # least(1.0, NULL) would silently admit it WHOLE (and NaN from
+    # sqrt(negative) ranks greatest, with engine-dependent least()
+    # semantics). Excluded BEFORE the stats aggregation (ADVICE r10): an
+    # invalid group must not pollute _z/_total either (a negative sum
+    # entering _total, or at temperature=1.0 a negative weight entering
+    # _z, skews every valid group's rate). The exclusion is the output
+    # contract too — invalid groups get NO rate row, so an inner join via
+    # token_budget_sample drops their docs; the registered oracle
+    # (TEMPERATURE_MIXTURE_ORACLE) states the same WHERE.
+    valid = F.col("available_tokens").isNotNull() & (F.col("available_tokens") > 0)
+    weighted = avail.filter(valid).withColumn("weight", w)
     stats = weighted.agg(
         F.sum("weight").cast("long").alias("_z"),
         F.sum("available_tokens").cast("long").alias("_total"),
@@ -313,23 +326,12 @@ def temperature_mixture_rates(
     rate = (
         wd * F.lit(float(budget_fraction)) * F.col("_total").cast("double")
     ) / (zd * F.col("available_tokens").cast("double"))
-    # Same unweighted-group guard as token_budget_rates (code-review r10):
-    # a group whose token sum is NULL (all-NULL tokens_col) or non-positive
-    # (e.g. legacy size(NULL) = -1 leaking upstream) has no defined weight —
-    # least(1.0, NULL) would silently admit it WHOLE (and NaN from
-    # sqrt(negative) ranks greatest, with engine-dependent least()
-    # semantics). Exclude it explicitly instead.
-    valid = F.col("available_tokens").isNotNull() & (F.col("available_tokens") > 0)
-    return (
-        weighted.crossJoin(F.broadcast(stats))
-        .select(
-            group_col,
-            "available_tokens",
-            "weight",
-            F.when(valid, wd / zd).alias("share"),
-            F.when(valid, F.least(F.lit(1.0), rate)).alias("rate"),
-        )
-        .filter(F.col("rate").isNotNull())
+    return weighted.crossJoin(F.broadcast(stats)).select(
+        group_col,
+        "available_tokens",
+        "weight",
+        (wd / zd).alias("share"),
+        F.least(F.lit(1.0), rate).alias("rate"),
     )
 
 

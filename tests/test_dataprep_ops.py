@@ -1379,3 +1379,14 @@ def test_temperature_mixture_excludes_unweighted_groups(spark):
     rates = {r["lang"]: r for r in temperature_mixture_rates(docs).collect()}
     assert set(rates) == {"en"}  # xx (NULL sum) and yy (negative) excluded
     assert 0 < rates["en"]["rate"] <= 1.0
+
+    # ADVICE r10: the invalid groups must not pollute _z/_total either —
+    # every valid group's share/rate must be IDENTICAL to a run where the
+    # invalid groups never existed (before the fix, yy's negative sum
+    # entered _total and skewed en's rate).
+    clean = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 300)], "doc_id long, lang string, n_tokens long"
+    )
+    clean_rates = {r["lang"]: r for r in temperature_mixture_rates(clean).collect()}
+    assert rates["en"]["share"] == clean_rates["en"]["share"]
+    assert rates["en"]["rate"] == clean_rates["en"]["rate"]

@@ -195,6 +195,27 @@ def test_bloom_gate_null_text_matches_plain_gate_semantics(spark):
     assert not out[102].bloom_positive
 
 
+def test_bloom_gate_null_text_in_reference_sets_no_bits(spark):
+    """A NULL-text REFERENCE row has a NULL digest whose positions are
+    all NULL: it must set NO bits (matching the oracle, where a NULL key
+    never equi-matches). Before the builder-side guard the NULL positions
+    survived explode/distinct and crashed the Python packing loop
+    (TypeError: None // int)."""
+    ref = spark.createDataFrame(
+        [(0, "doc 0"), (1, None), (2, "doc 2")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(100, "doc 2"), (101, None), (102, "fresh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bloom_gate(ref, cand).collect()}
+    assert set(out) == {100, 101, 102}
+    assert out[100].bloom_positive and out[100].true_dup
+    # NULL candidate vs NULL reference: still admitted — NULL never matches.
+    assert not out[101].bloom_positive and not out[101].true_dup
+    assert not out[102].true_dup
+
+
 def test_gate_index_bloom_null_content_matches_plain(spark, tmp_path):
     """Same contract on the index gate: NULL content rows get the same
     verdict from the bloom-accelerated path as from the plain anti-join."""
