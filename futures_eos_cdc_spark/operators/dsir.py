@@ -109,6 +109,57 @@ def dsir_log_ratios(
     )
 
 
+def dsir_ratio_literal(
+    doc_bucket_counts: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> list[float]:
+    """Dense per-bucket log-ratio list for PROJECTION gates (the
+    streaming selection gate): the :func:`dsir_log_ratios` table
+    collected into an n_buckets-element array literal (bounded by
+    CONFIG, the Bloom-bitmap discipline). Buckets the training corpus
+    never hit — which a live stream CAN hit — take the count-0 smoothed
+    ratio ln((raw_tot + n)/(tgt_tot + n)), the same Laplace formula at
+    cnt=0."""
+    import math
+
+    rows = dsir_log_ratios(doc_bucket_counts, n_buckets).collect()
+    tot = doc_bucket_counts.agg(
+        F.sum("cnt").alias("raw_tot"),
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "tgt_tot"
+        ),
+    ).collect()[0]
+    raw_tot, tgt_tot = int(tot["raw_tot"] or 0), int(tot["tgt_tot"] or 0)
+    default = round(
+        math.log(1.0 / (tgt_tot + n_buckets))
+        - math.log(1.0 / (raw_tot + n_buckets)),
+        6,
+    )
+    arr = [default] * n_buckets
+    for r in rows:
+        arr[r["bucket"]] = r["lr"]
+    return arr
+
+
+def dsir_score_expr(
+    text: Column, ratios: list[float], n_buckets: int = DSIR_BUCKETS
+) -> Column:
+    """Per-document DSIR importance score as ONE pure column expression —
+    the streaming/projection twin of :func:`dsir_sample`'s weight (the
+    same Σ over gram occurrences of the bucket's log-ratio; the batch
+    sampler groups per bucket and decimal-sums, so the two agree up to
+    IEEE association — a GATE tolerance, not an oracle contract). The
+    ratio array rides as one literal; per-doc cost is O(grams), no join,
+    no shuffle."""
+    from .text import tokens_expr
+
+    arr = F.lit(ratios).cast("array<double>")
+    return F.aggregate(
+        grams_expr(tokens_expr(text)),
+        F.lit(0.0),
+        lambda acc, g: acc + F.element_at(arr, bucket_expr(g, n_buckets) + 1),
+    )
+
+
 def dsir_sample(
     docs: DataFrame,
     is_target: Column,

@@ -61,6 +61,62 @@ def punct_ratio_expr(text: Column) -> Column:
     return F.length(F.regexp_replace(text, PUNCT_CLASS, "")) / F.length(text)
 
 
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filter (Rae et al. 2021 §A1.1) — the named rule
+# set most from-scratch pipelines implement verbatim. Constants adapted to
+# the fixture's scale; the expressions are shared by the registered batch
+# query (plans/dataprep.py:q_gopher_quality_rules, oracle-checked) and the
+# streaming selection gate (streaming/pipeline.py:stream_selection_gate).
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 1000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 2.0, 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+
+
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """The five Gopher rule metrics plus the conjunction ``keep`` flag,
+    as pure column expressions over one document (no join, no aggregate,
+    no shuffle — scan-shaped at any scale). Callers expecting oracle
+    parity must not restructure the arithmetic: the symbol-word ratio is
+    punct COUNT / words DIRECTLY (routing through punct_ratio_expr and
+    multiplying chars back is not IEEE-identical and can flip keep at
+    the 0.1 boundary — code-review r10)."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    mwl = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n
+    )
+    swr = F.length(F.regexp_replace(text, PUNCT_CLASS, "")).cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    awr = F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}"))).cast("double") / n
+    keep = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (swr <= GOPHER_MAX_SYMBOL_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+        & (awr >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": swr,
+        "n_stop_distinct": n_stop,
+        "alpha_word_ratio": awr,
+        "keep": keep,
+    }
+
+
+def gopher_keep_expr(text: Column) -> Column:
+    """The Gopher conjunction alone — the filter form for gates."""
+    return gopher_metrics(text)["keep"]
+
+
 def quality_score_expr(text: Column) -> Column:
     """Deterministic [0,1] quality score from length/punct/stopword ratios.
 

@@ -4511,6 +4511,13 @@ def ensure_oracle_model_tables() -> None:
             UNIGRAM_PIECES_PATH,
             "SPARK_GRAFT_UNIGRAM_DIR",
         ),
+        (
+            _ensure_wordpiece_table,
+            _WORDPIECE_FILE_SF,
+            "WordPiece vocab",
+            WORDPIECE_VOCAB_PATH,
+            "SPARK_GRAFT_WORDPIECE_DIR",
+        ),
     ):
         if guard.get("sf") is not None:
             continue  # query construction already persisted for its sf_dir
@@ -4718,14 +4725,235 @@ q_unigram_token_counts.__doc__ = q_unigram_token_counts.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer (round 11 — the BERT tokenizer, completing the
+# production family: BPE + Unigram-LM + WordPiece; operators/wordpiece.py)
+# ---------------------------------------------------------------------------
+from ..operators.wordpiece import (  # noqa: E402
+    WORDPIECE_MAX_PIECE_LEN,
+    WORDPIECE_VOCAB_SIZE,
+)
+
+
+def _default_wordpiece_dir() -> str:
+    return _user_scoped_tmp_dir("spark_graft_wordpiece")
+
+
+# Same contract as BPE_V1K_MERGES_PATH / UNIGRAM_PIECES_PATH (see the v1k
+# block's comments): one fixed path per process baked into the oracle SQL
+# at import; env override for concurrent-harness isolation; query
+# construction rewrites the table for its own sf_dir before any oracle
+# comparison runs (_wordpiece_model).
+WORDPIECE_VOCAB_PATH = os.environ.get(
+    "SPARK_GRAFT_WORDPIECE_DIR", _default_wordpiece_dir()
+)
+
+
+def _write_wordpiece_vocab_locked(vocab) -> None:
+    """The ONE writer for WORDPIECE_VOCAB_PATH — same flock discipline as
+    _write_v1k_merges_locked / _write_unigram_pieces_locked."""
+    import pyarrow as _pa
+
+    _locked_import_ensure_write(
+        WORDPIECE_VOCAB_PATH,
+        _pa.table(
+            {
+                "piece": _pa.array([p for p, _ in vocab]),
+                "rank": _pa.array([int(r) for _, r in vocab], type=_pa.int64()),
+            }
+        ),
+    )
+
+
+def _ensure_wordpiece_table() -> None:
+    """Harness-order robustness, the _ensure_unigram_table twin: train
+    Spark-free on the driver's correctness fixture so the oracle's
+    persisted vocabulary always exists and matches sf0.01. Lazy — see
+    ensure_oracle_model_tables()."""
+    import duckdb as _duckdb
+
+    from ..operators.bpe import BPE_VOCAB_CAP as _cap
+    from ..operators.wordpiece import train_wordpiece_py as _train
+
+    docs = os.path.join(_DRIVER_CORRECTNESS_SF_DIR, "documents.parquet")
+    if not os.path.exists(docs):
+        return
+    wf = _duckdb.sql(
+        rf"""
+        SELECT w, count(*) AS f FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM read_parquet('{docs}') WHERE text IS NOT NULL
+        ) GROUP BY w ORDER BY f DESC, w LIMIT {_cap}
+        """
+    ).fetchall()
+    _write_wordpiece_vocab_locked(_train(wf))
+
+
+_WORDPIECE_VOCABS: dict = {}
+_WORDPIECE_FILE_SF: dict = {}
+
+
+def _wordpiece_model(spark: SparkSession, sf_dir: str, _t):
+    """Train-once + persist-for-the-oracle, the _unigram_pieces twin
+    shared by every WordPiece entry point: after this call the persisted
+    vocabulary always matches ``sf_dir``. Returns (docs, vocab)."""
+    from ..operators.text import tokens_expr
+    from ..operators.wordpiece import train_wordpiece_py
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    vocab = _WORDPIECE_VOCABS.get(key)
+    if vocab is None:
+        for k in [k for k in _WORDPIECE_VOCABS if k[0] != key[0]]:
+            del _WORDPIECE_VOCABS[k]
+        wf_df = (
+            docs.filter(F.col("text").isNotNull())
+            .select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "word")
+            .limit(65536)
+        )
+        wf = [(r["word"], r["freq"]) for r in wf_df.collect()]
+        vocab = _WORDPIECE_VOCABS[key] = train_wordpiece_py(wf)
+    if _WORDPIECE_FILE_SF.get("sf") != sf_dir:
+        try:
+            _write_wordpiece_vocab_locked(vocab)
+        except OSError as exc:
+            raise RuntimeError(
+                f"WordPiece vocab dir {WORDPIECE_VOCAB_PATH!r} is not "
+                f"writable ({exc}) — the WordPiece oracles replay greedy "
+                "matching from the persisted table there; set "
+                "SPARK_GRAFT_WORDPIECE_DIR before importing the package"
+            ) from exc
+        _WORDPIECE_FILE_SF["sf"] = sf_dir
+    return docs, vocab
+
+
+# Oracle: greedy longest-match-first REPLAYED from the persisted
+# vocabulary as a recursive CTE — one step per emitted token, the best
+# match at each position found by list_max over the matching candidate
+# lengths (longest wins, exactly the closure's descending scan), the
+# BERT whole-word-[UNK] rule on an unmatchable position. Training itself
+# is pinned by pytests (hand-trace + exact-rational scoring invariants) —
+# the likelihood merge loop is not realistically replayable in SQL; this
+# is the v1k/unigram "oracle replays apply" shape.
+_WORDPIECE_ORACLE_PREFIX = rf"""
+WITH RECURSIVE vocab AS (
+  SELECT piece FROM read_parquet('{WORDPIECE_VOCAB_PATH}/*.parquet')
+),
+vm AS (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := 1))) AS m
+  FROM vocab
+),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+words AS MATERIALIZED (SELECT doc_id, unnest(t) AS word FROM toksrc),
+dw AS MATERIALIZED (
+  SELECT word, length(word) AS n FROM (SELECT DISTINCT word FROM words)
+),
+seg AS (
+  SELECT word, n, CAST(0 AS BIGINT) AS pos,
+         CAST([] AS VARCHAR[]) AS toks, FALSE AS unk
+  FROM dw
+  UNION ALL
+  SELECT word, n,
+    CASE WHEN best IS NULL THEN n ELSE pos + best END AS pos,
+    CASE WHEN best IS NULL THEN ['[UNK]']
+         ELSE list_append(toks,
+                (CASE WHEN pos = 0 THEN '' ELSE '##' END)
+                || substr(word, CAST(pos + 1 AS INTEGER), CAST(best AS INTEGER)))
+    END AS toks,
+    (best IS NULL) AS unk
+  FROM (
+    SELECT word, n, pos, toks,
+      list_max(list_filter(
+        list_transform(range(1, least({WORDPIECE_MAX_PIECE_LEN}, n - pos) + 1),
+          l -> CASE WHEN len(map_extract(m,
+                 (CASE WHEN pos = 0 THEN '' ELSE '##' END)
+                 || substr(word, CAST(pos + 1 AS INTEGER), CAST(l AS INTEGER)))) > 0
+               THEN l END),
+        x -> x IS NOT NULL)) AS best
+    FROM seg CROSS JOIN vm WHERE pos < n AND NOT unk
+  )
+),
+wtok AS MATERIALIZED (SELECT word, toks FROM seg WHERE pos = n)"""
+
+WORDPIECE_TOKEN_COUNTS_ORACLE = (
+    _WORDPIECE_ORACLE_PREFIX
+    + """
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS fertility
+FROM words JOIN wtok USING (word)
+GROUP BY doc_id
+"""
+)
+
+WORDPIECE_VOCAB_ORACLE = f"""
+SELECT piece, CAST(rank AS BIGINT) AS rank
+FROM read_parquet('{WORDPIECE_VOCAB_PATH}/*.parquet')
+"""
+
+
+def q_wordpiece_token_counts(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """EXACT WordPiece token counts per document ({WORDPIECE_VOCAB_SIZE}-piece
+    BERT-style vocabulary, likelihood-merge trained —
+    operators/wordpiece.py): the third production subword algorithm,
+    completing the tokenizer family next to BPE and Unigram-LM, on the
+    same join-based apply plan (distinct words segmented greedily in
+    Arrow batches, (word, n_tok) ints broadcast back, one doc-keyed
+    aggregation — corpus-side cost independent of vocabulary size). The
+    trained vocabulary is persisted eagerly; the oracle REPLAYS greedy
+    longest-match-first from it as a recursive CTE, so every
+    segmentation is bit-checked cross-engine, not just the counts'
+    plumbing."""
+    from ..operators.wordpiece import doc_wordpiece_token_counts
+
+    docs, vocab = _wordpiece_model(spark, sf_dir, _t)
+    return doc_wordpiece_token_counts(docs, vocab).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_tokens",
+        "fertility",
+    )
+
+
+def q_wordpiece_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The trained WordPiece vocabulary itself (piece, merge rank; rank 0
+    = alphabet). Both sides read the persisted artifact — the
+    shared-artifact check (training is pinned by tests/test_wordpiece.py;
+    the exact-rational likelihood merge loop cannot realistically be
+    replayed in SQL the way 40-merge BPE training is)."""
+    _wordpiece_model(spark, sf_dir, _t)  # train + persist for THIS sf_dir
+    return spark.read.parquet(WORDPIECE_VOCAB_PATH).select(
+        "piece", F.col("rank").cast("long").alias("rank")
+    )
+
+
+q_wordpiece_token_counts.__doc__ = q_wordpiece_token_counts.__doc__.format(
+    WORDPIECE_VOCAB_SIZE=WORDPIECE_VOCAB_SIZE
+)
+
+
+# ---------------------------------------------------------------------------
 # Gopher rule-based quality filter (round 10 — Rae et al. 2021 §A1.1, the
 # named rule set most from-scratch pipelines implement verbatim)
 # ---------------------------------------------------------------------------
-GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 1000
-GOPHER_MIN_MWL, GOPHER_MAX_MWL = 2.0, 12.0
-GOPHER_MAX_SYMBOL_RATIO = 0.1
-GOPHER_MIN_STOPWORDS = 2
-GOPHER_MIN_ALPHA_RATIO = 0.8
+# Constants and metric expressions live in operators/text.py (round 11 —
+# shared with the streaming selection gate); re-imported here because the
+# oracle SQL below interpolates them.
+from ..operators.text import (  # noqa: E402
+    GOPHER_MAX_MWL,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_RATIO,
+    GOPHER_MIN_MWL,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+)
 
 GOPHER_RULES_ORACLE = rf"""
 WITH t AS (
@@ -4775,50 +5003,27 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     aggregate, no shuffle (same scan-shape as quality_classifier_scores;
     plan-asserted). Rule comparisons run on the exact int-ratio doubles
     (identical bits in every engine); outputs round to 6dp."""
-    from ..operators.text import PUNCT_CLASS, STOPWORDS_EN, tokens_expr
+    from ..operators.text import gopher_metrics
 
     # NULL text is unscoreable: filter it on BOTH sides (the oracle's
     # WHERE) rather than let legacy size(NULL) = -1 leak a -1 word count
-    # where the oracle would emit NULL (code-review r10).
+    # where the oracle would emit NULL (code-review r10). The metric
+    # expressions live in operators/text.py (gopher_metrics) — one
+    # implementation shared with the streaming selection gate, arithmetic
+    # pinned there (the IEEE symbol-ratio boundary note included).
     docs = spread(_t(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    toks = tokens_expr(F.col("text"))
-    n = F.size(toks)
-    mwl = (
-        F.aggregate(
-            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-        ).cast("double")
-        / n
-    )
-    # punct COUNT / words directly — routing through punct_ratio_expr
-    # (count/chars) and multiplying chars back is not IEEE-identical to
-    # the oracle's count/words and can flip keep at the 0.1 boundary
-    # (code-review r10: 3 puncts / 187 chars * 187 = 3.0000000000000004)
-    swr = F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")).cast(
-        "double"
-    ) / n
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
-    awr = (
-        F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}"))).cast("double") / n
-    )
-    keep = (
-        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
-        & (swr <= GOPHER_MAX_SYMBOL_RATIO)
-        & (n_stop >= GOPHER_MIN_STOPWORDS)
-        & (awr >= GOPHER_MIN_ALPHA_RATIO)
-    )
+    m = gopher_metrics(F.col("text"))
     return docs.select(
         "doc_id",
         "lang",
-        n.cast("long").alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(swr, 6).alias("symbol_word_ratio"),
-        n_stop.cast("long").alias("n_stop_distinct"),
-        F.round(awr, 6).alias("alpha_word_ratio"),
-        keep.alias("keep"),
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        m["n_stop_distinct"].cast("long").alias("n_stop_distinct"),
+        F.round(m["alpha_word_ratio"], 6).alias("alpha_word_ratio"),
+        m["keep"].alias("keep"),
     )
 
 
@@ -4840,12 +5045,20 @@ FROM ranked
 )
 
 
-def q_perplexity_buckets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+def q_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, _t, lang_source: str = "column"
+) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): per LANGUAGE,
     documents ranked by bigram-LM perplexity into tertiles — the bucket
     label training pipelines key sampling decisions on (head = most
     fluent third). Deterministic: the rank orders by the 6dp-rounded
     score with doc_id tie-break.
+
+    ``lang_source="derived"`` splits on the language-ID classifier's
+    prediction (operators/langid.py) instead of the metadata column —
+    CCNet itself runs fastText langid before its per-language perplexity
+    split; this is that configuration (VERDICT r10 next #2). The
+    derivation is a pure projection, so the plan gains no exchange.
 
     Plan at 100 TB: the perplexity subplan is q_doc_perplexity's (two
     model aggregates + one constant-width scoring join), with lang
@@ -4857,6 +5070,14 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     from pyspark.sql import Window as _W
 
     docs = spread(_t(spark, sf_dir, "documents"))
+    if lang_source == "derived":
+        from ..operators.langid import langid_model, with_derived_lang
+
+        docs = with_derived_lang(docs, langid_model(docs))
+    elif lang_source != "column":
+        raise ValueError(
+            f"lang_source must be 'column' or 'derived', got {lang_source!r}"
+        )
     pplx = _perplexity_frame(docs, keep_cols=("lang",))
     w = _W.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
     return (
@@ -4870,6 +5091,95 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
             .otherwise("tail")
             .alias("bucket"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (round 11 — the hashed char-n-gram classifier;
+# fastText-langid / Cavnar-Trenkle 1994 shape, operators/langid.py)
+# ---------------------------------------------------------------------------
+from ..operators.langid import (  # noqa: E402
+    LANGID_BUCKETS,
+    LANGID_SCALE,
+)
+
+# The oracle replays the WHOLE operator — training (Laplace fixed-point
+# integer weights from per-(lang, bucket) gram counts) and scoring
+# (integer sum over hashed trigram buckets, argmax with lang-asc
+# tie-break) — in exact BIGINT arithmetic, the same floor divisions the
+# Spark side computes. The sparse-join formulation here is value-identical
+# to the Spark side's dense literal arrays: an unseen (lang, bucket) pair
+# contributes the count=0 Laplace weight.
+LANGID_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, lang, ' ' || lower(substr(text, 1, 254)) || ' ' AS s
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))) AS gram
+  FROM t
+),
+b AS (
+  SELECT doc_id, lang, CAST(({_HEX4}) % {LANGID_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, lang, md5('lid|' || gram) AS hx FROM g)
+),
+cnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1),
+sc AS (
+  SELECT d.doc_id, tot.lang AS cand,
+    CAST(sum(((coalesce(c.c, 0) + 1) * {LANGID_SCALE})
+             // (tot.t + {LANGID_BUCKETS})) AS BIGINT) AS score
+  FROM b d
+  CROSS JOIN tot
+  LEFT JOIN cnt c ON c.lang = tot.lang AND c.bucket = d.bucket
+  GROUP BY 1, 2
+),
+pick AS (
+  SELECT doc_id, cand, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+  FROM sc
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang,
+  p.cand AS pred_lang, p.score AS pred_score,
+  (p.cand = t.lang) AS agree
+FROM t JOIN pick p ON p.doc_id = t.doc_id AND p.rn = 1
+"""
+
+
+def q_langid_scores(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Language identification over the corpus (operators/langid.py: a
+    hashed char-trigram linear classifier, the public fastText-langid /
+    Cavnar-Trenkle shape): every per-language operator in this engine
+    (stratified sampling, CCNet perplexity buckets, mixture resampling)
+    keys on a ``lang`` column that a real 100 TB pipeline must DERIVE —
+    this query is the deriving step, emitting each document's predicted
+    language, its integer score, and agreement with the fixture label.
+
+    Training is frequency estimation in exact fixed-point integers (one
+    corpus scan, output bounded by n_langs x {LANGID_BUCKETS} buckets —
+    config, not data); scoring is a PURE projection (the per-language
+    weight vectors ride as array literals, the Bloom-bitmap discipline)
+    — corpus rows never shuffle and never join, the plan a corpus-scale
+    language-ID pass must have. NOTE the fixture's lang column is random
+    w.r.t. its synthetic text, so `agree` hovers at the majority-class
+    rate here; the classifier's discriminative power is pinned by
+    tests/test_langid.py on corpora with genuinely distinct character
+    distributions."""
+    from ..operators.langid import langid_model, langid_score
+
+    docs = (
+        spread(_t(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    model = langid_model(docs)
+    return langid_score(docs, model).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "pred_lang",
+        "pred_score",
+        (F.col("pred_lang") == F.col("lang")).alias("agree"),
     )
 
 
@@ -4887,4 +5197,7 @@ q_hard_negatives.__doc__ = q_hard_negatives.__doc__.format(
 )
 q_semantic_decontamination.__doc__ = q_semantic_decontamination.__doc__.format(
     SEM_DECON_TAU=SEM_DECON_TAU
+)
+q_langid_scores.__doc__ = q_langid_scores.__doc__.format(
+    LANGID_BUCKETS=LANGID_BUCKETS
 )

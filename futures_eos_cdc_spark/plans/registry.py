@@ -1140,6 +1140,17 @@ ORACLES["gopher_quality_rules"] = _dp.GOPHER_RULES_ORACLE
 QUERIES["perplexity_buckets"] = _bind(_dp.q_perplexity_buckets)
 ORACLES["perplexity_buckets"] = _dp.PPLX_BUCKETS_ORACLE
 
+# --------------------------------------------------------------------------
+# Round 11: language identification + WordPiece (the remaining production
+# tokenizer) — VERDICT r10 "what's missing" #1 and #2
+# --------------------------------------------------------------------------
+QUERIES["langid_scores"] = _bind(_dp.q_langid_scores)
+ORACLES["langid_scores"] = _dp.LANGID_ORACLE
+QUERIES["wordpiece_token_counts"] = _bind(_dp.q_wordpiece_token_counts)
+ORACLES["wordpiece_token_counts"] = _dp.WORDPIECE_TOKEN_COUNTS_ORACLE
+QUERIES["wordpiece_vocab"] = _bind(_dp.q_wordpiece_vocab)
+ORACLES["wordpiece_vocab"] = _dp.WORDPIECE_VOCAB_ORACLE
+
 
 # ---------------------------------------------------------------------------
 # Driver walk order. The driver checks ~50 queries per round in insertion
@@ -1150,81 +1161,71 @@ ORACLES["perplexity_buckets"] = _dp.PPLX_BUCKETS_ORACLE
 # reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 0 — NEW this round (never had a driver row): the
-    # temperature-scaled mixture (mT5/XLM-R alpha-sampling), then the
-    # round-10 data-selection / retrieval-training / leakage family.
-    "temperature_mixture_sample",
-    "dsir_importance_sample",
-    "bloom_dedup_gate",
-    "hard_negative_mining",
-    "semantic_decontamination",
-    "unigram_token_counts",
-    "unigram_subword_vocab",
-    "unigram_vocab",
-    "gopher_quality_rules",
-    "perplexity_buckets",
-    # Priority 1 — r9 VERDICT next #3's explicit list: the 22 queries
-    # whose newest driver row is r7; after r10 no query's newest row is
-    # older than r8.
-    "above_brand_avg_parts",
-    "cohort_retention",
-    "dedup_exact_documents",
-    "funnel_view_click_purchase",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_sole_blame_suppliers",
-    # Priority 2 — implementation touched THIS round: the v1k family now
-    # runs the pair-indexed (ranked) Arrow apply — bit-identical by
-    # design (parity pytests), but fresh driver rows prove it.
-    "bpe_token_counts_v1k",
-    "bpe_token_blocks_v1k",
-    "bpe_subword_vocab_v1k",
-    # Priority 3 — newest row is r8; rotate as many into the ~50-query
-    # window as fit (flagship + data-heavy + incremental-gate spine
-    # first, plus dedup_clusters whose checkpoint-dir guard was touched
-    # this round). The tail that misses keeps its r8 row AND every
-    # oracle-backed query is re-verified each session by
-    # tests/test_oracle_parity.py over the full ORACLES dict.
-    "minhash_lsh_near_dup",
-    "simhash64_hamming_near_dup",
-    "ngram_jaccard_near_dup",
-    "dedup_clusters",
-    "dedup_canonical_docs",
-    "doc_containment_dedup",
-    "line_dedup_docs",
-    "duplicate_text_spans",
-    "exact_dedup_keep_first",
-    "dedup_keep_rows",
-    "dedup_incremental_batch",
-    "neardup_incremental_batch",
-    "containment_incremental_batch",
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "semantic_dedup_embeddings",
-    "embedding_kmeans_clusters",
+    # Priority 0 — NEW this round (never had a driver row): language
+    # identification and the WordPiece tokenizer family (VERDICT r10
+    # what's-missing #1 and #2).
+    "langid_scores",
+    "wordpiece_token_counts",
+    "wordpiece_vocab",
+    # Priority 1 — r10 VERDICT next #1's explicit list: the 29 queries
+    # whose newest driver row is r8; after r11 no query's newest row is
+    # older than r9.
+    "approx_aggregates",
+    "benchmark_contamination",
     "bm25_topk_retrieval",
-    "corpus_token_stats",
-    "token_blocks",
-    "text_stats",
-    "quality_classifier_scores",
     "cdc_customer_snapshot",
-    "scd2_customer_history",
+    "corpus_clean_funnel",
+    "corpus_token_stats",
+    "customers_without_orders",
+    "doc_perplexity_scores",
+    "embedding_kmeans_clusters",
+    "events_json_extract",
+    "global_shuffle_shards",
+    "mixture_resample",
     "multimodal_features",
+    "pii_scrub",
+    "pivot_by_status",
+    "quality_classifier_scores",
+    "rollup_subtotals",
+    "scd2_customer_history",
+    "semantic_dedup_embeddings",
+    "set_ops_priority_customers",
+    "signal_strength_histogram",
+    "simhash_buckets",
+    "simhash_hamming_near_dup",
+    "text_stats",
+    "token_block_segments",
+    "token_blocks",
+    "top_customers_by_revenue",
+    "topk_per_group",
+    "zorder_layout_key",
+    # Priority 2 — implementation touched THIS round: the bloom builder
+    # NULL guard, the temperature-mixture invalid-group exclusion (query
+    # AND oracle changed), the v1k/unigram persisted-table writer path
+    # (now flocked pyarrow, lazy ensure), and stratified sampling /
+    # perplexity buckets which grew the derived-lang option.
+    "bloom_dedup_gate",
+    "temperature_mixture_sample",
+    "bpe_token_counts_v1k",
+    "bpe_subword_vocab_v1k",
+    "unigram_token_counts",
+    "unigram_vocab",
+    "stratified_sample_per_lang",
+    "perplexity_buckets",
+    # Priority 3 — fill the remaining window with the oldest r9 rows
+    # (flagship + data-heavy spine). Every oracle-backed query is
+    # additionally re-verified each session by
+    # tests/test_oracle_parity.py over the full ORACLES dict.
+    "signal_decisions",
+    "orders_from_decisions",
+    "market_price_lookup",
+    "outbox_event_router",
+    "decision_records",
+    "sessionize_events",
+    "ohlcv_candles",
+    "pagerank_near_dup",
+    "hybrid_rrf_retrieval",
+    "leakage_safe_split",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

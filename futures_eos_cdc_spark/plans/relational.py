@@ -553,14 +553,29 @@ FROM ranked WHERE rn <= 20
 """
 
 
-def q_stratified_sample(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+def q_stratified_sample(
+    spark: SparkSession, sf_dir: str, _t, lang_source: str = "column"
+) -> DataFrame:
     """Exactly-n-per-stratum sampling with a content-stable order: rank each
     stratum by md5(salt|id) — a deterministic proxy for 'random' that every
     engine reproduces — and keep the first n. WindowGroupLimit pushes the
     n-cap below the exchange, so each reducer materializes at most n rows
     per stratum (not the whole group sorted). The append-safe alternative
-    for ratio (not count) sampling is operators/sampling.py."""
+    for ratio (not count) sampling is operators/sampling.py.
+
+    ``lang_source="derived"`` strata on the language-ID classifier's
+    prediction (operators/langid.py) instead of the metadata column — the
+    configuration a real pipeline runs, where lang is not trustworthy
+    upstream metadata (VERDICT r10 next #2). Derivation is a pure
+    projection, so the plan shape (one lang-keyed exchange with the
+    group-limit below it) is unchanged."""
     d = _t(spark, sf_dir, "documents")
+    if lang_source == "derived":
+        from ..operators.langid import langid_model, with_derived_lang
+
+        d = with_derived_lang(d, langid_model(d))
+    elif lang_source != "column":
+        raise ValueError(f"lang_source must be 'column' or 'derived', got {lang_source!r}")
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))

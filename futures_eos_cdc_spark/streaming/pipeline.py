@@ -241,6 +241,95 @@ def stream_quality_gate(
     )
 
 
+def selection_gate_expr(
+    text: Column,
+    *,
+    gopher: bool = True,
+    quality_threshold: float | None = None,
+    bloom_bitmap: list[int] | None = None,
+    dsir_ratios: list[float] | None = None,
+    dsir_threshold: float | None = None,
+) -> Column:
+    """ONE composed admission predicate for ingestion-time data selection
+    (VERDICT r10 next #6): the Gopher rule conjunction, the hashed
+    quality-classifier threshold, the Bloom novelty probe, and a DSIR
+    importance-score threshold are ALL pure projections — so they compose
+    into a single filter expression evaluated in one pass over the scan
+    (or the micro-batch), with zero joins, zero state, zero Python.
+
+    * ``gopher`` — Rae 2021 rule conjunction (operators/text.py:
+      gopher_metrics, the same expressions the oracle-checked batch query
+      runs). NULL text fails (unscoreable).
+    * ``quality_threshold`` — keep iff hashed-classifier logit > t
+      (operators/text.py: hashed_classifier_logit_expr).
+    * ``bloom_bitmap`` — keep only documents whose content digest probes
+      NEGATIVE against the reference-corpus Bloom filter
+      (operators/bloom.py). This is the LOSSY Dolma-style gate: a false
+      positive (engineered rate, ~1% at default sizing; ~1e-6 at
+      production sizing) drops a genuinely-new document. For
+      exactly-once admission semantics use dedup_gate_writer (the
+      verify-join path) instead; this form is for when the verify
+      exchange is the thing being avoided. NULL text probes NULL ->
+      treated as new (coalesce), matching the anti-join convention.
+    * ``dsir_ratios`` (+ ``dsir_threshold``) — keep iff the document's
+      DSIR importance score (operators/dsir.py: dsir_score_expr over the
+      broadcast log-ratio literal) exceeds the threshold: the streaming
+      form of target-distribution selection (the batch sampler takes a
+      global top-k, which no single-pass stream can; a score threshold
+      is the standard deployment surrogate).
+    """
+    from ..operators.bloom import bloom_probe_expr
+    from ..operators.dsir import dsir_score_expr
+    from ..operators.text import gopher_keep_expr, hashed_classifier_logit_expr
+
+    cond = F.lit(True)
+    if gopher:
+        cond = cond & F.coalesce(gopher_keep_expr(text), F.lit(False))
+    if quality_threshold is not None:
+        cond = cond & (
+            hashed_classifier_logit_expr(text) > F.lit(float(quality_threshold))
+        )
+    if bloom_bitmap is not None:
+        cond = cond & ~F.coalesce(
+            bloom_probe_expr(F.md5(text), bloom_bitmap), F.lit(False)
+        )
+    if dsir_ratios is not None:
+        if dsir_threshold is None:
+            raise ValueError("dsir_ratios requires dsir_threshold")
+        cond = cond & (
+            dsir_score_expr(text, dsir_ratios) > F.lit(float(dsir_threshold))
+        )
+    return cond
+
+
+def stream_selection_gate(
+    stream: DataFrame, text_col: str = "text", **gate_kw
+) -> DataFrame:
+    """The composed selection gate as a native stream filter — no
+    foreachBatch, no state store, no watermark: every component of
+    :func:`selection_gate_expr` is a projection, so the SAME plan runs on
+    a stream and on a batch (the parity the pytest pins). Per-row cost is
+    exactly the batch pass's cost."""
+    return stream.filter(selection_gate_expr(F.col(text_col), **gate_kw))
+
+
+def selection_gate_writer(sink, text_col: str = "text", **gate_kw):
+    """foreachBatch form of :func:`stream_selection_gate`, for sinks that
+    need epoch semantics (idempotent writes keyed by epoch_id — the
+    dedup_gate_writer calling convention): hands the ADMITTED subset of
+    each micro-batch to ``sink(admitted_df, epoch_id)``. The gate itself
+    is stateless, so a retried epoch re-admits exactly the same rows —
+    idempotency needs only the sink's own epoch handling."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            batch_df.filter(selection_gate_expr(F.col(text_col), **gate_kw)),
+            epoch_id,
+        )
+
+    return write
+
+
 def stream_dedup_against_corpus(
     stream: DataFrame, corpus: DataFrame, content_cols: list[str]
 ) -> DataFrame:

@@ -486,3 +486,27 @@ def test_perplexity_buckets_window_partitioned_by_lang(spark, sf_dir):
 
     w = re.search(r"Window \[ntile\(3\).*?partition.*?lang", plan, re.S)
     assert w is not None, "ntile window not partitioned by lang"
+
+
+def test_langid_scoring_stage_is_projection_only(spark, sf_dir):
+    """langid_scores = one training aggregation (bounded n_langs x
+    buckets output) + a SCORING stage that must stay a pure projection:
+    the weight vectors ride as array literals, so the registered query's
+    plan has NO join anywhere and no Python — the corpus is scanned once
+    for training and once for scoring, never shuffled for scoring."""
+    plan = _plan(spark, sf_dir, "langid_scores")
+    assert "Join" not in plan  # scoring is literal-array folds, join-free
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "aggregate(" in plan  # the per-language fold expressions
+
+
+def test_wordpiece_counts_vocabulary_shaped_arrow_join(spark, sf_dir):
+    """WordPiece token counts must be the distinct-words Arrow join-back
+    shape (the BPE/unigram discipline): exactly one MapInPandas over the
+    DISTINCT-word table, its output broadcast back to the corpus — never
+    a corpus-side sort-merge join, never Python over the corpus."""
+    plan = _plan(spark, sf_dir, "wordpiece_token_counts")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1198,3 +1198,155 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_selection_gate_composes_and_matches_batch(spark, sf_dir, tmp_path):
+    """The round-11 composed selection gate (Gopher rules + quality
+    threshold + Bloom novelty + DSIR score threshold in ONE projection):
+    the streaming admitted set must equal the batch evaluation of the
+    identical predicate, and the composition must genuinely be the
+    intersection of its component gates."""
+    from futures_eos_cdc_spark.operators.bloom import bloom_bitmap
+    from futures_eos_cdc_spark.operators.dsir import (
+        bucket_expr,
+        dsir_ratio_literal,
+        grams_expr,
+    )
+    from futures_eos_cdc_spark.operators.text import tokens_expr
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        selection_gate_expr,
+        stream_selection_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    # reference corpus for the Bloom gate: the first 50 docs (so later
+    # duplicates of their text probe positive)
+    bitmap = bloom_bitmap(docs.filter(F.col("doc_id") < 50))
+    # DSIR ratios: treat lang='en' as the target distribution
+    counts = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("lang") == "en").alias("is_t"),
+            F.explode(grams_expr(tokens_expr(F.col("text")))).alias("gram"),
+        )
+        .groupBy("doc_id", "lang", "is_t", bucket_expr(F.col("gram")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ratios = dsir_ratio_literal(counts)
+
+    kw = dict(
+        gopher=True,
+        quality_threshold=-0.05,
+        bloom_bitmap=bitmap,
+        dsir_ratios=ratios,
+        dsir_threshold=-100.0,
+    )
+    batch_keep = {
+        r.doc_id
+        for r in docs.filter(selection_gate_expr(F.col("text"), **kw)).collect()
+    }
+    assert 0 < len(batch_keep) < docs.count()
+
+    # composition == intersection of the single-component gates
+    inter = None
+    for single in (
+        dict(gopher=True),
+        dict(gopher=False, quality_threshold=-0.05),
+        dict(gopher=False, bloom_bitmap=bitmap),
+        dict(gopher=False, dsir_ratios=ratios, dsir_threshold=-100.0),
+    ):
+        ids = {
+            r.doc_id
+            for r in docs.filter(
+                selection_gate_expr(F.col("text"), **single)
+            ).collect()
+        }
+        inter = ids if inter is None else (inter & ids)
+    assert batch_keep == inter
+
+    path = str(tmp_path / "selgate_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    got = set()
+    q = (
+        stream_selection_gate(
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .parquet(path),
+            **kw,
+        )
+        .writeStream.foreachBatch(
+            lambda df, _e: got.update(r.doc_id for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_selgate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == batch_keep
+
+
+def test_selection_gate_writer_epoch_form(spark, sf_dir, tmp_path):
+    """The foreachBatch form hands the admitted subset to the sink with
+    the epoch id, and its plan stays a pure filter (no join/state)."""
+    from futures_eos_cdc_spark.streaming.pipeline import (
+        selection_gate_expr,
+        selection_gate_writer,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {
+        r.doc_id
+        for r in docs.filter(selection_gate_expr(F.col("text"))).collect()
+    }
+    path = str(tmp_path / "selgw_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    seen: dict[int, set] = {}
+
+    def sink(df, epoch_id):
+        seen.setdefault(epoch_id, set()).update(r.doc_id for r in df.collect())
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(path)
+        .writeStream.foreachBatch(selection_gate_writer(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt_selgw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert set().union(*seen.values()) == want
+    assert all(isinstance(e, int) for e in seen)
+
+
+def test_selection_gate_null_text(spark):
+    """NULL text: Gopher fails it (unscoreable), the Bloom component
+    treats it as NEW — the documented conventions."""
+    from futures_eos_cdc_spark.operators.bloom import bloom_bitmap
+    from futures_eos_cdc_spark.streaming.pipeline import selection_gate_expr
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the a of and in to is that " + "word " * 10)],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id for r in docs.filter(selection_gate_expr(F.col("text"))).collect()
+    }
+    assert kept == {2}  # NULL fails gopher
+    ref = spark.createDataFrame([(0, "other")], "doc_id long, text string")
+    bm = bloom_bitmap(ref)
+    kept2 = {
+        r.doc_id
+        for r in docs.filter(
+            selection_gate_expr(F.col("text"), gopher=False, bloom_bitmap=bm)
+        ).collect()
+    }
+    assert kept2 == {1, 2}  # NULL is new; non-dup text is new
