@@ -4892,6 +4892,20 @@ GROUP BY doc_id
 """
 )
 
+WORDPIECE_SUBWORD_VOCAB_ORACLE = (
+    _WORDPIECE_ORACLE_PREFIX
+    + """
+SELECT piece,
+  CAST(count(*) AS BIGINT) AS occurrences,
+  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM (
+  SELECT w.word, unnest(wt.toks) AS piece
+  FROM words w JOIN wtok wt USING (word)
+)
+GROUP BY piece
+"""
+)
+
 WORDPIECE_VOCAB_ORACLE = f"""
 SELECT piece, CAST(rank AS BIGINT) AS rank
 FROM read_parquet('{WORDPIECE_VOCAB_PATH}/*.parquet')
@@ -4918,6 +4932,39 @@ def q_wordpiece_token_counts(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         "n_words",
         "n_tokens",
         "fertility",
+    )
+
+
+def q_wordpiece_subword_vocab(
+    spark: SparkSession, sf_dir: str, _t
+) -> DataFrame:
+    """Per-piece corpus audit for the WordPiece tokenizer (the
+    bpe/unigram_subword_vocab triplet-completer): total corpus
+    occurrences + distinct words using each piece — the OOV/fertility
+    table a tokenizer rollout reviews. Same plan as the counts query
+    with the (word, toks) table exploded once; the oracle replays the
+    full greedy segmentation."""
+    from ..operators.text import tokens_expr
+    from ..operators.wordpiece import wordpiece_word_tokens
+
+    docs, vocab = _wordpiece_model(spark, sf_dir, _t)
+    docs2 = docs.filter(F.col("text").isNotNull()).filter(
+        F.size(tokens_expr(F.col("text"))) > 0
+    )
+    words = docs2.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    wtok = F.broadcast(
+        wordpiece_word_tokens(words.select("word").distinct(), vocab)
+    )
+    return (
+        words.join(wtok, "word")
+        .select("word", F.explode("toks").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.count_distinct("word").cast("long").alias("n_words"),
+        )
     )
 
 
@@ -5181,6 +5228,44 @@ def q_langid_scores(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         "pred_score",
         (F.col("pred_lang") == F.col("lang")).alias("agree"),
     )
+
+
+# The derived-lang twin, oracle-checked END TO END: DuckDB replays the
+# language-ID classifier (training + scoring + argmax) AND the CCNet
+# split over the PREDICTED language — so the lang_source="derived" wiring
+# is cross-engine-verified, not only pytest-pinned. WITH-in-subquery
+# keeps the two oracle CTE chains composable without renaming.
+PPLX_BUCKETS_DERIVED_ORACLE = (
+    "WITH pplx AS ("
+    + PERPLEXITY_ORACLE
+    + """),
+lid AS (SELECT doc_id, pred_lang FROM ("""
+    + LANGID_ORACLE
+    + """)),
+ranked AS (
+  SELECT p.doc_id, l.pred_lang AS lang, p.avg_neg_logprob,
+    ntile(3) OVER (PARTITION BY l.pred_lang
+                   ORDER BY p.avg_neg_logprob, p.doc_id) AS nt
+  FROM pplx p JOIN lid l USING (doc_id)
+)
+SELECT doc_id, lang, avg_neg_logprob,
+  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+)
+
+
+def q_perplexity_buckets_derived(
+    spark: SparkSession, sf_dir: str, _t
+) -> DataFrame:
+    """q_perplexity_buckets with lang_source='derived': the CCNet
+    configuration — fastText-style language ID runs BEFORE the
+    per-language perplexity split, so the buckets key on the
+    classifier's prediction, not upstream metadata (Wenzek et al. 2020
+    run exactly this order). The oracle replays the classifier AND the
+    split, so the derived-lang wiring is cross-engine-verified end to
+    end, not only pytest-pinned."""
+    return q_perplexity_buckets(spark, sf_dir, _t, lang_source="derived")
 
 
 # Render the round-10 docstring placeholders (code-review r10: only

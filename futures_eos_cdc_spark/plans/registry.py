@@ -1150,6 +1150,10 @@ QUERIES["wordpiece_token_counts"] = _bind(_dp.q_wordpiece_token_counts)
 ORACLES["wordpiece_token_counts"] = _dp.WORDPIECE_TOKEN_COUNTS_ORACLE
 QUERIES["wordpiece_vocab"] = _bind(_dp.q_wordpiece_vocab)
 ORACLES["wordpiece_vocab"] = _dp.WORDPIECE_VOCAB_ORACLE
+QUERIES["wordpiece_subword_vocab"] = _bind(_dp.q_wordpiece_subword_vocab)
+ORACLES["wordpiece_subword_vocab"] = _dp.WORDPIECE_SUBWORD_VOCAB_ORACLE
+QUERIES["perplexity_buckets_derived_lang"] = _bind(_dp.q_perplexity_buckets_derived)
+ORACLES["perplexity_buckets_derived_lang"] = _dp.PPLX_BUCKETS_DERIVED_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1166,7 +1170,9 @@ _WALK_FIRST = [
     # what's-missing #1 and #2).
     "langid_scores",
     "wordpiece_token_counts",
+    "wordpiece_subword_vocab",
     "wordpiece_vocab",
+    "perplexity_buckets_derived_lang",
     # Priority 1 — r10 VERDICT next #1's explicit list: the 29 queries
     # whose newest driver row is r8; after r11 no query's newest row is
     # older than r9.
@@ -1224,8 +1230,6 @@ _WALK_FIRST = [
     "sessionize_events",
     "ohlcv_candles",
     "pagerank_near_dup",
-    "hybrid_rrf_retrieval",
-    "leakage_safe_split",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
