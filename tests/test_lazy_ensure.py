@@ -19,6 +19,7 @@ def _run(code: str, tmp_path) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BPE_V1K_DIR"] = str(tmp_path / "v1k")
     env["SPARK_GRAFT_UNIGRAM_DIR"] = str(tmp_path / "uni")
+    env["SPARK_GRAFT_WORDPIECE_DIR"] = str(tmp_path / "wp")
     out = subprocess.run(
         [sys.executable, "-c", code],
         cwd=REPO,
@@ -46,20 +47,22 @@ def parquets(d):
 
 v1k = os.environ["SPARK_GRAFT_BPE_V1K_DIR"]
 uni = os.environ["SPARK_GRAFT_UNIGRAM_DIR"]
+wp = os.environ["SPARK_GRAFT_WORDPIECE_DIR"]
 
 # 1. Importing the full plans registry must train nothing.
 from futures_eos_cdc_spark.plans import ORACLES, QUERIES  # noqa: F401
-after_import = {"v1k": parquets(v1k), "uni": parquets(uni)}
+after_import = {"v1k": parquets(v1k), "uni": parquets(uni), "wp": parquets(wp)}
 
 # 2. The driver contract's oracle_sql() triggers the lazy ensure.
 import __spark_entry__
 oracles = __spark_entry__.oracle_sql()
-after_oracle = {"v1k": parquets(v1k), "uni": parquets(uni)}
+after_oracle = {"v1k": parquets(v1k), "uni": parquets(uni), "wp": parquets(wp)}
 
-# 3. Cold path: the unigram vocab oracle runs in DuckDB with NO Spark
-#    query ever constructed in this process.
+# 3. Cold path: the unigram/wordpiece vocab oracles run in DuckDB with NO
+#    Spark query ever constructed in this process.
 import duckdb
 rows = duckdb.sql(oracles["unigram_vocab"]).fetchall()
+wp_rows = duckdb.sql(oracles["wordpiece_vocab"]).fetchall()
 merge_rows = duckdb.sql(
     f"SELECT count(*) FROM read_parquet('{v1k}/*.parquet')"
 ).fetchone()[0]
@@ -68,15 +71,18 @@ print(json.dumps({
     "after_import": after_import,
     "after_oracle": after_oracle,
     "vocab_rows": len(rows),
+    "wp_rows": len(wp_rows),
     "merge_rows": merge_rows,
 }))
 """
     res = _run(code, tmp_path)
-    assert res["after_import"] == {"v1k": [], "uni": []}, (
+    assert res["after_import"] == {"v1k": [], "uni": [], "wp": []}, (
         "import trained a model table — the ensure regressed to import time"
     )
     assert res["after_oracle"]["v1k"] and res["after_oracle"]["uni"]
+    assert res["after_oracle"]["wp"]
     assert res["vocab_rows"] > 0
+    assert res["wp_rows"] > 0
     assert res["merge_rows"] > 0
 
 

@@ -1350,3 +1350,46 @@ def test_selection_gate_null_text(spark):
         ).collect()
     }
     assert kept2 == {1, 2}  # NULL is new; non-dup text is new
+
+
+def test_with_derived_lang_streams_natively(spark, tmp_path):
+    """Language derivation is a pure projection, so with_derived_lang
+    plans on a stream unchanged — the router a per-language ingestion
+    sink (partitionBy(lang)) composes on. Stream output must equal the
+    batch projection."""
+    from futures_eos_cdc_spark.operators.langid import (
+        langid_model,
+        with_derived_lang,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "aa", "the quick brown fox jumps over the lazy dog"))
+        rows.append((100 + i, "bb", "zyx wvu tsr qpo nml kji"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = langid_model(docs)
+    want = {
+        (r.doc_id, r.lang) for r in with_derived_lang(docs, model).collect()
+    }
+
+    path = str(tmp_path / "dlang_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    got = set()
+    q = (
+        with_derived_lang(
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .parquet(path),
+            model,
+        )
+        .writeStream.foreachBatch(
+            lambda df, _e: got.update((r.doc_id, r.lang) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_dlang"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == want
+    assert {l for _, l in got} == {"aa", "bb"}  # classifier separated them
