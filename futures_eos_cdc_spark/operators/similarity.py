@@ -763,6 +763,72 @@ def ivf_assign(
     )
 
 
+def _make_assign_dist_fn(C, id_col: str, vec_col: str):
+    """mapInPandas function for (id, cell, d) — assignment plus the EXACT
+    squared L2 distance to the assigned centroid. The cell comes from the
+    shared banded-argmin kernel; the distance is then recomputed as a
+    per-dim LEFT FOLD over the assigned centroid (acc += diff² in dim
+    order), the same association order as the SQL
+    ``aggregate(zip_with(...))`` / ``list_reduce(list_transform(...))``
+    folds — so the emitted doubles are bit-identical to the oracle's.
+    Locally bound (by-value pickle), the _make_assign_fn discipline."""
+    nearest = _nearest_cells_impl()
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            cells = nearest(x, C)
+            assigned = C[cells]
+            d = _np.zeros(len(x), dtype=_np.float64)
+            for j in range(x.shape[1]):  # left fold over dims, SQL order
+                diff = x[:, j] - assigned[:, j]
+                d = d + diff * diff
+            yield _pd.DataFrame({id_col: pdf[id_col], "cell": cells, "d": d})
+
+    return assign
+
+
+def ivf_assign_with_dist(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, d): hard assignment PLUS the squared L2 distance to the
+    assigned centroid — the "prototype distance" SSL-prototype data
+    pruning ranks on (Sorscher et al. 2022, Beyond neural scaling laws:
+    examples close to their cluster prototype are the easy/redundant
+    ones). Same two shapes as :func:`ivf_assign`: below the term budget
+    ONE literal expression (array_min over (d, cell) structs — min d,
+    tie smallest cell, identical to the ranking expr's order); above it
+    the Arrow kernel with an exact per-dim fold for the emitted
+    distance. Pure projection either way — vectors never shuffle."""
+    if len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS:
+        import numpy as np
+
+        Cm = np.asarray(centroids, dtype=np.float64)
+        id_type = dict(embeddings.dtypes)[id_col]
+        return embeddings.select(id_col, vec_col).mapInPandas(
+            _make_assign_dist_fn(Cm, id_col, vec_col),
+            f"{id_col} {id_type}, cell int, d double",
+        )
+    structs = ", ".join(
+        f"named_struct('d', {_dist2_sql(vec_col, c)}, 'cell', {i})"
+        for i, c in enumerate(centroids)
+    )
+    best = F.expr(f"array_min(array({structs}))")
+    return embeddings.select(
+        F.col(id_col),
+        best.getField("cell").alias("cell"),
+        best.getField("d").alias("d"),
+    )
+
+
 def _make_probe_fn(C, nprobe: int, id_col: str, vec_col: str):
     """mapInPandas function: (q_id, q_vec, cell) exploded to each query's
     nprobe nearest cells, in the SAME (distance, cell) order as

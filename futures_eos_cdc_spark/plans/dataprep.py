@@ -2291,6 +2291,87 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     ).withColumn("kept", F.col("sample_rank") <= _CLUSTER_CAP)
 
 
+# ---------------------------------------------------------------------------
+# SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural scaling
+# laws": rank every example by its distance to its k-means prototype; in
+# the abundant-data regime KEEP THE HARD examples — prune the redundant
+# easy core of each cluster). Round 11.
+# ---------------------------------------------------------------------------
+_PROTO_KEEP_NUM, _PROTO_KEEP_DEN = 7, 10  # keep the hardest 70% per cluster
+
+
+def _prototype_prune_oracle_sql(n_cells: int = 16) -> str:
+    """Replays training (the shared floor-grid Lloyd steps), the exact
+    fold distance to the ASSIGNED centroid, and the per-cluster
+    hardest-first rank. The keep rule is exact integer arithmetic
+    (rank·den <= size·num), so no ceil-of-double boundary exists."""
+    return (
+        _ann_ivf_oracle_sql(n_cells=n_cells, tail="assign")
+        + f""",
+best AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, cell, d,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dfin
+  ) WHERE rn = 1
+),
+sized AS (
+  SELECT vec_id, cell, d,
+    count(*) OVER (PARTITION BY cell) AS cluster_size,
+    row_number() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) AS hard_rank
+  FROM best
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS INT) AS cluster_id,
+       round(d, 6) AS proto_dist,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(hard_rank AS BIGINT) AS hard_rank,
+       hard_rank * {_PROTO_KEEP_DEN} <= cluster_size * {_PROTO_KEEP_NUM} AS kept
+FROM sized
+"""
+    )
+
+
+PROTOTYPE_PRUNING_ORACLE = _prototype_prune_oracle_sql()
+
+
+def q_prototype_pruning(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022) over the corpus
+    embeddings: every vector is ranked within its k-means cluster by
+    distance to the cluster prototype (hardest first) and the easy,
+    redundant core is pruned — here keeping the hardest 70% per cluster,
+    the abundant-data regime's rule (small-data regimes invert it; the
+    rank column supports either cut). Reuses the SHARED train-once
+    centroids (ann_cosine_ivf / embedding_kmeans_clusters' model).
+
+    Plan at 100 TB: assignment + exact prototype distance is a PURE
+    projection (literal expression below the term budget, Arrow kernel
+    with a fold-exact distance above it — operators/similarity.py:
+    ivf_assign_with_dist); ONE exchange on cluster_id feeds both windows
+    (size + hardest-rank share the partitioning). The keep rule is exact
+    integer arithmetic, and the oracle replays training, the distance
+    fold, and the rank bit-for-bit."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign_with_dist
+
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign_with_dist(e, _trained_centroids(spark, sf_dir, e))
+    w_size = Window.partitionBy("cell")
+    w_rank = Window.partitionBy("cell").orderBy(F.desc("d"), F.col("vec_id"))
+    return assigned.select(
+        "vec_id",
+        F.col("cell").alias("cluster_id"),
+        F.round(F.col("d"), 6).alias("proto_dist"),
+        F.count(F.lit(1)).over(w_size).cast("long").alias("cluster_size"),
+        F.row_number().over(w_rank).cast("long").alias("hard_rank"),
+    ).withColumn(
+        "kept",
+        F.col("hard_rank") * _PROTO_KEEP_DEN
+        <= F.col("cluster_size") * _PROTO_KEEP_NUM,
+    )
+
+
 def _embedding_near_dup_oracle_sql(
     threshold: float = 0.3,
     n_tables: int = 12,
@@ -2783,6 +2864,7 @@ def oracle_overrides_for_sf(sf_dir: str) -> dict[str, str]:
         "ann_cosine_ivf": _ann_ivf_oracle_sql(n_cells=nc),
         "embedding_kmeans_clusters": _kmeans_oracle_sql(n_cells=nc),
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(n_cells=nc),
+        "prototype_pruning": _prototype_prune_oracle_sql(n_cells=nc),
     }
 
 

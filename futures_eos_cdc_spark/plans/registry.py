@@ -1154,6 +1154,8 @@ QUERIES["wordpiece_subword_vocab"] = _bind(_dp.q_wordpiece_subword_vocab)
 ORACLES["wordpiece_subword_vocab"] = _dp.WORDPIECE_SUBWORD_VOCAB_ORACLE
 QUERIES["perplexity_buckets_derived_lang"] = _bind(_dp.q_perplexity_buckets_derived)
 ORACLES["perplexity_buckets_derived_lang"] = _dp.PPLX_BUCKETS_DERIVED_ORACLE
+QUERIES["prototype_pruning"] = _bind(_dp.q_prototype_pruning)
+ORACLES["prototype_pruning"] = _dp.PROTOTYPE_PRUNING_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1173,6 +1175,7 @@ _WALK_FIRST = [
     "wordpiece_subword_vocab",
     "wordpiece_vocab",
     "perplexity_buckets_derived_lang",
+    "prototype_pruning",
     # Priority 1 — r10 VERDICT next #1's explicit list: the 29 queries
     # whose newest driver row is r8; after r11 no query's newest row is
     # older than r9.
@@ -1229,7 +1232,6 @@ _WALK_FIRST = [
     "decision_records",
     "sessionize_events",
     "ohlcv_candles",
-    "pagerank_near_dup",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

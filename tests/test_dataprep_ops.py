@@ -1390,3 +1390,68 @@ def test_temperature_mixture_excludes_unweighted_groups(spark):
     clean_rates = {r["lang"]: r for r in temperature_mixture_rates(clean).collect()}
     assert rates["en"]["share"] == clean_rates["en"]["share"]
     assert rates["en"]["rate"] == clean_rates["en"]["rate"]
+
+
+def test_ivf_assign_with_dist_kernel_matches_expression(spark, sf_dir):
+    """ivf_assign_with_dist's two shapes (literal array_min expression vs
+    the Arrow kernel with the per-dim fold distance) must agree on cell
+    AND on the distance DOUBLE bit-for-bit — the prototype-pruning rank
+    depends on the raw (unrounded) distance ordering."""
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    e = _emb(spark, sf_dir)
+    cents = S._hyperplanes(64, 157, 7)  # >4096 terms: kernel regime
+    kern = {
+        r.vec_id: (r.cell, r.d)
+        for r in S.ivf_assign_with_dist(e, cents).collect()
+    }
+    # force the expression path on the same centroids via the struct expr
+    structs = ", ".join(
+        f"named_struct('d', {S._dist2_sql('embedding', c)}, 'cell', {i})"
+        for i, c in enumerate(cents)
+    )
+    import pyspark.sql.functions as _F
+
+    best = _F.expr(f"array_min(array({structs}))")
+    expr = {
+        r.vec_id: (r.cell, r.d)
+        for r in e.select(
+            "vec_id",
+            best.getField("cell").alias("cell"),
+            best.getField("d").alias("d"),
+        ).collect()
+    }
+    assert kern == expr  # exact double equality, not approx
+
+    # small-model regime routes to the expression (no Python in the plan)
+    small = S._hyperplanes(64, 8, 7)
+    routed = S.ivf_assign_with_dist(e, small)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+
+
+def test_prototype_pruning_semantics(spark, sf_dir):
+    """The keep rule: hardest-first per cluster, exactly
+    floor-at-the-rational-boundary 70% — every kept example's hard_rank
+    is below every dropped one's within a cluster, and the kept count is
+    the exact integer-rational cut."""
+    from futures_eos_cdc_spark.plans.dataprep import q_prototype_pruning
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    rows = q_prototype_pruning(spark, sf_dir, load_table).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(rows) > 0
+    for cid, members in by_cluster.items():
+        size = members[0].cluster_size
+        assert len(members) == size
+        kept = [m for m in members if m.kept]
+        # exact integer cut: max rank with rank*10 <= size*7
+        assert len(kept) == (size * 7) // 10
+        # kept are the hardest (largest proto_dist ranks first)
+        max_kept = max(m.hard_rank for m in kept) if kept else 0
+        min_dropped = min(
+            (m.hard_rank for m in members if not m.kept), default=10**9
+        )
+        assert max_kept < min_dropped

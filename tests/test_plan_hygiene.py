@@ -510,3 +510,15 @@ def test_wordpiece_counts_vocabulary_shaped_arrow_join(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prototype_pruning_single_cluster_exchange(spark, sf_dir):
+    """Assignment + prototype distance must be a projection (no join; at
+    fixture cell counts the literal expression, no Python), and BOTH
+    windows (cluster size + hardest rank) must share ONE cluster-keyed
+    exchange."""
+    plan = _plan(spark, sf_dir, "prototype_pruning")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" not in plan  # 16 cells x 64 dims < the term budget
+    assert "BatchEvalPython" not in plan
