@@ -234,6 +234,46 @@ def langid_score(
     )
 
 
+def langid_best_expr(
+    text: Column,
+    model: dict[str, list[int]],
+    *,
+    n: int = LANGID_N,
+    buckets: int = LANGID_BUCKETS,
+    max_chars: int = LANGID_MAX_CHARS,
+) -> Column:
+    """The argmax struct as ONE standalone column expression — for
+    composition into filters (the streaming selection gate) where adding
+    a temp bucket column isn't possible. Returns struct(neg, lang):
+    pred = .lang, score = -(.neg). NULL text folds to NULL. Whole-stage
+    codegen's subexpression elimination shares the per-gram hashing
+    across the per-language folds."""
+    bcol = gram_buckets_expr(text, n, buckets, max_chars)
+
+    def _fold(weights: Column) -> Column:
+        return F.aggregate(
+            bcol,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(weights, b.cast("int") + 1),
+        )
+
+    candidates = []
+    for lang in sorted(model):
+        score = _fold(F.lit(model[lang]).cast("array<bigint>"))
+        candidates.append(
+            F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
+        )
+    return F.array_min(F.array(*candidates))
+
+
+def langid_pred_expr(
+    text: Column, model: dict[str, list[int]], **kw
+) -> Column:
+    """The predicted language alone (NULL text -> NULL) — the filter form
+    the selection gate composes on (keep iff pred isin allowed set)."""
+    return F.when(text.isNotNull(), langid_best_expr(text, model, **kw)["lang"])
+
+
 def langid_score_join(
     docs: DataFrame,
     profiles: DataFrame,

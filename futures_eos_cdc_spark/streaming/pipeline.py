@@ -249,6 +249,8 @@ def selection_gate_expr(
     bloom_bitmap: list[int] | None = None,
     dsir_ratios: list[float] | None = None,
     dsir_threshold: float | None = None,
+    langid_model: dict[str, list[int]] | None = None,
+    keep_langs: set[str] | None = None,
 ) -> Column:
     """ONE composed admission predicate for ingestion-time data selection
     (VERDICT r10 next #6): the Gopher rule conjunction, the hashed
@@ -277,12 +279,25 @@ def selection_gate_expr(
       form of target-distribution selection (the batch sampler takes a
       global top-k, which no single-pass stream can; a score threshold
       is the standard deployment surrogate).
+    * ``langid_model`` (+ ``keep_langs``) — keep iff the language-ID
+      classifier (operators/langid.py, the trained weight-vector dict)
+      predicts one of ``keep_langs``: CCNet's own first gate (language
+      ID runs before everything else there). Scoring is the same
+      literal-array projection as langid_score.
     """
     from ..operators.bloom import bloom_probe_expr
     from ..operators.dsir import dsir_score_expr
     from ..operators.text import gopher_keep_expr, hashed_classifier_logit_expr
 
     cond = F.lit(True)
+    if langid_model is not None:
+        if not keep_langs:
+            raise ValueError("langid_model requires keep_langs")
+        from ..operators.langid import langid_pred_expr
+
+        cond = cond & langid_pred_expr(text, langid_model).isin(
+            *sorted(keep_langs)
+        )
     if gopher:
         cond = cond & F.coalesce(gopher_keep_expr(text), F.lit(False))
     if quality_threshold is not None:

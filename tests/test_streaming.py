@@ -1393,3 +1393,43 @@ def test_with_derived_lang_streams_natively(spark, tmp_path):
         q.stop()
     assert got == want
     assert {l for _, l in got} == {"aa", "bb"}  # classifier separated them
+
+
+def test_selection_gate_language_component(spark):
+    """The langid component of the composed gate: keep only documents the
+    classifier assigns to the allowed set — CCNet's first gate. Pure
+    projection, parity with the standalone langid_score predictions."""
+    from futures_eos_cdc_spark.operators.langid import langid_model, langid_score
+    from futures_eos_cdc_spark.streaming.pipeline import selection_gate_expr
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "aa", "the quick brown fox jumps over the lazy dog"))
+        rows.append((100 + i, "bb", "zyx wvu tsr qpo nml kji"))
+        rows.append((200 + i, "cc", "1234 5678 9012 3456 789"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = langid_model(docs)
+    want = {
+        r.doc_id
+        for r in langid_score(docs, model).collect()
+        if r.pred_lang in {"aa", "cc"}
+    }
+    got = {
+        r.doc_id
+        for r in docs.filter(
+            selection_gate_expr(
+                F.col("text"),
+                gopher=False,
+                langid_model=model,
+                keep_langs={"aa", "cc"},
+            )
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-degenerate
+    assert not any(100 <= d < 200 for d in got)  # bb gated out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_langs"):
+        selection_gate_expr(F.col("text"), langid_model=model)
