@@ -203,24 +203,7 @@ def langid_score(
     length upstream if that matters. NULL text predicts NULL."""
     bcol = gram_buckets_expr(F.col(text_col), n, buckets, max_chars)
     docs = docs.withColumn("_lid_buckets", bcol)
-
-    def _fold(weights: Column) -> Column:
-        # closure helper: PySpark derives higher-order-function arity from
-        # the Python signature, so the merge lambda must take exactly two
-        return F.aggregate(
-            F.col("_lid_buckets"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(weights, b.cast("int") + 1),
-        )
-
-    candidates = []
-    for lang in sorted(model):
-        score = _fold(F.lit(model[lang]).cast("array<bigint>"))
-        # array_min over (-score, lang): max score first, then smallest lang
-        candidates.append(
-            F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
-        )
-    best = F.array_min(F.array(*candidates))
+    best = _best_from_buckets(F.col("_lid_buckets"), model)
     return (
         docs.withColumn(
             pred_col,
@@ -234,23 +217,16 @@ def langid_score(
     )
 
 
-def langid_best_expr(
-    text: Column,
-    model: dict[str, list[int]],
-    *,
-    n: int = LANGID_N,
-    buckets: int = LANGID_BUCKETS,
-    max_chars: int = LANGID_MAX_CHARS,
-) -> Column:
-    """The argmax struct as ONE standalone column expression — for
-    composition into filters (the streaming selection gate) where adding
-    a temp bucket column isn't possible. Returns struct(neg, lang):
-    pred = .lang, score = -(.neg). NULL text folds to NULL. Whole-stage
-    codegen's subexpression elimination shares the per-gram hashing
-    across the per-language folds."""
-    bcol = gram_buckets_expr(text, n, buckets, max_chars)
+def _best_from_buckets(bcol: Column, model: dict[str, list[int]]) -> Column:
+    """THE argmax construction, shared by the temp-column scorer
+    (langid_score) and the standalone expression (langid_best_expr) so
+    the tie rule / cast discipline cannot fork (code-review r11): one
+    fold per language over the SAME bucket-array column, array_min over
+    struct(-score, lang) — max score first, smallest language on ties."""
 
     def _fold(weights: Column) -> Column:
+        # closure helper: PySpark derives higher-order-function arity from
+        # the Python signature, so the merge lambda must take exactly two
         return F.aggregate(
             bcol,
             F.lit(0).cast("long"),
@@ -266,12 +242,34 @@ def langid_best_expr(
     return F.array_min(F.array(*candidates))
 
 
+def langid_best_expr(
+    text: Column,
+    model: dict[str, list[int]],
+    *,
+    n: int = LANGID_N,
+    buckets: int = LANGID_BUCKETS,
+    max_chars: int = LANGID_MAX_CHARS,
+) -> Column:
+    """The argmax struct as ONE standalone column expression — for
+    composition into filters (the streaming selection gate) where adding
+    a temp bucket column isn't possible. Returns struct(neg, lang):
+    pred = .lang, score = -(.neg); NULL text gives a NULL struct
+    (code-review r11: the guard lives HERE, so direct composers cannot
+    classify NULL rows as the smallest language at score 0). Whole-stage
+    codegen's subexpression elimination shares the per-gram hashing
+    across the per-language folds."""
+    best = _best_from_buckets(
+        gram_buckets_expr(text, n, buckets, max_chars), model
+    )
+    return F.when(text.isNotNull(), best)
+
+
 def langid_pred_expr(
     text: Column, model: dict[str, list[int]], **kw
 ) -> Column:
     """The predicted language alone (NULL text -> NULL) — the filter form
     the selection gate composes on (keep iff pred isin allowed set)."""
-    return F.when(text.isNotNull(), langid_best_expr(text, model, **kw)["lang"])
+    return langid_best_expr(text, model, **kw)["lang"]
 
 
 def langid_score_join(
@@ -294,7 +292,13 @@ def langid_score_join(
     broadcast per-lang totals.
 
     One exchange (the doc-keyed aggregation) — acceptable when the model
-    genuinely cannot ride as a literal; prefer :func:`langid_score`."""
+    genuinely cannot ride as a literal; prefer :func:`langid_score`.
+
+    Row contract matches the literal path EXACTLY (code-review r11: the
+    explode drops gram-less documents, which the first version silently
+    lost): every input row comes back — a non-NULL gram-less text (only
+    '' can be one) scores 0 for every language and predicts the
+    lexicographically smallest, NULL text predicts NULL."""
     langs = profiles.select("lang", "total").distinct()
     exploded = (
         docs.filter(F.col(text_col).isNotNull())
@@ -320,10 +324,23 @@ def langid_score_join(
     pick = exploded.groupBy(id_col).agg(
         F.min(F.struct((-F.col("score")).alias("neg"), F.col("lang"))).alias("best")
     )
-    return pick.select(
+    # complete the row contract: a gram-less doc has no exploded rows, so
+    # it takes the all-zero-scores verdict (the smallest language, the
+    # literal path's tie-break); NULL text stays NULL. The langs table is
+    # bounded (n_langs rows), so min() here is a driver-side constant.
+    smallest = min(r["lang"] for r in langs.select("lang").collect())
+    return docs.select(id_col, F.col(text_col).alias("_lid_text")).join(
+        pick, id_col, "left"  # doc-keyed join: both sides corpus-sized
+    ).select(
         id_col,
-        F.col("best.lang").alias("pred_lang"),
-        (-F.col("best.neg")).cast("long").alias("pred_score"),
+        F.when(
+            F.col("_lid_text").isNotNull(),
+            F.coalesce(F.col("best.lang"), F.lit(smallest)),
+        ).alias("pred_lang"),
+        F.when(
+            F.col("_lid_text").isNotNull(),
+            F.coalesce(-F.col("best.neg"), F.lit(0)),
+        ).cast("long").alias("pred_score"),
     )
 
 

@@ -154,8 +154,14 @@ def train_wordpiece_py(
             break
         a, b = best_pair
         merged = a + b[2:]
-        rank += 1
-        vocab[merged] = rank
+        # Two different pairs can in principle produce the same merged
+        # string across iterations; the piece keeps its FIRST rank (a
+        # re-assignment would silently punch a gap in the persisted rank
+        # sequence and stall vocab growth — code-review r11). The pair is
+        # still consumed from the sequences below either way.
+        if merged not in vocab:
+            rank += 1
+            vocab[merged] = rank
         # rebuild bookkeeping only for words containing the merged pair
         for wi in sorted(pair_words.get(best_pair, ())):
             seq, f = seqs[wi], freqs[wi]

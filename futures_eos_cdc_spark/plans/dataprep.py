@@ -5200,9 +5200,14 @@ def q_perplexity_buckets(
 
     docs = spread(_t(spark, sf_dir, "documents"))
     if lang_source == "derived":
-        from ..operators.langid import langid_model, with_derived_lang
+        from ..operators.langid import with_derived_lang
 
-        docs = with_derived_lang(docs, langid_model(docs))
+        model = _langid_model_cached(
+            spark,
+            sf_dir,
+            docs.filter(F.col("text").isNotNull() & (F.length("text") > 0)),
+        )
+        docs = with_derived_lang(docs, model)
     elif lang_source != "column":
         raise ValueError(
             f"lang_source must be 'column' or 'derived', got {lang_source!r}"
@@ -5239,10 +5244,39 @@ from ..operators.langid import (  # noqa: E402
 # Spark side computes. The sparse-join formulation here is value-identical
 # to the Spark side's dense literal arrays: an unseen (lang, bucket) pair
 # contributes the count=0 Laplace weight.
+_LANGID_MODELS: dict = {}
+
+
+def _langid_model_cached(spark: SparkSession, sf_dir: str, docs) -> dict:
+    """Train-once-per-(session, corpus) language-ID model — the
+    _trained_centroids pattern (code-review r11: three queries —
+    langid_scores, the derived CCNet split, derived stratified sampling —
+    each retrained from scratch per construction). Deployment trains
+    once offline; the oracle replays training per execution, which is
+    the cross-engine TRAINING check, while the Spark side amortizes it
+    exactly like the IVF centroids do (BENCH_SCALING's documented
+    train-once contract). ``docs`` must already carry the
+    non-NULL/non-empty text filter."""
+    from ..operators.langid import langid_model
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    got = _LANGID_MODELS.get(key)
+    if got is None:
+        for k in [k for k in _LANGID_MODELS if k[0] != app_id]:
+            del _LANGID_MODELS[k]
+        got = _LANGID_MODELS[key] = langid_model(docs)
+    return got
+
+
 LANGID_ORACLE = rf"""
 WITH t AS (
+  -- length(text) > 0 mirrors the query: an empty (gram-less) document is
+  -- unclassifiable and EXCLUDED on both sides (code-review r11: the
+  -- inner join below would silently drop it from the oracle while the
+  -- Spark side emitted a degenerate row)
   SELECT doc_id, lang, ' ' || lower(substr(text, 1, 254)) || ' ' AS s
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
 ),
 g AS (
   SELECT doc_id, lang,
@@ -5295,14 +5329,16 @@ def q_langid_scores(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     rate here; the classifier's discriminative power is pinned by
     tests/test_langid.py on corpora with genuinely distinct character
     distributions."""
-    from ..operators.langid import langid_model, langid_score
+    from ..operators.langid import langid_score
 
+    # empty (gram-less) documents are unclassifiable — excluded on BOTH
+    # sides (the oracle's WHERE states the same; code-review r11)
     docs = (
         spread(_t(spark, sf_dir, "documents"))
-        .filter(F.col("text").isNotNull())
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", "lang", "text")
     )
-    model = langid_model(docs)
+    model = _langid_model_cached(spark, sf_dir, docs)
     return langid_score(docs, model).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",

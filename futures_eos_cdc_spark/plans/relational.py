@@ -571,9 +571,15 @@ def q_stratified_sample(
     group-limit below it) is unchanged."""
     d = _t(spark, sf_dir, "documents")
     if lang_source == "derived":
-        from ..operators.langid import langid_model, with_derived_lang
+        from ..operators.langid import with_derived_lang
+        from .dataprep import _langid_model_cached
 
-        d = with_derived_lang(d, langid_model(d))
+        model = _langid_model_cached(
+            spark,
+            sf_dir,
+            d.filter(F.col("text").isNotNull() & (F.length("text") > 0)),
+        )
+        d = with_derived_lang(d, model)
     elif lang_source != "column":
         raise ValueError(f"lang_source must be 'column' or 'derived', got {lang_source!r}")
     from pyspark.sql import Window

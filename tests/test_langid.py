@@ -71,9 +71,17 @@ def test_langid_generalizes_to_unseen_docs(spark):
 def test_langid_literal_and_join_shapes_agree(spark):
     """The dense literal-array projection and the big-model broadcast-join
     path must produce identical predictions AND identical integer scores
-    (the unseen-bucket Laplace weight reconstruction is the subtle
-    part)."""
-    docs = _corpus(spark)
+    (the unseen-bucket Laplace weight reconstruction is the subtle part),
+    INCLUDING the degenerate rows the explode would otherwise lose
+    (code-review r11): empty text -> (smallest lang, 0), NULL text ->
+    (NULL, NULL) — one output row per input row on both paths."""
+    docs = _corpus(spark).unionByName(
+        _corpus(spark)
+        .sparkSession.createDataFrame(
+            [(900, "aa", ""), (901, "aa", None)],
+            "doc_id long, lang string, text string",
+        )
+    )
     model = langid_model(docs)
     profiles = train_langid(docs)
     lit = {
@@ -85,6 +93,8 @@ def test_langid_literal_and_join_shapes_agree(spark):
         for r in langid_score_join(docs, profiles).collect()
     }
     assert lit == jn
+    assert lit[900] == ("aa", 0)  # gram-less: all-zero scores, tie-break
+    assert lit[901] == (None, None)
 
 
 def test_langid_score_is_pure_projection(spark):

@@ -48,7 +48,9 @@ def test_training_alphabet_always_kept_and_deterministic():
         assert ch in pieces and pieces[ch] == 0
     for ch in "elopr d".replace(" ", ""):
         assert ("##" + ch) in pieces and pieces["##" + ch] == 0
-    # rank 0 iff alphabet; merges get consecutive ranks from 1
+    # rank 0 iff alphabet; merges get consecutive ranks from 1 with NO
+    # gaps and NO duplicates (code-review r11: a same-string re-merge
+    # must keep the first rank, never punch a hole in the sequence)
     ranks = sorted(r for _, r in v1 if r > 0)
     assert ranks == list(range(1, len(ranks) + 1))
 
