@@ -330,6 +330,7 @@ def test_auto_n_cells_derivation(sf_dir):
         "ann_cosine_ivf",
         "embedding_kmeans_clusters",
         "semantic_dedup_embeddings",
+        "prototype_pruning",
     }
     # the regenerated SQL really carries the larger model (the data-sampled
     # init CTE takes the 63 smallest-hash vectors for this corpus)
