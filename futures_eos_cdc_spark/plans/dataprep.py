@@ -2850,6 +2850,106 @@ FROM cand c
 SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# D4 selection (Tirumala et al. 2023, arXiv:2308.12284: SemDeDup first,
+# then SSL-prototype pruning over the SURVIVORS — "De-Duplication and
+# Diversification", the published two-stage embedding-space curation
+# pipeline). Round 11: composes the two verified stages end to end.
+# ---------------------------------------------------------------------------
+def _d4_oracle_sql(n_cells: int = 16) -> str:
+    """Replays the WHOLE pipeline: shared Lloyd training, the SemDeDup
+    within-cell cosine drops, then the prototype-distance hardest-first
+    rank over survivors only — the survivor count (not the raw cluster
+    size) denominates the keep cut, exactly as the Spark side computes."""
+    return (
+        _ann_ivf_oracle_sql(n_cells=n_cells, tail="assign")
+        + f""",
+emb2 AS (
+  SELECT c.c_id AS vid, c.cell, e.embedding
+  FROM cand c JOIN e ON e.vec_id = c.c_id
+),
+pd AS (
+  SELECT DISTINCT b.vid AS drop_id
+  FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.vid < b.vid
+  WHERE {_sem_fold('j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)')}
+        / (sqrt({_sem_fold('j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)')})
+           * sqrt({_sem_fold('j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)')}))
+        >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+),
+dbest AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, cell, d,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dfin
+  ) WHERE rn = 1
+),
+surv AS (
+  SELECT b.vec_id, b.cell, b.d
+  FROM dbest b
+  WHERE NOT EXISTS (SELECT 1 FROM pd WHERE pd.drop_id = b.vec_id)
+),
+dsized AS (
+  SELECT vec_id, cell, d,
+    count(*) OVER (PARTITION BY cell) AS survivors,
+    row_number() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) AS hard_rank
+  FROM surv
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS INT) AS cluster_id,
+       round(d, 6) AS proto_dist,
+       CAST(survivors AS BIGINT) AS survivors,
+       CAST(hard_rank AS BIGINT) AS hard_rank,
+       hard_rank * {_PROTO_KEEP_DEN} <= survivors * {_PROTO_KEEP_NUM} AS kept
+FROM dsized
+"""
+    )
+
+
+D4_SELECTION_ORACLE = _d4_oracle_sql()
+
+
+def q_d4_selection(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """The D4 pipeline (Tirumala et al. 2023): SemDeDup drops
+    near-duplicate embeddings within each k-means cell, then
+    SSL-prototype pruning keeps the hardest 70% of the SURVIVORS per
+    cell — dedup then diversify, the two-stage embedding-space curation
+    recipe, composed from this engine's verified stages
+    (semantic_dedup_embeddings + prototype_pruning) on the SHARED
+    train-once centroids.
+
+    Plan at 100 TB: SemDeDup's within-cell pair scan is its documented
+    cost model (one cell-keyed exchange into the Arrow kernel); the
+    survivor filter is an ids-only LEFT SEMI join (16 bytes per row
+    crosses the wire, never embeddings); assignment + prototype distance
+    is a pure projection and both windows share one cluster-keyed
+    exchange. The oracle replays training, the cosine drops, the
+    distance fold, and the survivor-denominated rank bit-for-bit."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign_with_dist, semantic_dedup
+
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    cents = _trained_centroids(spark, sf_dir, e)
+    roster = semantic_dedup(e, cents, threshold=_SEMDEDUP_TAU)
+    surv_ids = roster.filter(F.col("kept")).select("vec_id")
+    assigned = ivf_assign_with_dist(
+        e.join(surv_ids, "vec_id", "left_semi"), cents
+    )
+    w_size = Window.partitionBy("cell")
+    w_rank = Window.partitionBy("cell").orderBy(F.desc("d"), F.col("vec_id"))
+    return assigned.select(
+        "vec_id",
+        F.col("cell").alias("cluster_id"),
+        F.round(F.col("d"), 6).alias("proto_dist"),
+        F.count(F.lit(1)).over(w_size).cast("long").alias("survivors"),
+        F.row_number().over(w_rank).cast("long").alias("hard_rank"),
+    ).withColumn(
+        "kept",
+        F.col("hard_rank") * _PROTO_KEEP_DEN
+        <= F.col("survivors") * _PROTO_KEEP_NUM,
+    )
+
+
 def oracle_overrides_for_sf(sf_dir: str) -> dict[str, str]:
     """Per-SF regeneration of the oracles whose SQL bakes the trained
     model's cell count. The module-level strings are generated at the
@@ -2865,6 +2965,7 @@ def oracle_overrides_for_sf(sf_dir: str) -> dict[str, str]:
         "embedding_kmeans_clusters": _kmeans_oracle_sql(n_cells=nc),
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(n_cells=nc),
         "prototype_pruning": _prototype_prune_oracle_sql(n_cells=nc),
+        "d4_selection": _d4_oracle_sql(n_cells=nc),
     }
 
 

@@ -1156,6 +1156,8 @@ QUERIES["perplexity_buckets_derived_lang"] = _bind(_dp.q_perplexity_buckets_deri
 ORACLES["perplexity_buckets_derived_lang"] = _dp.PPLX_BUCKETS_DERIVED_ORACLE
 QUERIES["prototype_pruning"] = _bind(_dp.q_prototype_pruning)
 ORACLES["prototype_pruning"] = _dp.PROTOTYPE_PRUNING_ORACLE
+QUERIES["d4_selection"] = _bind(_dp.q_d4_selection)
+ORACLES["d4_selection"] = _dp.D4_SELECTION_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1176,6 +1178,7 @@ _WALK_FIRST = [
     "wordpiece_vocab",
     "perplexity_buckets_derived_lang",
     "prototype_pruning",
+    "d4_selection",
     # Priority 1 — r10 VERDICT next #1's explicit list: the 29 queries
     # whose newest driver row is r8; after r11 no query's newest row is
     # older than r9.
@@ -1231,7 +1234,6 @@ _WALK_FIRST = [
     "outbox_event_router",
     "decision_records",
     "sessionize_events",
-    "ohlcv_candles",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

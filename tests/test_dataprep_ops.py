@@ -1456,3 +1456,41 @@ def test_prototype_pruning_semantics(spark, sf_dir):
             (m.hard_rank for m in members if not m.kept), default=10**9
         )
         assert max_kept < min_dropped
+
+
+def test_d4_composes_its_two_stages(spark, sf_dir):
+    """D4 = SemDeDup then prototype-prune the survivors: the roster must
+    contain exactly SemDeDup's kept set, and within each cluster the
+    keep cut must be the integer-rational 70% of the SURVIVOR count (not
+    the raw cluster size)."""
+    import pyspark.sql.functions as _F
+
+    from futures_eos_cdc_spark.plans.dataprep import (
+        _SEMDEDUP_TAU,
+        _trained_centroids,
+        q_d4_selection,
+    )
+    from futures_eos_cdc_spark.operators.similarity import semantic_dedup
+    from futures_eos_cdc_spark.sources.tables import load_table
+
+    rows = q_d4_selection(spark, sf_dir, load_table).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(spark, sf_dir, e)
+    sem_kept = {
+        r.vec_id
+        for r in semantic_dedup(e, cents, threshold=_SEMDEDUP_TAU)
+        .filter(_F.col("kept"))
+        .collect()
+    }
+    assert {r.vec_id for r in rows} == sem_kept  # stage-1 output is the roster
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        surv = members[0].survivors
+        assert len(members) == surv
+        kept = [m for m in members if m.kept]
+        assert len(kept) == (surv * 7) // 10
+        max_kept = max((m.hard_rank for m in kept), default=0)
+        min_drop = min((m.hard_rank for m in members if not m.kept), default=10**9)
+        assert max_kept < min_drop
