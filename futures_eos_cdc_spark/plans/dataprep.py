@@ -2961,12 +2961,22 @@ def oracle_overrides_for_sf(sf_dir: str) -> dict[str, str]:
     if nc == 16:
         return {}
     return {
-        "ann_cosine_ivf": _ann_ivf_oracle_sql(n_cells=nc),
-        "embedding_kmeans_clusters": _kmeans_oracle_sql(n_cells=nc),
-        "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(n_cells=nc),
-        "prototype_pruning": _prototype_prune_oracle_sql(n_cells=nc),
-        "d4_selection": _d4_oracle_sql(n_cells=nc),
+        name: build(n_cells=nc)
+        for name, build in IVF_FAMILY_ORACLE_BUILDERS.items()
     }
+
+
+# Every oracle whose SQL bakes the trained model's cell count — a NEW
+# IVF-family query registers its builder here and oracle_overrides_for_sf
+# (and its test, which asserts against THIS dict) pick it up automatically
+# (two stale-expectation failures in round 11 motivated the registry).
+IVF_FAMILY_ORACLE_BUILDERS = {
+    "ann_cosine_ivf": _ann_ivf_oracle_sql,
+    "embedding_kmeans_clusters": _kmeans_oracle_sql,
+    "semantic_dedup_embeddings": _semantic_dedup_oracle_sql,
+    "prototype_pruning": _prototype_prune_oracle_sql,
+    "d4_selection": _d4_oracle_sql,
+}
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str, _t) -> DataFrame:

@@ -326,12 +326,10 @@ def test_auto_n_cells_derivation(sf_dir):
     assert embeddings_auto_n_cells(sf_dir) == 16
     assert oracle_overrides_for_sf(sf_dir) == {}
     ov = oracle_overrides_for_sf("/root/testdata/sf0.1")  # 2000 vectors → 63
-    assert set(ov) == {
-        "ann_cosine_ivf",
-        "embedding_kmeans_clusters",
-        "semantic_dedup_embeddings",
-        "prototype_pruning",
-    }
+    from futures_eos_cdc_spark.plans.dataprep import IVF_FAMILY_ORACLE_BUILDERS
+
+    assert set(ov) == set(IVF_FAMILY_ORACLE_BUILDERS)
+    assert "d4_selection" in ov and "prototype_pruning" in ov
     # the regenerated SQL really carries the larger model (the data-sampled
     # init CTE takes the 63 smallest-hash vectors for this corpus)
     assert ov["semantic_dedup_embeddings"].count("named_struct") == 0  # sanity: SQL, not Spark expr
