@@ -217,12 +217,12 @@ def langid_score(
     )
 
 
-def _best_from_buckets(bcol: Column, model: dict[str, list[int]]) -> Column:
-    """THE argmax construction, shared by the temp-column scorer
-    (langid_score) and the standalone expression (langid_best_expr) so
-    the tie rule / cast discipline cannot fork (code-review r11): one
-    fold per language over the SAME bucket-array column, array_min over
-    struct(-score, lang) — max score first, smallest language on ties."""
+def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
+    """Array of struct(-score, lang) per language over the SAME
+    bucket-array column — the one construction every scorer shares so
+    the tie rule / cast discipline cannot fork (code-review r11):
+    ordering the structs ranks by max score first, smallest language on
+    ties."""
 
     def _fold(weights: Column) -> Column:
         # closure helper: PySpark derives higher-order-function arity from
@@ -239,7 +239,31 @@ def _best_from_buckets(bcol: Column, model: dict[str, list[int]]) -> Column:
         candidates.append(
             F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
         )
-    return F.array_min(F.array(*candidates))
+    return F.array(*candidates)
+
+
+def _best_from_buckets(bcol: Column, model: dict[str, list[int]]) -> Column:
+    """The argmax struct — min of :func:`_candidates_array`."""
+    return F.array_min(_candidates_array(bcol, model))
+
+
+def langid_ranked_expr(
+    text: Column,
+    model: dict[str, list[int]],
+    *,
+    n: int = LANGID_N,
+    buckets: int = LANGID_BUCKETS,
+    max_chars: int = LANGID_MAX_CHARS,
+) -> Column:
+    """All candidate languages RANKED (best first) as one sorted
+    struct array — for confidence/margin consumers (CCNet thresholds on
+    classifier confidence, not just the argmax). NULL text gives NULL;
+    element 1 is the argmax, element 2 the runner-up (NULL past the
+    language count — single-language models rank one entry)."""
+    ranked = F.array_sort(
+        _candidates_array(gram_buckets_expr(text, n, buckets, max_chars), model)
+    )
+    return F.when(text.isNotNull(), ranked)
 
 
 def langid_best_expr(

@@ -5380,7 +5380,7 @@ def _langid_model_cached(spark: SparkSession, sf_dir: str, docs) -> dict:
     return got
 
 
-LANGID_ORACLE = rf"""
+_LANGID_ORACLE_PREFIX = rf"""
 WITH t AS (
   -- length(text) > 0 mirrors the query: an empty (gram-less) document is
   -- unclassifiable and EXCLUDED on both sides (code-review r11: the
@@ -5413,12 +5413,39 @@ pick AS (
   SELECT doc_id, cand, score,
     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
   FROM sc
-)
+)"""
+
+LANGID_ORACLE = (
+    _LANGID_ORACLE_PREFIX
+    + """
 SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang,
   p.cand AS pred_lang, p.score AS pred_score,
   (p.cand = t.lang) AS agree
 FROM t JOIN pick p ON p.doc_id = t.doc_id AND p.rn = 1
 """
+)
+
+# Confidence = the integer margin between the top two language scores —
+# the quantity CCNet thresholds on before trusting a prediction (fastText
+# confidence). ``confident`` is exact integer arithmetic: margin is at
+# least LANGID_CONF_PCT percent of the winning score.
+LANGID_CONF_PCT = 1
+
+LANGID_CONFIDENCE_ORACLE = (
+    _LANGID_ORACLE_PREFIX
+    + f""",
+p1 AS (SELECT doc_id, cand, score FROM pick WHERE rn = 1),
+p2 AS (SELECT doc_id, cand AS second_lang, score AS s2 FROM pick WHERE rn = 2)
+SELECT CAST(p1.doc_id AS BIGINT) AS doc_id,
+  p1.cand AS pred_lang,
+  p1.score AS pred_score,
+  p2.second_lang,
+  CAST(p1.score - coalesce(p2.s2, 0) AS BIGINT) AS margin,
+  (p1.score - coalesce(p2.s2, 0)) * 100 >= p1.score * {LANGID_CONF_PCT}
+    AS confident
+FROM p1 LEFT JOIN p2 USING (doc_id)
+"""
+)
 
 
 def q_langid_scores(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
@@ -5457,6 +5484,44 @@ def q_langid_scores(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         "pred_score",
         (F.col("pred_lang") == F.col("lang")).alias("agree"),
     )
+
+
+def q_langid_confidence(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Classifier confidence per document: the integer margin between the
+    top two language scores, and the CCNet-style ``confident`` flag
+    (margin >= {LANGID_CONF_PCT}% of the winning score — exact integer
+    arithmetic, no float boundary). Pipelines route low-confidence
+    documents to a fallback (longer prefix, human audit, or drop);
+    thresholding on confidence rather than just taking the argmax is how
+    CCNet actually uses fastText. Same scan shape as langid_scores — the
+    ranked struct array is one pure-projection sort over the per-language
+    fold results."""
+    from ..operators.langid import langid_ranked_expr
+
+    # lang rides along for the training labels only — not emitted
+    docs = (
+        spread(_t(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "lang", "text")
+    )
+    model = _langid_model_cached(spark, sf_dir, docs)
+    ranked = langid_ranked_expr(F.col("text"), model)
+    best, second = ranked.getItem(0), ranked.getItem(1)
+    pred_score = (-best["neg"]).cast("long")
+    margin = (pred_score - F.coalesce(-second["neg"], F.lit(0))).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        best["lang"].alias("pred_lang"),
+        pred_score.alias("pred_score"),
+        second["lang"].alias("second_lang"),
+        margin.alias("margin"),
+        (margin * 100 >= pred_score * LANGID_CONF_PCT).alias("confident"),
+    )
+
+
+q_langid_confidence.__doc__ = q_langid_confidence.__doc__.format(
+    LANGID_CONF_PCT=LANGID_CONF_PCT
+)
 
 
 # The derived-lang twin, oracle-checked END TO END: DuckDB replays the

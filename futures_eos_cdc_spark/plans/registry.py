@@ -1158,6 +1158,8 @@ QUERIES["prototype_pruning"] = _bind(_dp.q_prototype_pruning)
 ORACLES["prototype_pruning"] = _dp.PROTOTYPE_PRUNING_ORACLE
 QUERIES["d4_selection"] = _bind(_dp.q_d4_selection)
 ORACLES["d4_selection"] = _dp.D4_SELECTION_ORACLE
+QUERIES["langid_confidence"] = _bind(_dp.q_langid_confidence)
+ORACLES["langid_confidence"] = _dp.LANGID_CONFIDENCE_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1179,6 +1181,7 @@ _WALK_FIRST = [
     "perplexity_buckets_derived_lang",
     "prototype_pruning",
     "d4_selection",
+    "langid_confidence",
     # Priority 1 — r10 VERDICT next #1's explicit list: the 29 queries
     # whose newest driver row is r8; after r11 no query's newest row is
     # older than r9.
@@ -1233,7 +1236,6 @@ _WALK_FIRST = [
     "market_price_lookup",
     "outbox_event_router",
     "decision_records",
-    "sessionize_events",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]

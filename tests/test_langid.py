@@ -198,3 +198,28 @@ def test_derived_lang_wiring_matches_fixture_on_agreeing_docs(spark, sf_dir):
 
     with pytest.raises(ValueError):
         q_perplexity_buckets(spark, sf_dir, load_table, lang_source="bogus")
+
+def test_langid_ranked_and_confidence_semantics(spark):
+    """The ranked expression orders candidates best-first with the same
+    tie rule as the argmax; the margin is top1 - top2 in exact integers;
+    a single-language model ranks one entry (runner-up NULL)."""
+    from futures_eos_cdc_spark.operators.langid import langid_ranked_expr
+
+    docs = _corpus(spark)
+    model = langid_model(docs)
+    rows = docs.select(
+        "doc_id",
+        "lang",
+        langid_ranked_expr(F.col("text"), model).alias("ranked"),
+    ).collect()
+    for r in rows:
+        scores = [(-e["neg"], e["lang"]) for e in r.ranked]
+        assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+        assert scores[0][1] == r.lang  # disjoint alphabets: argmax = label
+        assert scores[0][0] - scores[1][0] >= 0
+
+    solo = {"aa": model["aa"]}
+    srow = docs.limit(1).select(
+        langid_ranked_expr(F.col("text"), solo).alias("ranked")
+    ).collect()[0]
+    assert len(srow.ranked) == 1  # getItem(1) on this is NULL downstream
