@@ -120,6 +120,7 @@ def dsir_ratio_literal(
     ratio ln((raw_tot + n)/(tgt_tot + n)), the same Laplace formula at
     cnt=0."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     rows = dsir_log_ratios(doc_bucket_counts, n_buckets).collect()
     tot = doc_bucket_counts.agg(
@@ -129,10 +130,16 @@ def dsir_ratio_literal(
         ),
     ).collect()[0]
     raw_tot, tgt_tot = int(tot["raw_tot"] or 0), int(tot["tgt_tot"] or 0)
-    default = round(
-        math.log(1.0 / (tgt_tot + n_buckets))
-        - math.log(1.0 / (raw_tot + n_buckets)),
-        6,
+    # half-up at 6dp like F.round, NOT Python round()'s banker's
+    # rounding — at a tie the unseen-bucket default must match what the
+    # batch path (dsir_log_ratios) emits for the same formula (ADVICE r11)
+    default = float(
+        Decimal(
+            repr(
+                math.log(1.0 / (tgt_tot + n_buckets))
+                - math.log(1.0 / (raw_tot + n_buckets))
+            )
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
     arr = [default] * n_buckets
     for r in rows:

@@ -129,7 +129,11 @@ def train_langid(
     frequency any SQL engine reproduces bit-for-bit. Unseen buckets take
     the same formula at count=0 (densified by the model collectors)."""
     b = (
-        docs.filter(F.col(text_col).isNotNull())
+        # a NULL lang would become a None model key, crashing every
+        # literal-path scorer's sorted(model) — drop such rows at
+        # training time (ADVICE r11): real corpora carry missing lang
+        # metadata and should degrade, not crash
+        docs.filter(F.col(text_col).isNotNull() & F.col(lang_col).isNotNull())
         .select(
             F.col(lang_col).alias("lang"),
             F.explode(gram_buckets_expr(F.col(text_col), n, buckets, max_chars)).alias(
@@ -324,6 +328,16 @@ def langid_score_join(
     '' can be one) scores 0 for every language and predicts the
     lexicographically smallest, NULL text predicts NULL."""
     langs = profiles.select("lang", "total").distinct()
+    lang_rows = langs.select("lang").collect()  # bounded: n_langs rows
+    if not lang_rows:
+        # empty/degenerate training corpus: degrade like semantic_dedup
+        # (ADVICE r11) — every document scores NULL rather than min()
+        # raising on an empty sequence
+        return docs.select(
+            id_col,
+            F.lit(None).cast("string").alias("pred_lang"),
+            F.lit(None).cast("long").alias("pred_score"),
+        )
     exploded = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
@@ -352,7 +366,7 @@ def langid_score_join(
     # it takes the all-zero-scores verdict (the smallest language, the
     # literal path's tie-break); NULL text stays NULL. The langs table is
     # bounded (n_langs rows), so min() here is a driver-side constant.
-    smallest = min(r["lang"] for r in langs.select("lang").collect())
+    smallest = min(r["lang"] for r in lang_rows)
     return docs.select(id_col, F.col(text_col).alias("_lid_text")).join(
         pick, id_col, "left"  # doc-keyed join: both sides corpus-sized
     ).select(

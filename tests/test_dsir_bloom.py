@@ -232,3 +232,29 @@ def test_gate_index_bloom_null_content_matches_plain(spark, tmp_path):
     fast = {r.doc_id for r in idx.gate(batch, use_bloom=True).collect()}
     plain = {r.doc_id for r in idx.gate(batch, use_bloom=False).collect()}
     assert fast == plain == {101, 102}
+
+
+def test_dsir_ratio_literal_default_uses_half_up_rounding(spark):
+    """ADVICE r11: the count-0 default weight must round half-up at 6dp —
+    the same rule F.round applies in dsir_log_ratios — not Python
+    round()'s banker's rounding. Pin parity by computing the identical
+    formula through Spark round and comparing bit-for-bit."""
+    from futures_eos_cdc_spark.operators.dsir import (
+        dsir_ratio_literal,
+    )
+
+    counts = spark.createDataFrame(
+        [(1, 3, 2, True), (2, 7, 5, False), (3, 3, 4, True)],
+        "doc_id long, bucket int, cnt long, is_t boolean",
+    )
+    ratios = dsir_ratio_literal(counts, n_buckets=8)
+    raw_tot, tgt_tot = 11, 6
+    spark_default = spark.range(1).select(
+        F.round(
+            F.log(F.lit(1.0) / F.lit(float(tgt_tot + 8)))
+            - F.log(F.lit(1.0) / F.lit(float(raw_tot + 8))),
+            6,
+        ).alias("d")
+    ).collect()[0].d
+    # bucket 0 was never hit by training, so it carries the default
+    assert ratios[0] == spark_default

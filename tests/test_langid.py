@@ -223,3 +223,30 @@ def test_langid_ranked_and_confidence_semantics(spark):
         langid_ranked_expr(F.col("text"), solo).alias("ranked")
     ).collect()[0]
     assert len(srow.ranked) == 1  # getItem(1) on this is NULL downstream
+
+
+def test_train_langid_drops_null_lang_rows(spark):
+    """ADVICE r11: a NULL lang must not become a None model key (which
+    crashes sorted(model) in every literal-path scorer) — training drops
+    such rows and the model covers only the labelled languages."""
+    docs = _corpus(spark).union(
+        spark.createDataFrame(
+            [(900, None, "mystery text with no label at all")],
+            "doc_id long, lang string, text string",
+        )
+    )
+    model = langid_model(docs)
+    assert set(model) == set(_ALPHA)  # no None key
+    # scoring the full corpus (incl. the unlabelled doc) must not raise
+    out = langid_score(docs, model).collect()
+    assert len(out) == len(docs.collect())
+
+
+def test_langid_score_join_empty_profiles_degrades(spark):
+    """ADVICE r11: an empty/degenerate training corpus must degrade to
+    all-NULL predictions, not raise min()-of-empty-sequence."""
+    docs = _corpus(spark).limit(3)
+    empty = train_langid(docs.filter(F.lit(False)))
+    out = langid_score_join(docs, empty).collect()
+    assert len(out) == 3
+    assert all(r.pred_lang is None and r.pred_score is None for r in out)

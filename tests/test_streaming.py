@@ -401,17 +401,28 @@ def test_rate_source_sustains_1000_rps():
         )
 
     # Direct measurements on this box run ~1.5x the bar (sustained
-    # 1500-1570 rps, median trigger ~650 ms); a failing sample is a
-    # transient machine hiccup, so allow two respawns before believing it
-    # (three independent cold JVMs all under the bar is a real regression,
-    # one is noise — the same reasoning as bench.py's min-of-2).
-    rate, dur = soak()
-    for _ in range(2):
-        if rate >= 1000 and dur <= 1000:
-            break
-        rate, dur = soak()
-    assert rate >= 1000, rate
-    assert dur <= 1000, dur
+    # 1500-1570 rps, median trigger ~650 ms). One failing sample is a
+    # transient machine hiccup, but "any 1 of 3 passes" would let a
+    # ~33%-flaky regression slip through almost every run (ADVICE r11) —
+    # so once the first sample misses, demand a MAJORITY: stop at two
+    # passes or two failures (max 3 cold JVMs), and report every sample
+    # so a regression trend stays visible in the failure message.
+    def ok(sample: tuple[float, float]) -> bool:
+        r, d = sample
+        return r >= 1000 and d <= 1000
+
+    samples = [soak()]
+    while not (
+        sum(ok(s) for s in samples) >= (1 if len(samples) == 1 else 2)
+        or sum(not ok(s) for s in samples) >= 2
+    ):
+        samples.append(soak())
+    passes = sum(ok(s) for s in samples)
+    assert passes >= (1 if len(samples) == 1 else 2), (
+        f"soak under the bar in {len(samples) - passes}/{len(samples)} "
+        f"cold JVMs (need rate>=1000 rps, dur<=1000 ms): "
+        + ", ".join(f"(rate={r:.0f}, dur={d:.0f})" for r, d in samples)
+    )
 
 
 def test_update_mode_reemits_per_trigger(spark, tmp_path):
