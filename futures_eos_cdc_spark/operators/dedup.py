@@ -380,6 +380,125 @@ def remove_duplicate_spans(
     )
 
 
+def cut_duplicated_grams(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup, the LINEAR formulation — the 100 TB scale path
+    next to :func:`duplicate_spans` + :func:`remove_duplicate_spans`
+    (whose pair-enumerated output is inherently quadratic in the copy
+    count of a viral passage: n docs sharing a passage ARE n(n-1)/2 span
+    rows, so no plan can emit it in linear time).
+
+    Semantics: with gram width ``k`` = the minimum duplicated-substring
+    length, a token position is CUT iff it is covered by a k-gram whose
+    occurrence is not the corpus-wide first (first = smallest (doc, pos);
+    keep-one-copy). This is the duplicated-k-gram-coverage form of
+    exact-substring dedup (the hash/Bloom-set variant of Lee et al.
+    2022's suffix-array ExactSubstr): every duplicated substring of
+    length >= k is a union of duplicated k-grams, and each duplicated
+    k-gram survives in exactly one place corpus-wide. Unlike the
+    pairwise cut it also deduplicates REPEATS WITHIN one document, and
+    "first copy" is per gram rather than per whole span — declared
+    semantics, deterministic, oracle-replayable.
+
+    Output contract matches :func:`remove_duplicate_spans`: one row per
+    doc, (id, n_tokens, n_removed, cleaned_md5) — the md5 proves exact
+    reconstruction without shipping cleaned text.
+
+    Scale shape — every stage corpus-linear, NO pair join anywhere:
+    one gram posexplode (16-byte md5 keys); groupBy(gram) for
+    (first-occurrence, count) with map-side partial agg (a viral gram
+    collapses per input partition before the exchange); join back on
+    gram to flag non-first occurrences; then the classic sweep — each
+    cut occurrence becomes (+1 at s, -1 at s+k) delta events, one
+    (doc, p) aggregation, and a per-doc running sum marks covered
+    positions (group sizes bounded by the doc's own length, never corpus
+    scale). Reassembly is the same per-doc fold as the pairwise cut.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    )
+    pos = toks.select(
+        "doc", F.posexplode(F.col("arr")).alias("i0", "tok")
+    ).select("doc", (F.col("i0") + 1).alias("p"), "tok")
+    grams = (
+        toks.filter(F.size("arr") >= k)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.size("arr") - (k - 1))).alias("p"),
+            "arr",
+        )
+        .select(
+            "doc",
+            "p",
+            F.md5(
+                F.array_join(F.slice(F.col("arr"), F.col("p"), k), " ").cast(
+                    "binary"
+                )
+            ).alias("gram"),
+        )
+    )
+    firsts = grams.groupBy("gram").agg(
+        F.min(F.struct(F.col("doc").alias("d"), F.col("p").alias("i"))).alias(
+            "_first"
+        ),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    starts = (
+        grams.join(firsts, "gram")
+        .filter(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("doc") == F.col("_first.d"))
+                & (F.col("p") == F.col("_first.i"))
+            )
+        )
+        .select("doc", F.col("p").alias("s"))
+    )
+    events = starts.select("doc", F.col("s").alias("p"), F.lit(1).alias("delta")).union(
+        starts.select("doc", (F.col("s") + k).alias("p"), F.lit(-1).alias("delta"))
+    )
+    net = events.groupBy("doc", "p").agg(F.sum("delta").alias("net"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cov = pos.join(net, ["doc", "p"], "left").withColumn(
+        "cum", F.sum(F.coalesce(F.col("net"), F.lit(0))).over(w)
+    )
+    kept = cov.filter(F.col("cum") == 0)
+    agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )
+    empty_md5 = F.md5(F.lit("").cast("binary"))
+    return toks.select("doc", F.size("arr").alias("n_tokens")).join(
+        agg, "doc", "left"
+    ).select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
+    )
+
+
 def reassemble_deduped_docs(
     flagged: DataFrame,
     doc_col: str = "doc_id",

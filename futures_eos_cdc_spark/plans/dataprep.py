@@ -3356,6 +3356,75 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr cut, LINEAR formulation (duplicated-k-gram coverage)
+# ---------------------------------------------------------------------------
+GRAM_CUT_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p, arr[t.p] AS tok
+  FROM arrs, unnest(generate_series(1, len(arr), 1)) AS t(p)
+),
+grams AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+         array_to_string(list_slice(arr, p, p + {SPAN_MIN_LEN - 1}), ' ') AS gram
+  FROM arrs, unnest(generate_series(1, len(arr) - {SPAN_MIN_LEN - 1}, 1)) AS t(p)
+),
+ranked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+  FROM grams
+),
+starts AS (
+  SELECT doc_id, p AS s FROM ranked WHERE rn > 1
+),
+events AS (
+  SELECT doc_id, s AS p, 1 AS delta FROM starts
+  UNION ALL
+  SELECT doc_id, s + {SPAN_MIN_LEN}, -1 FROM starts
+),
+net AS (
+  SELECT doc_id, p, SUM(delta) AS net FROM events GROUP BY doc_id, p
+),
+cov AS (
+  SELECT pos.doc_id, pos.p, pos.tok,
+         SUM(COALESCE(net.net, 0)) OVER (
+           PARTITION BY pos.doc_id ORDER BY pos.p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pos LEFT JOIN net USING (doc_id, p)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+  FROM cov WHERE cum = 0 GROUP BY doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(len(a.arr) AS BIGINT) AS n_tokens,
+       CAST(len(a.arr) - COALESCE(g.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(g.cleaned_md5, md5('')) AS cleaned_md5
+FROM arrs a LEFT JOIN agg g USING (doc_id)
+"""
+
+
+def q_exactsubstr_gram_cut(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """ExactSubstr dedup via duplicated-k-gram COVERAGE (k =
+    {SPAN_MIN_LEN}): cut every token covered by a k-gram occurrence that
+    is not the corpus-wide first — the linear-scaling twin of
+    duplicate_span_removal (whose pair-enumerated spans are inherently
+    quadratic in a passage's copy count). No pair join anywhere; see
+    operators/dedup.py:cut_duplicated_grams for the sweep plan and the
+    declared semantic differences (within-doc repeats also cut, first
+    copy per gram rather than per whole span)."""
+    from ..operators.dedup import cut_duplicated_grams
+
+    out = cut_duplicated_grams(
+        spread(_t(spark, sf_dir, "documents")), k=SPAN_MIN_LEN
+    )
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # Containment admission gate (batch vs corpus)
 # ---------------------------------------------------------------------------
 CONTAINMENT_INCREMENTAL_ORACLE = f"""

@@ -1160,6 +1160,8 @@ QUERIES["d4_selection"] = _bind(_dp.q_d4_selection)
 ORACLES["d4_selection"] = _dp.D4_SELECTION_ORACLE
 QUERIES["langid_confidence"] = _bind(_dp.q_langid_confidence)
 ORACLES["langid_confidence"] = _dp.LANGID_CONFIDENCE_ORACLE
+QUERIES["exactsubstr_gram_cut"] = _bind(_dp.q_exactsubstr_gram_cut)
+ORACLES["exactsubstr_gram_cut"] = _dp.GRAM_CUT_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,68 @@ def test_remove_duplicate_spans_cuts_higher_id_copy(spark):
         ["doc_id", "text"],
     )
     assert duplicate_spans(cleaned, k=3, min_len=4).count() == 0
+
+
+def test_cut_duplicated_grams_linear_semantics(spark):
+    """The linear ExactSubstr formulation (duplicated-k-gram coverage):
+    a passage shared by n docs survives exactly once (in the smallest
+    (doc,pos) occurrence), WITHIN-doc repeats are also cut (unlike the
+    pairwise cut), and untouched docs keep their fingerprint. The planted
+    expectations are reconstructed locally, token by token."""
+    import hashlib
+
+    from futures_eos_cdc_spark.operators.dedup import cut_duplicated_grams
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens >= k
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"ten twenty {shared} thirty forty"),
+        (3, f"{shared} hundred"),
+        (4, "completely unrelated text with zero overlap tokens"),
+        # within-doc repeat: the second copy of the passage must be cut
+        (5, f"intro {shared} middle {shared} outro"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in cut_duplicated_grams(docs, k=4).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 holds the corpus-first occurrence of every shared gram
+    assert out[1] == (9, 0, md5(rows[0][1]))
+    assert out[4] == (7, 0, md5(rows[3][1]))
+    # later copies lose exactly the shared 6 tokens
+    assert out[2] == (10, 6, md5("ten twenty thirty forty"))
+    assert out[3] == (7, 6, md5("hundred"))
+    # within-doc: doc 5's SECOND copy is cut, the first copy already lost
+    # its grams to doc 1 (corpus-first), so both copies go
+    assert out[5] == (15, 12, md5("intro middle outro"))
+
+
+def test_cut_duplicated_grams_short_docs_and_plan_shape(spark):
+    """Docs shorter than k tokens carry no grams and come back intact;
+    the physical plan contains NO self-join of the gram table (the
+    pairwise formulation's quadratic stage) — joins in this plan are the
+    gram-firsts flag join, the (doc,p) event join, and the final doc
+    reassembly join."""
+    import hashlib
+
+    from futures_eos_cdc_spark.operators.dedup import cut_duplicated_grams
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "a b c d a b c d")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+           for r in cut_duplicated_grams(docs, k=4).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (2, 0, md5("tiny doc"))
+    assert out[2] == (2, 0, md5("tiny doc"))  # < k tokens: never cut
+    assert out[3] == (8, 4, md5("a b c d"))  # self-repeat cut once
+    # plan shape: no cartesian/broadcast-nested-loop anywhere
+    plan = cut_duplicated_grams(docs, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

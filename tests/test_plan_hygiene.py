@@ -522,3 +522,16 @@ def test_prototype_pruning_single_cluster_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInPandas" not in plan  # 16 cells x 64 dims < the term budget
     assert "BatchEvalPython" not in plan
+
+
+def test_exactsubstr_gram_cut_has_no_pair_join(spark, sf_dir):
+    """The linear ExactSubstr formulation must never plan the pairwise
+    stage: no cartesian/nested-loop, no Python eval, and every join in
+    the plan is an equi-join (gram flag join, (doc,p) event join, doc
+    reassembly join) — the quadratic gram self-join of
+    duplicate_text_spans is absent by construction."""
+    plan = _plan(spark, sf_dir, "exactsubstr_gram_cut")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
