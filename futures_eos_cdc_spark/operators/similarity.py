@@ -1166,8 +1166,6 @@ def semantic_dedup(
     pre-trained centroids for the train-once-offline deployment (they must
     then be sized for the corpus; that responsibility travels with them).
     """
-    import numpy as np  # noqa: F401 — required by the kernel below
-
     if centroids is None:
         dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
         if dim_row is None:
@@ -1197,7 +1195,32 @@ def semantic_dedup(
     # vectors would otherwise serialize through Python twice
     assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     emb = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
-    skipped = embeddings.sparkSession.sparkContext.accumulator(0)
+    dropped_ids = semdedup_dropped_ids(
+        emb, threshold, id_col=id_col, vec_col=vec_col, max_cell=max_cell
+    )
+    return assigned.join(dropped_ids, id_col, "left").select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("cell").cast("int").alias("cluster_id"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+def semdedup_dropped_ids(
+    emb_with_cell: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """The SemDeDup within-cell pair scan, factored over a PRE-ASSIGNED
+    (id, cell, vec) frame so compositions that already paid the
+    assignment (D4's shared ivf_assign_with_dist pass — VERDICT r11
+    next #5) reuse it instead of re-assigning the corpus. Returns the
+    dropped ids with a literal ``_dropped`` marker column; join
+    ``left``/``left_anti`` on ``id_col``. Kernel, float discipline, and
+    the skipped-cell counter are exactly :func:`semantic_dedup`'s (this
+    IS that code path — the caller-facing wrapper composes it)."""
+    skipped = emb_with_cell.sparkSession.sparkContext.accumulator(0)
 
     def cell_dropped(pdf):
         import numpy as _np
@@ -1237,15 +1260,11 @@ def semantic_dedup(
         return _pd.DataFrame({id_col: ids[dropped]})
 
     dropped_ids = (
-        emb.groupBy("cell")
+        emb_with_cell.groupBy("cell")
         .applyInPandas(cell_dropped, f"{id_col} long")
         .withColumn("_dropped", F.lit(True))
     )
     from ..streaming.monitor import register_operator_counter
 
     register_operator_counter("semantic_dedup.skipped_cells", skipped)
-    return assigned.join(dropped_ids, id_col, "left").select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col("cell").cast("int").alias("cluster_id"),
-        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
-    )
+    return dropped_ids

@@ -2917,24 +2917,31 @@ def q_d4_selection(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     (semantic_dedup_embeddings + prototype_pruning) on the SHARED
     train-once centroids.
 
-    Plan at 100 TB: SemDeDup's within-cell pair scan is its documented
-    cost model (one cell-keyed exchange into the Arrow kernel); the
-    survivor filter is an ids-only LEFT SEMI join (16 bytes per row
-    crosses the wire, never embeddings); assignment + prototype distance
-    is a pure projection and both windows share one cluster-keyed
-    exchange. The oracle replays training, the cosine drops, the
-    distance fold, and the survivor-denominated rank bit-for-bit."""
+    Plan at 100 TB: the corpus is ASSIGNED ONCE — one
+    ivf_assign_with_dist projection feeds both stages (VERDICT r11 next
+    #5; the first composition assigned twice and re-scanned the
+    embeddings for the survivor semi-join). SemDeDup's within-cell pair
+    scan is its documented cost model (one cell-keyed exchange into the
+    Arrow kernel over that shared assignment); the survivor filter is an
+    ids-only LEFT ANTI join (16 bytes per row crosses the wire, never
+    embeddings); both windows share one cluster-keyed exchange. The
+    oracle replays training, the cosine drops, the distance fold, and
+    the survivor-denominated rank bit-for-bit."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import ivf_assign_with_dist, semantic_dedup
+    from ..operators.similarity import (
+        ivf_assign_with_dist,
+        semdedup_dropped_ids,
+    )
 
     e = spread(_t(spark, sf_dir, "embeddings"))
     cents = _trained_centroids(spark, sf_dir, e)
-    roster = semantic_dedup(e, cents, threshold=_SEMDEDUP_TAU)
-    surv_ids = roster.filter(F.col("kept")).select("vec_id")
-    assigned = ivf_assign_with_dist(
-        e.join(surv_ids, "vec_id", "left_semi"), cents
+    assigned_all = ivf_assign_with_dist(e, cents)
+    emb = assigned_all.select("vec_id", "cell").join(
+        e.select("vec_id", "embedding"), "vec_id"
     )
+    dropped = semdedup_dropped_ids(emb, threshold=_SEMDEDUP_TAU)
+    assigned = assigned_all.join(dropped, "vec_id", "left_anti")
     w_size = Window.partitionBy("cell")
     w_rank = Window.partitionBy("cell").orderBy(F.desc("d"), F.col("vec_id"))
     return assigned.select(
@@ -5464,8 +5471,12 @@ g AS (
   FROM t
 ),
 b AS (
-  SELECT doc_id, lang, CAST(({_HEX4}) % {LANGID_BUCKETS} AS BIGINT) AS bucket
-  FROM (SELECT doc_id, lang, md5('lid|' || gram) AS hx FROM g)
+  -- base-31 polynomial over the gram's code points (ord == Spark ascii;
+  -- exact BIGINT in both engines) — round 12 replaced the salted md5
+  SELECT doc_id, lang,
+    CAST(((ord(substr(gram, 1, 1)) * 961 + ord(substr(gram, 2, 1)) * 31
+           + ord(substr(gram, 3, 1))) % {LANGID_BUCKETS}) AS BIGINT) AS bucket
+  FROM g
 ),
 cnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
 tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1),
