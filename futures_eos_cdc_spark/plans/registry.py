@@ -1173,71 +1173,66 @@ ORACLES["exactsubstr_gram_cut"] = _dp.GRAM_CUT_ORACLE
 # reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 0 — NEW this round (never had a driver row): language
-    # identification and the WordPiece tokenizer family (VERDICT r10
-    # what's-missing #1 and #2).
+    # Priority 0 — NEW this round (never had a driver row): the linear
+    # ExactSubstr cut (duplicated-k-gram coverage).
+    "exactsubstr_gram_cut",
+    # Priority 1 — implementation changed THIS round: the langid family
+    # (base-31 polynomial gram hash — query AND oracle changed), the D4
+    # shared-assignment rewrite and the semantic-dedup refactor under it,
+    # the bloom gate's prepared-once reference artifacts, and DSIR's
+    # half-up default rounding.
     "langid_scores",
-    "wordpiece_token_counts",
-    "wordpiece_subword_vocab",
-    "wordpiece_vocab",
-    "perplexity_buckets_derived_lang",
-    "prototype_pruning",
-    "d4_selection",
     "langid_confidence",
-    # Priority 1 — r10 VERDICT next #1's explicit list: the 29 queries
-    # whose newest driver row is r8; after r11 no query's newest row is
-    # older than r9.
-    "approx_aggregates",
-    "benchmark_contamination",
-    "bm25_topk_retrieval",
-    "cdc_customer_snapshot",
-    "corpus_clean_funnel",
-    "corpus_token_stats",
-    "customers_without_orders",
-    "doc_perplexity_scores",
-    "embedding_kmeans_clusters",
-    "events_json_extract",
-    "global_shuffle_shards",
-    "mixture_resample",
-    "multimodal_features",
-    "pii_scrub",
-    "pivot_by_status",
-    "quality_classifier_scores",
-    "rollup_subtotals",
-    "scd2_customer_history",
+    "perplexity_buckets_derived_lang",
+    "d4_selection",
     "semantic_dedup_embeddings",
-    "set_ops_priority_customers",
-    "signal_strength_histogram",
-    "simhash_buckets",
-    "simhash_hamming_near_dup",
-    "text_stats",
-    "token_block_segments",
-    "token_blocks",
-    "top_customers_by_revenue",
-    "topk_per_group",
-    "zorder_layout_key",
-    # Priority 2 — implementation touched THIS round: the bloom builder
-    # NULL guard, the temperature-mixture invalid-group exclusion (query
-    # AND oracle changed), the v1k/unigram persisted-table writer path
-    # (now flocked pyarrow, lazy ensure), and stratified sampling /
-    # perplexity buckets which grew the derived-lang option.
+    "prototype_pruning",
     "bloom_dedup_gate",
-    "temperature_mixture_sample",
-    "bpe_token_counts_v1k",
-    "bpe_subword_vocab_v1k",
-    "unigram_token_counts",
-    "unigram_vocab",
-    "stratified_sample_per_lang",
-    "perplexity_buckets",
-    # Priority 3 — fill the remaining window with the oldest r9 rows
-    # (flagship + data-heavy spine). Every oracle-backed query is
-    # additionally re-verified each session by
-    # tests/test_oracle_parity.py over the full ORACLES dict.
-    "signal_decisions",
-    "orders_from_decisions",
-    "market_price_lookup",
-    "outbox_event_router",
-    "decision_records",
+    "dsir_importance_sample",
+    # Priority 2 — r11 VERDICT next #4's rotation: the 41 queries whose
+    # newest driver row is r09 (two rounds old). After this walk no
+    # query's newest row should be older than r10.
+    "asof_join_purchases",
+    "bpe_subword_vocab",
+    "bpe_token_blocks",
+    "bpe_token_counts",
+    "bpe_vocab",
+    "cosine_topk_bruteforce",
+    "cosine_topk_q8",
+    "cosine_topk_q8_rerank",
+    "cube_order_stats",
+    "decontaminate_docs",
+    "distinct_aggregates",
+    "doc_chunks",
+    "doc_repetition_stats",
+    "domain_cap_sample",
+    "duplicate_span_removal",
+    "embedding_near_dup",
+    "full_outer_reconciliation",
+    "fuzzy_join_part_names",
+    "gap_fill_price_grid",
+    "grouping_sets_revenue",
+    "hybrid_rrf_retrieval",
+    "leakage_safe_split",
+    "moving_aggregates",
+    "ohlcv_candles",
+    "order_price_histogram",
+    "order_value_percentiles",
+    "pagerank_near_dup",
+    "q18_large_volume_orders",
+    "q1_pricing_summary",
+    "q22_idle_wealthy_customers",
+    "q9_profit_by_nation",
+    "quality_weighted_sample",
+    "range_join_click_attribution",
+    "sessionize_events",
+    "skew_salted_aggregate",
+    "sliding_window_events",
+    "technical_indicators",
+    "tfidf_top_terms",
+    "token_budget_mixture",
+    "train_val_test_split",
+    "window_functions",
 ]
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
