@@ -1472,6 +1472,154 @@ def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy difference selection (round 12)
+# ---------------------------------------------------------------------------
+# The classic intelligent-data-selection method (Moore & Lewis 2010,
+# "Intelligent Selection of Language Model Training Data"): score every
+# candidate document by H_general(doc) - H_target(doc) — the per-token
+# cross-entropy under an LM trained on the GENERAL corpus minus the one
+# under an LM trained on the TARGET (in-domain) corpus. Positive score =
+# the target model finds the document more probable than the general
+# model does = in-domain-like; select the top slice. CCNet's
+# "looks like Wikipedia" filter is this method with KenLM.
+_ML_TARGET_LANG = "en"  # the fixture's in-domain slice
+
+
+def _ml_lm_sql(train_where: str, prefix: str) -> str:
+    """One add-k bigram LM as oracle CTEs: counts + vocab from the
+    ``train_where`` subset, left-join scoring over the WHOLE corpus
+    (unseen bigrams take the count-0 add-k probability — unlike the
+    self-trained PERPLEXITY_ORACLE, scored text here is NOT a subset of
+    the training text). Same 6dp-per-term / DECIMAL-sum float discipline
+    as every ln() oracle in this file."""
+    return rf"""
+{prefix}bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg
+  WHERE {train_where} GROUP BY 1, 2
+), {prefix}uc AS (
+  SELECT w1, count(*) AS c1 FROM bg WHERE {train_where} GROUP BY 1
+), {prefix}vocab AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(t) AS term FROM toks WHERE {train_where})
+), {prefix}scored AS (
+  SELECT bg.doc_id,
+    round(ln((COALESCE(c.c2, 0) + CAST({PPLX_K!r} AS DOUBLE))
+             / (COALESCE(u.c1, 0) + CAST({PPLX_K!r} AS DOUBLE) * v.v)), 6)
+      AS lp
+  FROM bg
+  LEFT JOIN {prefix}bc c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+  LEFT JOIN {prefix}uc u ON bg.w1 = u.w1
+  CROSS JOIN {prefix}vocab v
+), {prefix}h AS (
+  SELECT doc_id,
+    round(-CAST(CAST(sum(CAST(lp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+          / count(*), 6) AS h
+  FROM {prefix}scored GROUP BY doc_id
+)"""
+
+
+MOORE_LEWIS_ORACLE = (
+    rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang, t[i-1] AS w1, t[i] AS w2
+  FROM toks, unnest(generate_series(2, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),"""
+    + _ml_lm_sql(f"lang = '{_ML_TARGET_LANG}'", "tgt_").lstrip()
+    + ","
+    + _ml_lm_sql("TRUE", "gen_")
+    + f"""
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+  t.h AS h_target,
+  g.h AS h_general,
+  round(g.h - t.h, 6) AS ml_score,
+  (g.h - t.h) > CAST(0.0 AS DOUBLE) AS selected
+FROM gen_h g JOIN tgt_h t USING (doc_id)
+"""
+)
+
+
+def _ml_lm_frame(bg: DataFrame, toks: DataFrame, train_cond, h_col: str) -> DataFrame:
+    """(doc_id, h): per-doc cross-entropy under the add-k bigram LM
+    trained on the ``train_cond`` subset — LEFT joins, so bigrams the
+    training subset never saw take the count-0 add-k probability. Model
+    tables are vocab-bounded (broadcast under AQE); the corpus explodes
+    once (callers share ``bg``/``toks`` between both LMs)."""
+    bc = bg.filter(train_cond).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    uc = bg.filter(train_cond).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.filter(train_cond).select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.expr(
+                f"round(ln((coalesce(c2, 0) + {PPLX_K!r}d)"
+                f" / (coalesce(c1, 0) + {PPLX_K!r}d * v)), 6)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(h_col)
+    )
+
+
+def q_moore_lewis_selection(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """Moore-Lewis data selection over the corpus: per document, the
+    cross-entropy under the TARGET LM (trained on the '{_ML_TARGET_LANG}'
+    slice) and the GENERAL LM (trained on everything), their difference
+    (higher = more target-like), and the classic select-above-threshold
+    flag. Both LMs are add-k bigram models over the SAME single corpus
+    explode — the tokenize/bigram stage is shared, each LM adds only its
+    vocab-bounded count tables (broadcast) and one left-join scoring pass.
+
+    Plan at 100 TB: one corpus gram explode; 2x (bigram-count +
+    unigram-count + 1-row vocab) bounded model aggregates; scoring joins
+    are (w1, w2)-keyed against vocab-sized tables (AQE broadcasts them
+    when they fit); one doc-keyed aggregation per LM and a doc-keyed
+    join of two tiny (doc, h) tables. No all-pairs stage, no window."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    from ..operators.text import tokens_expr
+
+    toks = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(transform(sequence(2, size(t)),"
+            " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    tgt = _ml_lm_frame(bg, toks, F.col("lang") == _ML_TARGET_LANG, "h_target")
+    gen = _ml_lm_frame(bg, toks, F.lit(True), "h_general")
+    score = F.round(F.col("h_general") - F.col("h_target"), 6)
+    return gen.join(tgt, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "h_target",
+        "h_general",
+        score.alias("ml_score"),
+        (F.col("h_general") - F.col("h_target") > 0.0).alias("selected"),
+    )
+
+
+q_moore_lewis_selection.__doc__ = q_moore_lewis_selection.__doc__.format(
+    _ML_TARGET_LANG=_ML_TARGET_LANG
+)
+
+
+# ---------------------------------------------------------------------------
 # BM25 top-k retrieval (Okapi BM25, Robertson-Sparck-Jones smoothed idf)
 # ---------------------------------------------------------------------------
 BM25_K1 = 1.2

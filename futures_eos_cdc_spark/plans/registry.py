@@ -1162,6 +1162,8 @@ QUERIES["langid_confidence"] = _bind(_dp.q_langid_confidence)
 ORACLES["langid_confidence"] = _dp.LANGID_CONFIDENCE_ORACLE
 QUERIES["exactsubstr_gram_cut"] = _bind(_dp.q_exactsubstr_gram_cut)
 ORACLES["exactsubstr_gram_cut"] = _dp.GRAM_CUT_ORACLE
+QUERIES["moore_lewis_selection"] = _bind(_dp.q_moore_lewis_selection)
+ORACLES["moore_lewis_selection"] = _dp.MOORE_LEWIS_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1174,8 +1176,10 @@ ORACLES["exactsubstr_gram_cut"] = _dp.GRAM_CUT_ORACLE
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
     # Priority 0 — NEW this round (never had a driver row): the linear
-    # ExactSubstr cut (duplicated-k-gram coverage).
+    # ExactSubstr cut (duplicated-k-gram coverage) and Moore-Lewis
+    # cross-entropy-difference data selection.
     "exactsubstr_gram_cut",
+    "moore_lewis_selection",
     # Priority 1 — implementation changed THIS round: the langid family
     # (base-31 polynomial gram hash — query AND oracle changed), the D4
     # shared-assignment rewrite and the semantic-dedup refactor under it,
@@ -1188,7 +1192,6 @@ _WALK_FIRST = [
     "semantic_dedup_embeddings",
     "prototype_pruning",
     "bloom_dedup_gate",
-    "dsir_importance_sample",
     # Priority 2 — r11 VERDICT next #4's rotation: the 41 queries whose
     # newest driver row is r09 (two rounds old). After this walk no
     # query's newest row should be older than r10.

@@ -130,6 +130,44 @@ def _scale_embeddings(src: str, dst: str, factor: int, seed: int) -> int:
     return table.num_rows
 
 
+def _scale_events(src: str, dst: str, factor: int) -> int:
+    """Replica k of the event stream is a LATER TIME PERIOD: ts shifts by
+    k x (fixture span + 1 h) and event_id by k x ID_STRIDE. That is the
+    streaming-history scaling mode — the symbol set stays fixed (the
+    reference trades a fixed instrument universe) while the
+    (symbol, window, timeframe) group count grows linearly with data, so
+    per-group state (the last-10 buffers, OHLCV candles, session gaps)
+    stays bounded exactly as it does on a longer real feed. Added in
+    round 12 for the flagship family's scaling rows (r11 VERDICT next
+    #3); before that the events table was copied through unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    ts = t.column("ts")
+    span_us = (
+        pc.max(ts).cast(pa.int64()).as_py() - pc.min(ts).cast(pa.int64()).as_py()
+    )
+    shift_us = span_us + 3_600_000_000  # + 1 h gap between replicas
+    chunks = [t]
+    for k in range(1, factor):
+        chunks.append(
+            t.set_column(
+                t.schema.get_field_index("event_id"),
+                "event_id",
+                pc.add(t.column("event_id"), k * ID_STRIDE),
+            ).set_column(
+                t.schema.get_field_index("ts"),
+                "ts",
+                pc.add(ts.cast(pa.int64()), k * shift_us).cast(ts.type),
+            )
+        )
+    out = pa.concat_tables(chunks)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
 def ensure_scaled_dir(
     src_dir: str,
     out_dir: str | None = None,
@@ -146,7 +184,7 @@ def ensure_scaled_dir(
         "src": os.path.abspath(src_dir),
         "factor": factor,
         "seed": seed,
-        "model": "disjoint-replicas-v2",
+        "model": "disjoint-replicas-v3",  # v3: events scale (later periods)
     }
     if os.path.exists(marker):
         try:
@@ -172,10 +210,13 @@ def ensure_scaled_dir(
             f"{src_dir}/embeddings.parquet", f"{stage}/embeddings.parquet",
             factor, seed,
         ),
+        "events": _scale_events(
+            f"{src_dir}/events.parquet", f"{stage}/events.parquet", factor
+        ),
     }
     for name in (
         "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events",
+        "lineitem",
     ):
         shutil.copyfile(f"{src_dir}/{name}.parquet", f"{stage}/{name}.parquet")
     with open(os.path.join(stage, "_SCALED_OK.json"), "w") as f:

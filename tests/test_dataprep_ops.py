@@ -1492,3 +1492,49 @@ def test_d4_composes_its_two_stages(spark, sf_dir):
         max_kept = max((m.hard_rank for m in kept), default=0)
         min_drop = min((m.hard_rank for m in members if not m.kept), default=10**9)
         assert max_kept < min_drop
+
+
+def test_moore_lewis_separates_domains(spark):
+    """Moore-Lewis semantics the oracle can't state: documents written in
+    the target slice's vocabulary score POSITIVE (target LM beats the
+    general LM) and out-of-domain documents score NEGATIVE — including
+    HELD-OUT docs whose bigrams the target LM never saw (the add-k
+    left-join smoothing path)."""
+    import pyspark.sql.functions as F
+
+    from futures_eos_cdc_spark.plans.dataprep import (
+        _ml_lm_frame,
+        _ML_TARGET_LANG,
+    )
+    from futures_eos_cdc_spark.operators.text import tokens_expr
+
+    tgt_words = "alpha beta gamma delta epsilon zeta"
+    gen_words = "zork quux blarg wibble fnord grunt"
+    rows = []
+    for i in range(10):
+        w = tgt_words.split()
+        rows.append((i, "en", " ".join(w[i % 6:] + w[: i % 6])))
+    for i in range(10, 30):
+        w = gen_words.split()
+        rows.append((i, "xx", " ".join(w[i % 6:] + w[: i % 6])))
+    # held-out: target-style doc labelled OUT of the training slice, with
+    # one bigram ('epsilon alpha' rotation) the target LM may not have seen
+    rows.append((99, "xx", "alpha beta gamma delta epsilon zeta alpha"))
+    rows.append((98, "xx", "zork quux blarg wibble fnord grunt zork"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    toks = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id", "lang",
+        F.expr("explode(transform(sequence(2, size(t)),"
+               " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
+               ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    tgt = _ml_lm_frame(bg, toks, F.col("lang") == _ML_TARGET_LANG, "h_target")
+    gen = _ml_lm_frame(bg, toks, F.lit(True), "h_general")
+    out = {r.doc_id: r.s for r in gen.join(tgt, "doc_id").select(
+        "doc_id", (F.col("h_general") - F.col("h_target")).alias("s")).collect()}
+    assert all(out[i] > 0 for i in range(10)), "in-domain must score positive"
+    assert all(out[i] < 0 for i in range(10, 30)), "out-of-domain negative"
+    assert out[99] > 0, "held-out target-style doc must still score positive"
+    assert out[98] < 0

@@ -95,3 +95,28 @@ def test_generation_is_deterministic_and_cached(scaled, tmp_path):
 
     marker = json.load(open(f"{scaled}/_SCALED_OK.json"))
     assert marker["factor"] == 3 and marker["rows"]["documents"] > 0
+
+
+def test_events_scale_as_later_periods(scaled):
+    """Replica k of events is a later disjoint time period with shifted
+    event_ids: window count grows linearly, per-(symbol, window) group
+    sizes stay the fixture's own, and replica 0 is verbatim."""
+    src = pq.read_table(f"{SRC}/events.parquet")
+    out = pq.read_table(f"{scaled}/events.parquet")
+    n = src.num_rows
+    assert out.num_rows == 3 * n
+
+    src_ts = src.column("ts").cast("int64").to_pylist()
+    out_ts = out.column("ts").cast("int64").to_pylist()
+    out_id = out.column("event_id").to_pylist()
+    # replica 0 verbatim
+    assert out_ts[:n] == src_ts and out_id[:n] == src.column("event_id").to_pylist()
+    # replica 1: ids shifted by ID_STRIDE, time strictly after replica 0
+    assert out_id[n] == src.column("event_id").to_pylist()[0] + ID_STRIDE
+    assert min(out_ts[n:2 * n]) > max(src_ts)
+    # per-replica time STRUCTURE preserved (same inter-event deltas)
+    d_src = [b - a for a, b in zip(src_ts, src_ts[1:])]
+    d_r1 = [b - a for a, b in zip(out_ts[n:2 * n], out_ts[n + 1:2 * n])]
+    assert d_r1 == d_src
+    # non-shifted columns copied through
+    assert out.column("user_id").to_pylist()[n:2 * n] == src.column("user_id").to_pylist()
