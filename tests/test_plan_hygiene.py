@@ -535,3 +535,18 @@ def test_exactsubstr_gram_cut_has_no_pair_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_moore_lewis_models_broadcast_no_python(spark, sf_dir):
+    """Both LMs' count/vocab tables must reach the corpus-sized scoring
+    side as broadcasts (vocab-bounded at fixture scale), the whole plan
+    stays JVM-side, and no cartesian sneaks in via the two 1-row vocab
+    joins (they must be BroadcastNestedLoop-free: broadcast of a 1-row
+    frame plans as BroadcastNestedLoopJoin in Spark — accept that single
+    shape but nothing unbounded... assert no CartesianProduct and no
+    Python eval)."""
+    plan = _plan(spark, sf_dir, "moore_lewis_selection")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # count tables broadcast
