@@ -307,6 +307,59 @@ def duplicate_spans(
     )
 
 
+def _doc_token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, arr): whitespace-split token arrays — the shared first stage
+    of both cut operators (factored by code-review r12 so the twins
+    cannot fork on tokenization)."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    )
+
+
+def _doc_positions(toks: DataFrame) -> DataFrame:
+    """(doc, p, tok): 1-based token positions from :func:`_doc_token_arrays`."""
+    return toks.select(
+        "doc", F.posexplode(F.col("arr")).alias("i0", "tok")
+    ).select("doc", (F.col("i0") + 1).alias("p"), "tok")
+
+
+def _reassemble_kept(
+    toks: DataFrame, kept: DataFrame, id_col: str
+) -> DataFrame:
+    """Fold surviving (doc, p, tok) rows back to the cut operators' shared
+    output contract: (id, n_tokens, n_removed, cleaned_md5) — the md5
+    proves exact reconstruction without shipping cleaned text. One doc
+    exchange; the collect_list is bounded by the doc's own length. The id
+    keeps ITS OWN type (string/UUID ids are valid; a hard long cast would
+    silently NULL them)."""
+    agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )
+    empty_md5 = F.md5(F.lit("").cast("binary"))
+    return toks.select("doc", F.size("arr").alias("n_tokens")).join(
+        agg, "doc", "left"
+    ).select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame,
@@ -337,13 +390,8 @@ def remove_duplicate_spans(
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("len_tokens") - 1).alias("e"),
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
-    )
-    pos = toks.select(
-        "doc", F.posexplode(F.col("arr")).alias("i0", "tok")
-    ).select("doc", (F.col("i0") + 1).alias("p"), "tok")
+    toks = _doc_token_arrays(docs, id_col, text_col)
+    pos = _doc_positions(toks)
     kept = pos.join(
         ranges,
         (pos["doc"] == ranges["doc"])
@@ -351,33 +399,7 @@ def remove_duplicate_spans(
         & (F.col("p") <= F.col("e")),
         "left_anti",
     )
-    agg = kept.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
-                    ),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).cast("binary")
-        ).alias("cleaned_md5"),
-    )
-    empty_md5 = F.md5(F.lit("").cast("binary"))
-    # id keeps ITS OWN type (string/UUID ids are valid; a hard long cast
-    # would silently NULL them — duplicate_spans itself is type-generic)
-    return toks.select("doc", F.size("arr").alias("n_tokens")).join(
-        agg, "doc", "left"
-    ).select(
-        F.col("doc").alias(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
-    )
+    return _reassemble_kept(toks, kept, id_col)
 
 
 def cut_duplicated_grams(
@@ -418,13 +440,8 @@ def cut_duplicated_grams(
     positions (group sizes bounded by the doc's own length, never corpus
     scale). Reassembly is the same per-doc fold as the pairwise cut.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
-    )
-    pos = toks.select(
-        "doc", F.posexplode(F.col("arr")).alias("i0", "tok")
-    ).select("doc", (F.col("i0") + 1).alias("p"), "tok")
+    toks = _doc_token_arrays(docs, id_col, text_col)
+    pos = _doc_positions(toks)
     grams = (
         toks.filter(F.size("arr") >= k)
         .select(
@@ -471,32 +488,8 @@ def cut_duplicated_grams(
     cov = pos.join(net, ["doc", "p"], "left").withColumn(
         "cum", F.sum(F.coalesce(F.col("net"), F.lit(0))).over(w)
     )
-    kept = cov.filter(F.col("cum") == 0)
-    agg = kept.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
-                    ),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).cast("binary")
-        ).alias("cleaned_md5"),
-    )
-    empty_md5 = F.md5(F.lit("").cast("binary"))
-    return toks.select("doc", F.size("arr").alias("n_tokens")).join(
-        agg, "doc", "left"
-    ).select(
-        F.col("doc").alias(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("cleaned_md5"), empty_md5).alias("cleaned_md5"),
-    )
+    kept = cov.filter(F.col("cum") == 0).select("doc", "p", "tok")
+    return _reassemble_kept(toks, kept, id_col)
 
 
 def reassemble_deduped_docs(

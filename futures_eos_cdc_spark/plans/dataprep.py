@@ -1425,11 +1425,14 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     return _perplexity_frame(docs)
 
 
-def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
-    """q_doc_perplexity's plan, factored so derived queries (the CCNet
-    buckets) can carry doc-constant columns (``keep_cols``, e.g. lang)
-    THROUGH the doc-keyed aggregation instead of paying a second doc_id
-    join to recover them afterwards."""
+def _bigrams_frame(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """(toks, bg): the tokenize + adjacent-bigram explode every bigram-LM
+    consumer shares (q_doc_perplexity, the CCNet buckets, Moore-Lewis —
+    factored by code-review r12 so the size>=2 guard protecting Spark's
+    descending sequence() and the struct field names cannot fork).
+    ``keep_cols`` ride both frames (doc-constant columns, e.g. lang)."""
     from ..operators.text import tokens_expr
 
     keep = list(keep_cols)
@@ -1442,6 +1445,16 @@ def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataF
             " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
         ).alias("bg"),
     ).select("doc_id", *keep, "bg.w1", "bg.w2")
+    return toks, bg
+
+
+def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """q_doc_perplexity's plan, factored so derived queries (the CCNet
+    buckets) can carry doc-constant columns (``keep_cols``, e.g. lang)
+    THROUGH the doc-keyed aggregation instead of paying a second doc_id
+    join to recover them afterwards."""
+    keep = list(keep_cols)
+    toks, bg = _bigrams_frame(docs, keep_cols)
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.select(F.explode("t").alias("term")).agg(
@@ -1591,17 +1604,7 @@ def q_moore_lewis_selection(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     when they fit); one doc-keyed aggregation per LM and a doc-keyed
     join of two tiny (doc, h) tables. No all-pairs stage, no window."""
     docs = spread(_t(spark, sf_dir, "documents"))
-    from ..operators.text import tokens_expr
-
-    toks = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
-    bg = toks.filter(F.size("t") >= 2).select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "explode(transform(sequence(2, size(t)),"
-            " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
-        ).alias("bg"),
-    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    toks, bg = _bigrams_frame(docs, keep_cols=("lang",))
     tgt = _ml_lm_frame(bg, toks, F.col("lang") == _ML_TARGET_LANG, "h_target")
     gen = _ml_lm_frame(bg, toks, F.lit(True), "h_general")
     score = F.round(F.col("h_general") - F.col("h_target"), 6)
@@ -3577,6 +3580,11 @@ def q_exactsubstr_gram_cut(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         spread(_t(spark, sf_dir, "documents")), k=SPAN_MIN_LEN
     )
     return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+q_exactsubstr_gram_cut.__doc__ = q_exactsubstr_gram_cut.__doc__.format(
+    SPAN_MIN_LEN=SPAN_MIN_LEN
+)
 
 
 # ---------------------------------------------------------------------------
@@ -5647,8 +5655,13 @@ b AS (
            + ord(substr(gram, 3, 1))) % {LANGID_BUCKETS}) AS BIGINT) AS bucket
   FROM g
 ),
-cnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1),
+-- training CTEs drop NULL-lang rows exactly like train_langid (ADVICE
+-- r11 fix, mirrored here by code-review r12: a NULL lang must not train
+-- a phantom model); scoring (b) still covers every document
+cnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c FROM b
+        WHERE lang IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM b
+        WHERE lang IS NOT NULL GROUP BY 1),
 sc AS (
   SELECT d.doc_id, tot.lang AS cand,
     CAST(sum(((coalesce(c.c, 0) + 1) * {LANGID_SCALE})

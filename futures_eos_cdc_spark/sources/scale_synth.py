@@ -146,10 +146,14 @@ def _scale_events(src: str, dst: str, factor: int) -> int:
 
     t = pq.read_table(src)
     ts = t.column("ts")
-    span_us = (
+    span = (
         pc.max(ts).cast(pa.int64()).as_py() - pc.min(ts).cast(pa.int64()).as_py()
     )
-    shift_us = span_us + 3_600_000_000  # + 1 h gap between replicas
+    # the 1 h gap in the COLUMN'S OWN unit — fixtures exist in both us and
+    # ns (sources/tables.py normalizes ns on read); a hardcoded-us constant
+    # would make the gap 3.6 ms on a ns fixture (code-review r12)
+    per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+    shift = span + 3_600 * per_s  # + 1 h gap between replicas
     chunks = [t]
     for k in range(1, factor):
         chunks.append(
@@ -160,7 +164,7 @@ def _scale_events(src: str, dst: str, factor: int) -> int:
             ).set_column(
                 t.schema.get_field_index("ts"),
                 "ts",
-                pc.add(ts.cast(pa.int64()), k * shift_us).cast(ts.type),
+                pc.add(ts.cast(pa.int64()), k * shift).cast(ts.type),
             )
         )
     out = pa.concat_tables(chunks)

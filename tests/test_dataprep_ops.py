@@ -1503,10 +1503,10 @@ def test_moore_lewis_separates_domains(spark):
     import pyspark.sql.functions as F
 
     from futures_eos_cdc_spark.plans.dataprep import (
+        _bigrams_frame,
         _ml_lm_frame,
         _ML_TARGET_LANG,
     )
-    from futures_eos_cdc_spark.operators.text import tokens_expr
 
     tgt_words = "alpha beta gamma delta epsilon zeta"
     gen_words = "zork quux blarg wibble fnord grunt"
@@ -1523,13 +1523,7 @@ def test_moore_lewis_separates_domains(spark):
     rows.append((98, "xx", "zork quux blarg wibble fnord grunt zork"))
     docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
 
-    toks = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
-    bg = toks.filter(F.size("t") >= 2).select(
-        "doc_id", "lang",
-        F.expr("explode(transform(sequence(2, size(t)),"
-               " i -> struct(element_at(t, i-1) AS w1, element_at(t, i) AS w2)))"
-               ).alias("bg"),
-    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    toks, bg = _bigrams_frame(docs, keep_cols=("lang",))
     tgt = _ml_lm_frame(bg, toks, F.col("lang") == _ML_TARGET_LANG, "h_target")
     gen = _ml_lm_frame(bg, toks, F.lit(True), "h_general")
     out = {r.doc_id: r.s for r in gen.join(tgt, "doc_id").select(

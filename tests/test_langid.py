@@ -250,3 +250,48 @@ def test_langid_score_join_empty_profiles_degrades(spark):
     out = langid_score_join(docs, empty).collect()
     assert len(out) == 3
     assert all(r.pred_lang is None and r.pred_score is None for r in out)
+
+
+def test_langid_oracle_matches_spark_on_null_lang_corpus(spark):
+    """Code-review r12: the oracle's training CTEs must drop NULL-lang
+    rows exactly like train_langid — on a corpus carrying a NULL-lang
+    document the two engines previously diverged (the oracle trained a
+    phantom NULL-lang model). Full cross-engine replay on such a corpus."""
+    import duckdb
+    import pandas as pd
+
+    from futures_eos_cdc_spark.plans.dataprep import LANGID_ORACLE
+    from futures_eos_cdc_spark.plans.registry import QUERIES
+
+    rows = []
+    did = 0
+    for lang, base in _ALPHA.items():
+        for i in range(4):
+            w = base.split()
+            rows.append((did, lang, " ".join(w[i:] + w[:i])))
+            did += 1
+    rows.append((900, None, "the quick brown fox jumps again"))
+
+    sdocs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    sdocs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    from futures_eos_cdc_spark.operators.langid import langid_model, langid_score
+    model = langid_model(sdocs)
+    got = langid_score(
+        sdocs.filter(F.col("text").isNotNull() & (F.length("text") > 0)), model
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "pred_lang", "pred_score",
+        (F.col("pred_lang") == F.col("lang")).alias("agree"),
+    )
+    srows = sorted([tuple(r) for r in got.collect()], key=repr)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = sorted([tuple(r) for r in con.execute(LANGID_ORACLE).fetchall()], key=repr)
+    assert srows == drows
