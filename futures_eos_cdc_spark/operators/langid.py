@@ -249,7 +249,16 @@ def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
 
     candidates = []
     for lang in sorted(model):
-        score = _fold(F.lit(model[lang]).cast("array<bigint>"))
+        # ONE parsed expression per weight vector, not F.lit(list): building
+        # a 1024-element array literal through py4j cost ~1 s PER LANGUAGE
+        # of plan-construction time per invocation (profiled r12:
+        # langid_confidence construct=2.9 s vs execute=1.5 s at sf0.1) —
+        # the same literal-array lesson the r5 bench notes record for the
+        # ANN centroid planes.
+        arr = F.expr(
+            "array(" + ",".join(f"{w}L" for w in model[lang]) + ")"
+        )
+        score = _fold(arr)
         candidates.append(
             F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
         )
