@@ -123,3 +123,28 @@ def test_protocol_ordering_enforced(broker):
     p.produce("t", key="k", value="v")
     p.abort_transaction()
     assert broker.committed.get("t", []) == []
+
+
+def test_parallel_writer_over_real_sockets(spark, broker):
+    """The key-range-parallel writer's EXECUTOR-side producers each open
+    their own real TCP session to the broker (the factory pickles to the
+    workers); every record lands exactly once across the committed
+    transactions and no transactional.id is shared between ranges."""
+    import uuid as _uuid
+
+    from futures_eos_cdc_spark.sources.kafka import (
+        kafka_txn_decisions_writer_parallel,
+    )
+
+    write = kafka_txn_decisions_writer_parallel(
+        f"127.0.0.1:{broker.port}",
+        n_writers=3,
+        transactional_id_prefix=f"lb-{_uuid.uuid4().hex[:8]}",
+        producer_factory=SocketTxnProducer,
+    )
+    df = _decisions(spark, 12)
+    write(df, epoch_id=0)
+    recs = broker.committed["trading.decisions"]
+    assert sorted(r["key"] for r in recs) == sorted(
+        r["symbol"] for r in df.collect()
+    )
