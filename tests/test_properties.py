@@ -279,3 +279,71 @@ def test_manifest_pruning_never_skips_matching_files(bounds):
                 assert f"f{i}" in keep, (lo, hi, i)
             else:
                 assert f"f{i}" not in keep, (lo, hi, i)  # tight stats => exact skip
+
+
+# ---------------------------------------------------------------------------
+# Linear ExactSubstr cut: exact agreement with a pure-Python reference
+# ---------------------------------------------------------------------------
+def _gram_cut_reference(texts: list[str], k: int):
+    """Pure-Python replay of cut_duplicated_grams' declared semantics:
+    global (doc, pos) first occurrence per k-gram, coverage sweep, kept
+    tokens rejoined with single spaces."""
+    import hashlib
+
+    toks = [t.split() for t in texts]
+    first: dict[tuple, tuple] = {}
+    for d, ts in enumerate(toks):
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p:p + k])
+            if g not in first:
+                first[g] = (d, p)
+    counts: dict[tuple, int] = {}
+    for ts in toks:
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p:p + k])
+            counts[g] = counts.get(g, 0) + 1
+    out = []
+    for d, ts in enumerate(toks):
+        cut = [False] * len(ts)
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p:p + k])
+            if counts[g] > 1 and first[g] != (d, p):
+                for i in range(p, p + k):
+                    cut[i] = True
+        kept = [w for w, c in zip(ts, cut) if not c]
+        cleaned = " ".join(kept)
+        out.append(
+            (len(ts), len(ts) - len(kept),
+             hashlib.md5(cleaned.encode()).hexdigest())
+        )
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cut_duplicated_grams_matches_python_reference(spark_prop, texts):
+    """Random tiny-vocab corpora (maximal gram collisions, overlapping
+    runs, within-doc repeats, empty docs): the distributed sweep must
+    agree with the sequential reference on every doc's
+    (n_tokens, n_removed, cleaned_md5)."""
+    from futures_eos_cdc_spark.operators.dedup import cut_duplicated_grams
+
+    texts = [t if t else "solo" for t in texts]  # empty string -> 1 token
+    docs = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in cut_duplicated_grams(docs, k=3).collect()
+    }
+    want = _gram_cut_reference(texts, k=3)
+    for d, exp in enumerate(want):
+        assert got[d] == exp, (d, texts[d], got[d], exp)
