@@ -247,7 +247,9 @@ def duplicate_spans(
     shared k tokens); the default reports only spans that extend beyond
     one gram.
 
-    Scale: gram identity is a 16-byte md5 (constant-width shuffle keys);
+    Scale: gram identity is a 16-byte binary md5 — unhex(md5(...)), not
+    the 32-char hex string F.md5 returns, halving shuffle-key width
+    (ADVICE r12);
     the self-join is the candidate explosion point, so grams occurring
     more than ``max_gram_occ`` times corpus-wide are EXCLUDED first (a
     boilerplate gram in 1e6 docs would emit 1e12 position pairs; the
@@ -270,9 +272,9 @@ def duplicate_spans(
         .select(
             "doc",
             "p",
-            F.md5(F.array_join(F.slice(F.col("arr"), F.col("p"), k), " ").cast("binary")).alias(
-                "gram"
-            ),
+            F.unhex(
+                F.md5(F.array_join(F.slice(F.col("arr"), F.col("p"), k), " ").cast("binary"))
+            ).alias("gram"),
         )
     )
     ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ")).filter(
@@ -431,7 +433,8 @@ def cut_duplicated_grams(
     reconstruction without shipping cleaned text.
 
     Scale shape — every stage corpus-linear, NO pair join anywhere:
-    one gram posexplode (16-byte md5 keys); groupBy(gram) for
+    one gram posexplode (16-byte binary unhex(md5) keys, ADVICE r12);
+    groupBy(gram) for
     (first-occurrence, count) with map-side partial agg (a viral gram
     collapses per input partition before the exchange); join back on
     gram to flag non-first occurrences; then the classic sweep — each
@@ -452,9 +455,11 @@ def cut_duplicated_grams(
         .select(
             "doc",
             "p",
-            F.md5(
-                F.array_join(F.slice(F.col("arr"), F.col("p"), k), " ").cast(
-                    "binary"
+            F.unhex(
+                F.md5(
+                    F.array_join(F.slice(F.col("arr"), F.col("p"), k), " ").cast(
+                        "binary"
+                    )
                 )
             ).alias("gram"),
         )
@@ -568,7 +573,9 @@ def contained_docs(
       the same content-digest identity the engine's whole dedup family
       keys on (collision odds ~2^-128).
 
-    Grams are md5'd to constant-width 16-byte join keys. Boilerplate probe
+    Grams are unhex(md5)'d to constant-width 16-byte binary join keys
+    (ADVICE r12: F.md5 alone returns 32-char hex — twice the width).
+    Boilerplate probe
     grams (occurring > ``max_gram_occ`` times among the aligned grams)
     are excluded before the join — same declared-semantics cap as
     ``duplicate_spans``: a viral gram in 1e6 docs would emit 1e6-fan-out
@@ -619,7 +626,7 @@ def containment_grams(
         "doc_b",
         "len_b",
         "q",
-        F.md5(F.substring("txt", F.col("q"), n).cast("binary")).alias("g"),
+        F.unhex(F.md5(F.substring("txt", F.col("q"), n).cast("binary"))).alias("g"),
     )
 
 
@@ -673,7 +680,7 @@ def _containment_hits(
         "txt",
     ).select(
         "doc_a", "len_a", "o",
-        F.md5(F.substring("txt", F.col("o"), n).cast("binary")).alias("g"),
+        F.unhex(F.md5(F.substring("txt", F.col("o"), n).cast("binary"))).alias("g"),
     )
     aligned = _sized_for_join(aligned, n_part, "g")
     probes = _sized_for_join(probes, n_part, "g")

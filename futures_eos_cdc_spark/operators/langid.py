@@ -346,7 +346,17 @@ def langid_score_join(
     lost): every input row comes back — a non-NULL gram-less text (only
     '' can be one) scores 0 for every language and predicts the
     lexicographically smallest, NULL text predicts NULL."""
-    langs = profiles.select("lang", "total").distinct()
+    # A NULL-lang profile row (possible when the profiles table was built
+    # outside train_langid, which filters NULL langs) would make the
+    # smallest-lang tie-break below raise (None unorderable vs str) and
+    # can never win the argmax anyway (NULL join keys never match) —
+    # drop it here so caller-supplied tables degrade like trained ones
+    # (ADVICE r12).
+    langs = (
+        profiles.select("lang", "total")
+        .filter(F.col("lang").isNotNull())
+        .distinct()
+    )
     lang_rows = langs.select("lang").collect()  # bounded: n_langs rows
     if not lang_rows:
         # empty/degenerate training corpus: degrade like semantic_dedup

@@ -4661,10 +4661,14 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 
     docs = spread(_t(spark, sf_dir, "documents"))
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    # ADVICE r12: key the prepare-once cache on the fixture's CONTENT
+    # fingerprint (mtime+size of every file under documents.parquet),
+    # not just its path — a regenerated fixture dir within one session
+    # must rebuild the reference artifacts, not serve stale ones.
+    key = (app_id, sf_dir, _dir_fingerprint(os.path.join(sf_dir, "documents.parquet")))
     prepared = _BLOOM_PREPARED.get(key)
     if prepared is None:
-        for stale in [s for s in _BLOOM_PREPARED if s[0] != app_id]:
+        for stale in [s for s in _BLOOM_PREPARED if s != key]:
             del _BLOOM_PREPARED[stale]
         prepared = _BLOOM_PREPARED[key] = bloom_prepare(
             docs.filter(F.col("doc_id") % 2 == 0)
@@ -4674,6 +4678,23 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 == 0),
         prepared=prepared,
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "bloom_positive", "true_dup")
+
+
+def _dir_fingerprint(path: str) -> tuple:
+    """Content fingerprint of a parquet file-or-directory: sorted
+    (relpath, size, mtime_ns) of every regular file under it. Driver-side
+    metadata stat only — never reads data; cost is O(#files), bounded by
+    the fixture layout, not the corpus."""
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            out.append((os.path.relpath(fp, path), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
 
 
 _BLOOM_PREPARED: dict = {}
