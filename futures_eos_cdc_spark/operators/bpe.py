@@ -658,3 +658,179 @@ def doc_bpe_token_counts(
             F.col("n_tokens").cast("double") / F.col("n_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BYTE-level BPE (the GPT-2/tiktoken shape — Radford et al. 2019; the
+# bytes_to_unicode bijection published in openai/gpt-2 encoder.py): the
+# initial alphabet is the 256 BYTE values of the word's UTF-8 encoding,
+# so NO word is ever excluded and no token is ever UNK — the char-level
+# family above drops marker-bearing words (they cannot round-trip the
+# separator encoding), while here every byte, including SEP/EOW/control
+# bytes themselves, maps to a printable stand-in codepoint first.
+#
+# The bijection maps each byte to ONE visible BMP codepoint (printable
+# latin-1 bytes map to themselves; the 68 others shift to 256+n in byte
+# order), which makes byte-level BPE EXACTLY char-level BPE over the
+# byte-mapped string: training, the ranked/str applies, the separator
+# encoding, and the DuckDB replay all reuse the machinery above
+# unchanged. r12 VERDICT next #5.
+# ---------------------------------------------------------------------------
+def _bytes_to_unicode() -> list[str]:
+    """BYTE_CHARS[b] = the stand-in codepoint for byte b (GPT-2 table):
+    bytes 33-126, 161-172, 174-255 map to chr(b); the remaining 68 map to
+    chr(256+n), n assigned in ascending byte order. All stand-ins are BMP
+    (max U+0143), so every string op downstream is surrogate-safe."""
+    keep = (
+        list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    )
+    out: list[str] = []
+    n = 0
+    for b in range(256):
+        if b in keep:
+            out.append(chr(b))
+        else:
+            out.append(chr(256 + n))
+            n += 1
+    return out
+
+
+BYTE_CHARS = _bytes_to_unicode()
+
+
+def byte_encode_py(word: str) -> str:
+    """word → its UTF-8 bytes, each mapped through BYTE_CHARS. Injective
+    (UTF-8 is), so the (word, freq) table and the (byte_word, freq) table
+    are 1:1. Spark strings are valid UTF-8 by construction (parquet/Arrow
+    enforce it), so strict encode() cannot fail on engine data; a lone
+    surrogate smuggled in driver-side raises the clear UnicodeEncodeError
+    rather than silently diverging from the SQL oracle's encode()."""
+    return "".join(BYTE_CHARS[b] for b in word.encode("utf-8"))
+
+
+def word_freq_table_bytes(
+    docs: DataFrame, text_col: str = "text", cap: int = BPE_VOCAB_CAP
+) -> DataFrame:
+    """(word, freq) over RAW words — :func:`word_freq_table` WITHOUT the
+    marker-word exclusion (the byte path never needs one). The cap's
+    freq/word tie-break orders RAW words (binary collation — identical in
+    Spark, Python and DuckDB); the byte mapping is applied AFTER the cap,
+    driver-side, so which words survive the cap boundary is engine-
+    independent (the mapped strings do NOT sort like their sources)."""
+    words = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(tokens_expr(F.col(text_col))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(cap)
+    )
+
+
+def train_bpe_bytes(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_N_MERGES,
+    min_pair_freq: int = BPE_MIN_PAIR_FREQ,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> list[tuple[str, str, int]]:
+    """Byte-level training: the same bounded word-freq collect as
+    :func:`train_bpe`, mapped through :func:`byte_encode_py`, then the
+    identical incremental trainer — merges are over byte-char symbols.
+    Nothing is filtered: the 256-byte alphabet covers every input."""
+    wf = [
+        (byte_encode_py(r["word"]), r["freq"])
+        for r in word_freq_table_bytes(docs, text_col, vocab_cap).collect()
+    ]
+    return train_bpe_py_fast(wf, n_merges, min_pair_freq)
+
+
+def bpe_word_token_counts_bytes(
+    words_df: DataFrame, merges, word_col: str = "word",
+    apply_shape: str = "auto",
+) -> DataFrame:
+    """(word, n_tok) for DISTINCT RAW words under a byte-level merge
+    table: the Arrow kernel byte-maps each word (Python encode + the
+    BYTE_CHARS lookup, riding the closure) and runs the same pinned
+    per-word applies as :func:`bpe_word_token_counts`. Joining back on
+    the RAW word keeps the corpus side byte-free — the mapping runs once
+    per distinct word, never per occurrence."""
+    shape = _resolve_apply_shape(apply_shape, len(merges))
+    sep, eow, bc = SEP, EOW, BYTE_CHARS
+
+    if shape == "str":
+        pats = _merge_pats(merges)
+
+        def tok(batches):
+            import pandas as _pd
+
+            def n_tok(w: str) -> int:
+                bw = "".join(bc[b] for b in w.encode("utf-8"))
+                s = "".join(sep + c + sep for c in bw) + sep + eow + sep
+                for pat, repl in pats:
+                    if pat in s:
+                        s = s.replace(pat, repl)
+                return s.count(sep) // 2
+
+            for pdf in batches:
+                ws = pdf[word_col]
+                yield _pd.DataFrame(
+                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
+                )
+
+    else:
+        apply_w = _make_ranked_word_apply(merges, eow)
+
+        def tok(batches):
+            import pandas as _pd
+
+            def n_tok(w: str) -> int:
+                return len(apply_w("".join(bc[b] for b in w.encode("utf-8"))))
+
+            for pdf in batches:
+                ws = pdf[word_col]
+                yield _pd.DataFrame(
+                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
+                )
+
+    return words_df.select(word_col).mapInPandas(
+        tok, schema=f"{word_col} string, n_tok long"
+    )
+
+
+def doc_bpe_token_counts_bytes(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+    apply_shape: str = "auto",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility) under a BYTE-level merge
+    table — :func:`doc_bpe_token_counts_joined`'s contract with the
+    byte-level guarantees: no word filter anywhere (every word counts),
+    n_words is the full whitespace-token count. Same scale shape: one
+    word explode, the byte mapping + tokenizer over DISTINCT words only,
+    one broadcast join back, one doc-keyed aggregation."""
+    words_arr = tokens_expr(F.col(text_col))
+    words = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(words_arr).alias("word")
+    )
+    wtok = bpe_word_token_counts_bytes(
+        words.select("word").distinct(), merges, apply_shape=apply_shape
+    )
+    if broadcast_vocab:
+        wtok = F.broadcast(wtok)
+    return (
+        words.join(wtok, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        )
+    )

@@ -1268,3 +1268,372 @@ def semdedup_dropped_ids(
 
     register_operator_counter("semantic_dedup.skipped_cells", skipped)
     return dropped_ids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — IVF-PQ (Jégou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"), the rung of the quantization
+# ladder past SQ8: SQ8 halves bytes; PQ at the published production shape
+# (m=8 subspaces, 256-centroid codebooks) stores ONE BYTE per subspace —
+# 8 bytes per 64-dim vector, a 32x scan-bandwidth reduction — and every
+# 100 TB ANN deployment runs exactly this index (FAISS IVFxx,PQ8).
+# Reference parity: r12 VERDICT next #4.
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces (dsub = dim / m dims each)
+PQ_KSUB = 256  # production codebook size (2^8 → one byte per subspace)
+
+
+def _pq_codebook_sql(codebooks: list[list[list[float]]]) -> str:
+    """The full [m][ksub][dsub] codebook as ONE literal nested-array SQL
+    text (the r5/r12 py4j lesson: big literals must be one parsed string,
+    never per-value F.lit calls)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_const_array_sql(cw) for cw in sub) + ")"
+            for sub in codebooks
+        )
+        + ")"
+    )
+
+
+def _pq_codes_expr(
+    vec_sql: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """codes array<int> (one code per subspace) as one literal JVM
+    expression — the below-term-budget path. Per subspace s the argmin is
+    the same named_struct/array_min fold as :func:`_cell_ranking_expr`
+    over the SLICED subvector (ties on code id), so parity with the
+    kernel and the oracle is inherited from the IVF family."""
+    dsub = len(codebooks[0][0])
+    per_s = []
+    for s, sub in enumerate(codebooks):
+        sl = f"slice({vec_sql}, {s * dsub + 1}, {dsub})"
+        structs = ", ".join(
+            f"named_struct('d', {_dist2_sql(sl, cw)}, 'code', {c})"
+            for c, cw in enumerate(sub)
+        )
+        per_s.append(f"array_min(array({structs})).code")
+    return F.expr("array(" + ", ".join(per_s) + ")")
+
+
+def _make_pq_codes_fn(CBs, id_col: str | None, vec_col: str, keep_vec: bool):
+    """mapInPandas factory for (id?, vec?, codes) — one banded-exact
+    nearest-centroid call per subspace (bit-identical to the fold, see
+    _nearest_cells_impl), vectorized over the whole Arrow batch. Locally
+    bound (by-value pickle), the _make_assign_fn discipline."""
+    nearest = _nearest_cells_impl()
+    m, dsub = len(CBs), len(CBs[0][0])
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            codes = _np.empty((len(pdf), m), dtype=_np.int32)
+            for s in range(m):
+                codes[:, s] = nearest(x[:, s * dsub : (s + 1) * dsub], CBs[s])
+            out = {}
+            if id_col is not None:
+                out[id_col] = pdf[id_col]
+            if keep_vec:
+                out[vec_col] = list(x)
+            out["codes"] = list(codes)
+            yield _pd.DataFrame(out)
+
+    return assign
+
+
+def _pq_assigned(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str | None,
+    vec_col: str,
+    keep_vec: bool,
+    _force_expr: bool = False,
+) -> DataFrame:
+    """Shared encode core: (id?, vec?, codes array<int>). Routes on the
+    TOTAL per-row term count m*ksub*dsub (the whole codebook participates
+    in every row's assignment, unlike IVF where one centroid table does) —
+    the production shape 8x256x8 = 16384 always takes the Arrow kernel;
+    tiny models stay pure-JVM. ``_force_expr`` pins kernel==expression
+    bit-parity in pytest (the ann_topk_ivf convention)."""
+    m, ksub, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    if m * ksub * dsub > _ASSIGN_EXPR_MAX_TERMS and not _force_expr:
+        import numpy as np
+
+        CBs = np.asarray(codebooks, dtype=np.float64)
+        cols = [id_col] if id_col else []
+        schema = ", ".join(
+            ([f"{id_col} {dict(embeddings.dtypes)[id_col]}"] if id_col else [])
+            + ([f"{vec_col} array<double>"] if keep_vec else [])
+            + ["codes array<int>"]
+        )
+        return embeddings.select(*cols, vec_col).mapInPandas(
+            _make_pq_codes_fn(CBs, id_col, vec_col, keep_vec), schema
+        )
+    base = embeddings.select(
+        *([id_col] if id_col else []),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    out_cols = ([F.col(id_col)] if id_col else []) + (
+        [F.col(vec_col)] if keep_vec else []
+    )
+    return base.select(
+        *out_cols, _pq_codes_expr(vec_col, codebooks).alias("codes")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per subspace, ksub centroids over the corpus'
+    subvectors — data-sampled init + `iters` Lloyd steps, the exact
+    ivf_train discipline (content-stable-hash init rows shared across
+    subspaces, floor-grid DECIMAL(38,0) partial sums so training is
+    order-independent AND bit-replayable in an external SQL engine; empty
+    codes keep their previous codeword).
+
+    Returns [m][ksub][dsub] doubles — m*ksub*dsub values to the driver
+    (16 KB at the production shape), never data-sized. All m subspaces
+    train in ONE aggregation per Lloyd step: assignment emits the codes
+    array per row, the (s, code, dim_idx) grid aggregates map-side — the
+    shuffle carries O(m*ksub*dsub) decimals total regardless of corpus
+    size. At 100 TB you train on a sample and persist the codebooks, like
+    ivf_train's centroids."""
+    if dim % m:
+        raise ValueError(f"pq_train: dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    bad = (
+        embeddings.select(F.col(vec_col).alias("vec"))
+        .filter(F.col("vec").isNull() | (F.size("vec") != dim))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"pq_train: embeddings must be non-null with exactly dim={dim} "
+            "elements (null/ragged vectors would skew the count-from-grid "
+            "codeword averaging)"
+        )
+    h = F.md5(
+        F.concat(F.lit(f"pqinit{seed}|"), F.col(id_col).cast("string"))
+    )
+    init_rows = (
+        embeddings.select(
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            h.alias("h"),
+            F.col(id_col).alias("tid"),
+        )
+        .orderBy("h", "tid")
+        .limit(ksub)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("pq_train: embeddings table is empty")
+    if len(init_rows) < ksub:
+        raise ValueError(
+            f"pq_train: corpus has {len(init_rows)} rows < ksub={ksub}; "
+            "shrink the codebook (a deployment trains on a sample LARGER "
+            "than its codebook by construction)"
+        )
+    # shared init rows, sliced per subspace — one sampled row seeds code c
+    # in EVERY subspace (trivially replayed: the oracle samples once and
+    # slices, same as here)
+    codebooks = [
+        [list(r["vec"][s * dsub : (s + 1) * dsub]) for r in init_rows]
+        for s in range(m)
+    ]
+    v = embeddings.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    for _ in range(iters):
+        assigned = _pq_assigned(v, codebooks, None, "vec", keep_vec=True)
+        # (s, code, subvector) rows → (s, code, dim_idx) grid; the count
+        # per group IS the code's member count (one row per member per dim)
+        parts = assigned.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.element_at("codes", s + 1).alias("code"),
+                            F.slice("vec", s * dsub + 1, dsub).alias("v"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("s", "sc")
+        )
+        grid = (
+            parts.select(
+                "s",
+                F.col("sc.code").alias("code"),
+                F.posexplode(F.col("sc.v")).alias("dim_idx", "val"),
+            )
+            .groupBy("s", "code", "dim_idx")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.lit(1e10)).cast("decimal(38,0)")
+                ).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .toPandas()  # m*ksub*dsub rows — model-sized, never data-sized
+        )
+        new = [[list(cw) for cw in sub] for sub in codebooks]
+        for s, code, dim_idx, sm, n in grid.itertuples(index=False):
+            new[s][code][dim_idx] = float(sm) / int(n) / 1e10
+        codebooks = new
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _force_expr: bool = False,
+) -> DataFrame:
+    """(id, codes array<int>): the PQ-compressed corpus — 1-4 bytes per
+    subspace instead of dsub floats. Pure projection (expression or Arrow
+    kernel per the term budget); vectors never shuffle. This is the table
+    a deployment PERSISTS next to the coarse cell assignment — the scan
+    side of every IVF-PQ query reads codes, not vectors."""
+    return _pq_assigned(
+        embeddings, codebooks, id_col, vec_col, keep_vec=False,
+        _force_expr=_force_expr,
+    )
+
+
+def _pq_rvec_sql(codes_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """The PQ reconstruction x̂ (concatenated codewords) as one expression:
+    element j of the result indexes the codebook literal by (subspace of j,
+    that subspace's code, offset of j). The codebook literal appears ONCE
+    in the text; lookups are O(1) per element."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    dim = m * dsub
+    cw = _pq_codebook_sql(codebooks)
+    # `div` yields BIGINT; element_at's array index must be INT
+    sub_ix = f"CAST((j-1) div {dsub} + 1 AS INT)"
+    return (
+        f"transform(sequence(1, {dim}), j -> element_at(element_at("
+        f"element_at({cw}, {sub_ix}), "
+        f"element_at({codes_sql}, {sub_ix}) + 1), "
+        f"(j-1) % {dsub} + 1))"
+    )
+
+
+def ann_topk_ivf_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    band: int = 10,
+    iters: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k (Jégou 2011 IVFADC, cosine form):
+
+    1. coarse: queries probe their `nprobe` nearest IVF cells (the shared
+       trained centroids — same index as ann_topk_ivf);
+    2. ADC: every candidate in a probed cell is scored by the cosine
+       between the query and the candidate's PQ RECONSTRUCTION x̂ — an
+       O(dim) table lookup + fold per candidate, reading 8 code bytes
+       instead of 256 vector bytes at the production shape;
+    3. exact re-rank: the per-query top-`band` ADC candidates (band > k)
+       are re-scored with the true cosine — the SQ8-rerank ladder's
+       discipline, so emitted scores mean the same thing as
+       brute_force_topk's and the output contract matches
+       (q_id, c_id, cosine, rank).
+
+    With nprobe = n_cells and band ≥ corpus size this degrades to exact
+    brute force (pytest-pinned). Every stage is deterministic (argmin and
+    rank ties on id) and the WHOLE pipeline — coarse training, codebook
+    training, encoding, ADC, re-rank — is replayed bit-exactly by the
+    DuckDB oracle (plans/dataprep._ann_ivf_pq_oracle_sql).
+
+    Scale shape: codes are a pure projection persisted once (pq_encode);
+    the probe join is the same broadcast-queries equi-join on cell as
+    ann_topk_ivf; ADC touches nprobe/n_cells of the CODES (not vectors);
+    only band*|queries| rows ever read full vectors again (id-keyed join).
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, n_cells, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, ksub=ksub, iters=iters, seed=seed, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    c = assigned.select(F.col(id_col).alias("c_id"), "cell").join(
+        codes.select(F.col(id_col).alias("c_id"), "codes"), "c_id"
+    )
+    if (
+        len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS
+    ):
+        import numpy as np
+
+        C = np.asarray(centroids, dtype=np.float64)
+        id_type = dict(queries.dtypes)[id_col]
+        q = queries.select(id_col, vec_col).mapInPandas(
+            _make_probe_fn(C, nprobe, id_col, vec_col),
+            f"q_id {id_type}, q_vec array<double>, cell int",
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
+            ).alias("cell"),
+        )
+    adc = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rvec", F.expr(_pq_rvec_sql("codes", codebooks)))
+        .withColumn("approx", cosine_expr(F.col("q_vec"), F.col("rvec")))
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("c_id"))
+    band_rows = (
+        adc.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= band)
+        .select("q_id", "q_vec", "c_id")
+    )
+    exact = band_rows.join(
+        embeddings.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    ).withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2498,6 +2498,242 @@ FROM ranked WHERE rank <= {k}
 ANN_IVF_ORACLE = _ann_ivf_oracle_sql()
 
 # ---------------------------------------------------------------------------
+# IVF-PQ (Jégou 2011) — the quantization ladder's next rung after SQ8.
+# Fixture model: m=8 subspaces, ksub=32 codes, 2 Lloyd steps. ksub is a
+# MODEL hyperparameter (fixed, not corpus-derived — production uses 256,
+# the operator default; 32 keeps the training replay affordable for the
+# oracle at every SF, the same reasoning as the 16-cell fixture IVF model).
+# ---------------------------------------------------------------------------
+PQ_FIXTURE_M = 8
+PQ_FIXTURE_KSUB = 32
+PQ_BAND = 10
+
+
+def _ann_ivf_pq_oracle_sql(
+    n_cells: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    k: int = 3,
+    m: int = PQ_FIXTURE_M,
+    ksub: int = PQ_FIXTURE_KSUB,
+    pq_iters: int = 2,
+    band: int = PQ_BAND,
+) -> str:
+    """DuckDB oracle for q_ann_ivf_pq: the ENTIRE IVF-PQ pipeline — coarse
+    training (the shared _ann_ivf_oracle_sql prefix), per-subspace PQ
+    codebook training (shared smallest-hash init rows sliced per subspace,
+    floor-grid DECIMAL(38,0) Lloyd sums — operators.similarity.pq_train's
+    exact arithmetic), encoding, ADC scoring against the PQ reconstruction
+    (flatten(list(cvec ORDER BY s)) ≡ the engine's literal-indexed rvec),
+    band selection and exact cosine re-rank — replayed in SQL. Bit parity
+    rests on the same three properties as _ann_ivf_oracle_sql, applied
+    per (subspace, code) instead of per cell."""
+    dsub = dim // m
+    pq_init = f"md5('pqinit{seed}|' || CAST(vec_id AS VARCHAR)), vec_id"
+    dsub_rng = f"range(1, {dsub + 1})"
+    dim_rng = f"range(1, {dim + 1})"
+
+    def dist2sub(v_sql: str, cvec_sql: str) -> str:
+        return (
+            f"list_reduce(list_transform({dsub_rng}, "
+            f"j -> ({v_sql}[j] - {cvec_sql}[j]) * ({v_sql}[j] - {cvec_sql}[j])), "
+            f"(x, y) -> x + y)"
+        )
+
+    def pq_step(prev: str, t: int) -> str:
+        return f"""pd{t} AS (
+  SELECT sub.vec_id, sub.s, {prev}.code,
+    {dist2sub('sub.v', f'{prev}.cvec')} AS d
+  FROM sub JOIN {prev} USING (s)
+),
+pa{t} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+    FROM pd{t}
+  ) WHERE rn = 1
+),
+ps{t} AS (
+  SELECT pa{t}.s, pa{t}.code, j - 1 AS dim_idx,
+    SUM(CAST(CAST(floor(sub.v[j] * 1e10) AS BIGINT) AS DECIMAL(38,0))) AS sm,
+    COUNT(*) AS n
+  FROM pa{t} JOIN sub USING (vec_id, s) CROSS JOIN unnest({dsub_rng}) AS tt(j)
+  GROUP BY pa{t}.s, pa{t}.code, j
+),
+pu{t} AS (
+  SELECT s, code, list(CAST(sm AS DOUBLE) / n / 1e10 ORDER BY dim_idx) AS cvec
+  FROM ps{t} GROUP BY s, code
+),
+pc{t} AS (
+  SELECT p.s, p.code, COALESCE(pu{t}.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN pu{t} USING (s, code)
+)"""
+
+    steps = ",\n".join(
+        pq_step("pinit" if t == 1 else f"pc{t - 1}", t)
+        for t in range(1, pq_iters + 1)
+    )
+    final = f"pc{pq_iters}"
+    slice_sql = (
+        f"list_transform(range(s*{dsub}+1, (s+1)*{dsub}+1), "
+        "j -> CAST(embedding[j] AS DOUBLE))"
+    )
+    flat_dot = (
+        f"list_reduce(list_transform({dim_rng}, "
+        "j -> CAST(qe.embedding[j] AS DOUBLE) * rv.rvec[j]), (x, y) -> x + y)"
+    )
+    rvec_self = (
+        f"list_reduce(list_transform({dim_rng}, "
+        "j -> rv.rvec[j] * rv.rvec[j]), (x, y) -> x + y)"
+    )
+
+    def self_dot(vec_sql: str) -> str:
+        return (
+            f"list_reduce(list_transform({dim_rng}, "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * CAST({vec_sql}[j] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    pair_dot = (
+        f"list_reduce(list_transform({dim_rng}, "
+        "j -> CAST(qe.embedding[j] AS DOUBLE) * CAST(ce.embedding[j] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return (
+        _ann_ivf_oracle_sql(
+            n_cells=n_cells, iters=iters, nprobe=nprobe, seed=seed, dim=dim,
+            tail="assign",
+        )
+        + f""",
+probes AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dfin WHERE vec_id < 5
+  ) WHERE rn <= {nprobe}
+),
+subs AS (SELECT unnest(range({m})) AS s),
+sub AS (
+  SELECT vec_id, s, {slice_sql} AS v
+  FROM e CROSS JOIN subs
+),
+pinit AS (
+  SELECT s, code, {slice_sql} AS cvec
+  FROM (
+    SELECT embedding, row_number() OVER (ORDER BY {pq_init}) - 1 AS code
+    FROM e ORDER BY {pq_init} LIMIT {ksub}
+  ) CROSS JOIN subs
+),
+{steps},
+pdfin AS (
+  SELECT sub.vec_id, sub.s, {final}.code,
+    {dist2sub('sub.v', f'{final}.cvec')} AS d
+  FROM sub JOIN {final} USING (s)
+),
+pcodes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+    FROM pdfin
+  ) WHERE rn = 1
+),
+rv AS (
+  SELECT pcodes.vec_id, flatten(list({final}.cvec ORDER BY pcodes.s)) AS rvec
+  FROM pcodes JOIN {final} USING (s, code)
+  GROUP BY pcodes.vec_id
+),
+pairs AS (
+  SELECT probes.q_id, cand.c_id FROM probes JOIN cand USING (cell)
+  WHERE probes.q_id <> cand.c_id
+),
+adc AS (
+  SELECT pairs.q_id, pairs.c_id,
+    {flat_dot} / (sqrt({self_dot('qe.embedding')}) * sqrt({rvec_self})) AS approx
+  FROM pairs
+  JOIN e qe ON qe.vec_id = pairs.q_id
+  JOIN rv ON rv.vec_id = pairs.c_id
+),
+bandc AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, c_id) AS rn
+    FROM adc
+  ) WHERE rn <= {band}
+),
+pscored AS (
+  SELECT bandc.q_id, bandc.c_id,
+    {pair_dot} / (sqrt({self_dot('qe.embedding')}) * sqrt({self_dot('ce.embedding')})) AS cosine
+  FROM bandc
+  JOIN e qe ON qe.vec_id = bandc.q_id
+  JOIN e ce ON ce.vec_id = bandc.c_id
+),
+pranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM pscored
+)
+SELECT q_id, c_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM pranked WHERE rank <= {k}
+"""
+    )
+
+
+ANN_IVF_PQ_ORACLE = _ann_ivf_pq_oracle_sql()
+
+# PQ model cache, keyed (session, fixture dir) — the _IVF_CENTROIDS
+# convention: codebook training is deterministic (floor-grid Lloyd), so
+# the model is a pure function of the corpus; the encoded codes table is
+# the persisted PQ index (localCheckpoint = the local[32] stand-in for a
+# stored table). Codes are corpus-sized but 8 ints/row — the compressed
+# scan side IS the operator's point.
+_PQ_MODEL: dict = {}
+
+
+def _trained_pq(spark: SparkSession, sf_dir: str, e: DataFrame):
+    from ..operators.similarity import pq_encode, pq_train
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    got = _PQ_MODEL.get(key)
+    if got is None:
+        for k in [k for k in _PQ_MODEL if k[0] != app_id]:
+            del _PQ_MODEL[k]
+        codebooks = pq_train(
+            e, m=PQ_FIXTURE_M, ksub=PQ_FIXTURE_KSUB, iters=2, seed=42
+        )
+        codes = pq_encode(e, codebooks).localCheckpoint()
+        got = _PQ_MODEL[key] = (codebooks, codes)
+    return got
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """IVF-PQ cosine top-3 for the fixture queries (ids < 5): coarse probe
+    over the SHARED trained IVF centroids (same index as ann_cosine_ivf),
+    ADC against 8-subspace/32-code PQ reconstructions, top-{band} band,
+    exact re-rank. See operators.similarity.ann_topk_ivf_pq for the
+    100 TB shape (codes persisted, vectors re-read only for the band).
+    """
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    codebooks, codes = _trained_pq(spark, sf_dir, e)
+    from ..operators.similarity import ann_topk_ivf_pq
+
+    return ann_topk_ivf_pq(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        k=3,
+        nprobe=4,
+        m=PQ_FIXTURE_M,
+        ksub=PQ_FIXTURE_KSUB,
+        band=PQ_BAND,
+        centroids=_trained_centroids(spark, sf_dir, e),
+        codebooks=codebooks,
+        codes=codes,
+    )
+
+
+q_ann_ivf_pq.__doc__ = q_ann_ivf_pq.__doc__.format(band=PQ_BAND)
+
+# ---------------------------------------------------------------------------
 # K-means corpus clustering + cluster-balanced sampling (SemDeDup-shaped
 # curation: partition the embedding space, then cap each cluster's
 # contribution so over-dense regions don't dominate the training mix)
@@ -3250,6 +3486,7 @@ def oracle_overrides_for_sf(sf_dir: str) -> dict[str, str]:
 # (two stale-expectation failures in round 11 motivated the registry).
 IVF_FAMILY_ORACLE_BUILDERS = {
     "ann_cosine_ivf": _ann_ivf_oracle_sql,
+    "ann_cosine_ivf_pq": _ann_ivf_pq_oracle_sql,
     "embedding_kmeans_clusters": _kmeans_oracle_sql,
     "semantic_dedup_embeddings": _semantic_dedup_oracle_sql,
     "prototype_pruning": _prototype_prune_oracle_sql,
@@ -3839,8 +4076,10 @@ from ..operators.bpe import (  # noqa: E402
     BPE_N_MERGES,
     BPE_VOCAB_CAP,
     doc_bpe_token_counts,
+    doc_bpe_token_counts_bytes,
     doc_bpe_token_counts_joined,
     train_bpe,
+    train_bpe_bytes,
 )
 
 _BPE_WORD_FILTER = (
@@ -3851,12 +4090,35 @@ _BPE_ENC = (
     r" || chr(31)||chr(23)||chr(31)"
 )
 
+# The GPT-2 bytes→unicode bijection (operators/bpe.py:BYTE_CHARS) as one
+# scalar SQL expression over {col}: hex the UTF-8 bytes, decode each pair
+# via strpos arithmetic (engine-portable — no conv()/from_hex dialect),
+# then shift the 68 non-printable bytes to 256+n in byte order. Two-level
+# list_transform so the byte decode appears once.
+_BYTE_MAP_SQL = (
+    # coalesce: DuckDB's array_to_string returns NULL for an EMPTY list,
+    # and '' is a legitimate word (split of empty text) worth 1 token (EOW)
+    "coalesce(array_to_string(list_transform(list_transform("
+    "range(1, length(hex(encode({col}))) // 2 + 1), i -> "
+    "(strpos('0123456789ABCDEF', substring(hex(encode({col})), "
+    "CAST(2*i-1 AS INT), 1)) - 1) * 16 + "
+    "strpos('0123456789ABCDEF', substring(hex(encode({col})), "
+    "CAST(2*i AS INT), 1)) - 1"
+    "), b -> chr(CAST(CASE "
+    "WHEN b BETWEEN 33 AND 126 OR b BETWEEN 161 AND 172 "
+    "OR b BETWEEN 174 AND 255 THEN b "
+    "WHEN b <= 32 THEN 256 + b "
+    "WHEN b <= 160 THEN 289 + b - 127 "
+    "ELSE 323 END AS INT))), ''), '')"
+)
+
 
 def _bpe_oracle_sql(
     n_merges: int = BPE_N_MERGES,
     min_freq: int = BPE_MIN_PAIR_FREQ,
     cap: int = BPE_VOCAB_CAP,
     tail: str = "vocab",
+    byte_level: bool = False,
 ) -> str:
     """DuckDB oracle for the BPE family: training (word-freq cap → v0 →
     ``n_merges`` unrolled pick-argmax-and-merge steps) and apply (the same
@@ -3867,7 +4129,18 @@ def _bpe_oracle_sql(
     steps stay empty (a no-op merge leaves pair counts unchanged), so the
     learned ranks are always a dense prefix. Every decision is integer
     counts + binary-collation string ties, hence bit-exact across engines.
+
+    ``byte_level=True`` replays the GPT-2-shaped byte family instead:
+    the marker-word filter drops away (every byte round-trips) and the
+    symbol encoding runs over the byte-mapped string (_BYTE_MAP_SQL —
+    the bytes→unicode bijection); everything else, training unroll and
+    replace-chain apply included, is IDENTICAL, because byte-level BPE
+    IS char-level BPE over the mapped alphabet (operators/bpe.py). The
+    vocab cap's tie-break stays on the RAW word in both variants — the
+    mapped strings do not sort like their sources.
     """
+    wfilter = "TRUE" if byte_level else _BPE_WORD_FILTER
+    enc_src = _BYTE_MAP_SQL.format(col="word") if byte_level else "word"
     steps = []
     for i in range(1, n_merges + 1):
         prev = f"v{i - 1}"
@@ -3896,14 +4169,14 @@ WITH w0 AS (
   SELECT w AS word FROM (
     SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
     FROM documents WHERE text IS NOT NULL
-  ) WHERE {_BPE_WORD_FILTER}
+  ) WHERE {wfilter}
 ),
 wf AS MATERIALIZED (
   SELECT word, count(*) AS freq FROM w0 GROUP BY word
   ORDER BY freq DESC, word LIMIT {cap}
 ),
 v0 AS MATERIALIZED (
-  SELECT word, freq, {_BPE_ENC.format(col='word')} AS sym FROM wf
+  SELECT word, freq, {_BPE_ENC.format(col=enc_src)} AS sym FROM wf
 ),
 {','.join(steps)},
 merges AS MATERIALIZED (
@@ -3927,10 +4200,10 @@ words AS MATERIALIZED (
   SELECT doc_id, w AS word FROM (
     SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
     FROM documents WHERE text IS NOT NULL
-  ) WHERE {_BPE_WORD_FILTER}
+  ) WHERE {wfilter}
 ),
 dw AS MATERIALIZED (SELECT DISTINCT word FROM words),
-e0 AS MATERIALIZED (SELECT word, {_BPE_ENC.format(col='word')} AS s FROM dw),
+e0 AS MATERIALIZED (SELECT word, {_BPE_ENC.format(col=enc_src)} AS s FROM dw),
 {','.join(apply_steps)},
 wtok AS MATERIALIZED (
   SELECT word, (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_tok
@@ -4013,6 +4286,30 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     merges = train_bpe(docs)
     return doc_bpe_token_counts(docs, merges)
+
+
+BPE_TOKEN_COUNTS_BYTES_ORACLE = _bpe_oracle_sql(tail="counts", byte_level=True)
+
+
+def q_bpe_token_counts_bytes(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
+    """EXACT token counts per document under a BYTE-level BPE vocabulary
+    (the GPT-2/tiktoken shape — r12 VERDICT next #5): the initial
+    alphabet is the 256 UTF-8 byte values via the published
+    bytes→unicode bijection, so NO word is ever dropped and no token is
+    ever UNK — unlike the char-level family, marker-bearing and
+    control-char words count too, and any script (CJK, emoji, astral
+    plane) decomposes to byte tokens instead of unseen-char fallout.
+
+    Spark shape: training is the same bounded word-freq collect (the
+    byte mapping runs driver-side on the capped vocabulary); apply is
+    the join-based production shape — the Arrow kernel byte-maps each
+    DISTINCT word and runs the pinned ranked/str apply, the corpus side
+    stays byte-free (one explode + broadcast join + doc agg). The oracle
+    replays the ENTIRE pipeline — bijection (_BYTE_MAP_SQL), 40-step
+    training unroll, replace-chain apply — in SQL."""
+    docs = spread(_t(spark, sf_dir, "documents"))
+    merges = train_bpe_bytes(docs)
+    return doc_bpe_token_counts_bytes(docs, merges)
 
 
 def q_bpe_subword_vocab(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
@@ -4614,9 +4911,13 @@ def hybrid_rrf_frame(
     u = lex.select("query_id", "doc_id").union(
         sem.select("query_id", "doc_id")
     ).distinct()
+    # both rank lookups are candidate lists (≤ queries × HYBRID_DEPTH
+    # rows at ANY corpus size) — broadcast them so the fusion never
+    # exchanges; without the hint the checkpointed frames' unknown stats
+    # made the static planner pick SortMergeJoin (r13)
     fused = (
-        u.join(lex, ["query_id", "doc_id"], "left")
-        .join(sem, ["query_id", "doc_id"], "left")
+        u.join(F.broadcast(lex), ["query_id", "doc_id"], "left")
+        .join(F.broadcast(sem), ["query_id", "doc_id"], "left")
         .withColumn(
             "rrf_score",
             F.round(
@@ -4940,7 +5241,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         F.col("q_id").alias("query_id"), F.col("c_id").alias("doc_id")
     )
     lex = core["mlt_lex"]
-    neg = lex.join(sem, ["query_id", "doc_id"], "left_anti")
+    # the excluded set is queries × HYBRID_DEPTH rows — broadcast the
+    # anti-join side (same rationale as the hybrid fusion broadcasts)
+    neg = lex.join(F.broadcast(sem), ["query_id", "doc_id"], "left_anti")
     wr = Window.partitionBy("query_id").orderBy(F.asc("r"), F.asc("doc_id"))
     return neg.select(
         F.col("query_id").cast("long").alias("query_id"),

@@ -940,6 +940,10 @@ ORACLES["ann_cosine_lsh"] = _dp.ANN_LSH_ORACLE
 # so even the trained index is exactly checkable
 QUERIES["ann_cosine_ivf"] = _bind(_dp.q_ann_ivf)
 ORACLES["ann_cosine_ivf"] = _dp.ANN_IVF_ORACLE
+# ann_cosine_ivf_pq: coarse + PER-SUBSPACE codebook training + encoding +
+# ADC + band re-rank, ALL replayed in SQL (r12 VERDICT next #4)
+QUERIES["ann_cosine_ivf_pq"] = _bind(_dp.q_ann_ivf_pq)
+ORACLES["ann_cosine_ivf_pq"] = _dp.ANN_IVF_PQ_ORACLE
 QUERIES["embedding_near_dup"] = _bind(_dp.q_embedding_near_dup)
 ORACLES["embedding_near_dup"] = _dp.EMBEDDING_NEAR_DUP_ORACLE
 # Real PPM/WAV decode; payloads deterministic from doc_id → the oracle
@@ -1101,6 +1105,9 @@ QUERIES["bpe_token_counts"] = _bind(_dp.q_bpe_token_counts)
 ORACLES["bpe_token_counts"] = _dp.BPE_TOKEN_COUNTS_ORACLE
 QUERIES["bpe_token_counts_v1k"] = _bind(_dp.q_bpe_token_counts_v1k)
 ORACLES["bpe_token_counts_v1k"] = _dp.BPE_TOKEN_COUNTS_V1K_ORACLE
+# byte-level (GPT-2-shaped) BPE: bijection + training + apply all replayed
+QUERIES["bpe_token_counts_bytes"] = _bind(_dp.q_bpe_token_counts_bytes)
+ORACLES["bpe_token_counts_bytes"] = _dp.BPE_TOKEN_COUNTS_BYTES_ORACLE
 QUERIES["bpe_token_blocks_v1k"] = _bind(_dp.q_bpe_token_blocks_v1k)
 ORACLES["bpe_token_blocks_v1k"] = _dp.BPE_TOKEN_BLOCKS_V1K_ORACLE
 QUERIES["bpe_subword_vocab_v1k"] = _bind(_dp.q_bpe_subword_vocab_v1k)
@@ -1175,68 +1182,67 @@ ORACLES["moore_lewis_selection"] = _dp.MOORE_LEWIS_ORACLE
 # reference to QUERIES/ORACLES see the new order.
 # ---------------------------------------------------------------------------
 _WALK_FIRST = [
-    # Priority 0 — NEW this round (never had a driver row): the linear
-    # ExactSubstr cut (duplicated-k-gram coverage) and Moore-Lewis
-    # cross-entropy-difference data selection.
-    "exactsubstr_gram_cut",
-    "moore_lewis_selection",
-    # Priority 1 — implementation changed THIS round: the langid family
-    # (base-31 polynomial gram hash — query AND oracle changed), the D4
-    # shared-assignment rewrite and the semantic-dedup refactor under it,
-    # the bloom gate's prepared-once reference artifacts, and DSIR's
-    # half-up default rounding.
-    "langid_scores",
-    "langid_confidence",
-    "perplexity_buckets_derived_lang",
-    "d4_selection",
-    "semantic_dedup_embeddings",
-    "prototype_pruning",
-    "bloom_dedup_gate",
-    # Priority 2 — r11 VERDICT next #4's rotation: the 41 queries whose
-    # newest driver row is r09 (two rounds old). After this walk no
-    # query's newest row should be older than r10.
-    "asof_join_purchases",
-    "bpe_subword_vocab",
-    "bpe_token_blocks",
-    "bpe_token_counts",
-    "bpe_vocab",
-    "cosine_topk_bruteforce",
-    "cosine_topk_q8",
-    "cosine_topk_q8_rerank",
-    "cube_order_stats",
-    "decontaminate_docs",
-    "distinct_aggregates",
-    "doc_chunks",
-    "doc_repetition_stats",
-    "domain_cap_sample",
-    "duplicate_span_removal",
-    "embedding_near_dup",
-    "full_outer_reconciliation",
-    "fuzzy_join_part_names",
-    "gap_fill_price_grid",
-    "grouping_sets_revenue",
+    # Priority 0 — NEW this round (never had a driver row): the IVF-PQ
+    # quantization rung and the byte-level (GPT-2-shaped) BPE counts.
+    "ann_cosine_ivf_pq",
+    "bpe_token_counts_bytes",
+    # Priority 1 — implementation changed this round: the shared
+    # train-once retrieval core (c153215) feeds all three, and the span
+    # family's gram keys went binary (unhex(md5), 3e6ae3f).
+    "bm25_topk_retrieval",
     "hybrid_rrf_retrieval",
-    "leakage_safe_split",
-    "moving_aggregates",
-    "ohlcv_candles",
-    "order_price_histogram",
-    "order_value_percentiles",
-    "pagerank_near_dup",
-    "q18_large_volume_orders",
-    "q1_pricing_summary",
-    "q22_idle_wealthy_customers",
-    "q9_profit_by_nation",
-    "quality_weighted_sample",
-    "range_join_click_attribution",
-    "sessionize_events",
-    "skew_salted_aggregate",
-    "sliding_window_events",
-    "technical_indicators",
-    "tfidf_top_terms",
-    "token_budget_mixture",
-    "train_val_test_split",
-    "window_functions",
+    "hard_negative_mining",
+    "duplicate_span_removal",
+    "bloom_dedup_gate",
+    # Priority 2 — r12 VERDICT next #3's rotation: the 43 queries whose
+    # newest driver row is r10 (computed from the CORRECTNESS_r01-r12
+    # union). After this walk no query's newest row is older than r11.
+    "above_brand_avg_parts",
+    "ann_cosine_ivf",
+    "ann_cosine_lsh",
+    "bpe_token_blocks_v1k",
+    "cohort_retention",
+    "containment_incremental_batch",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "dedup_exact_documents",
+    "dedup_incremental_batch",
+    "dedup_keep_rows",
+    "doc_containment_dedup",
+    "dsir_importance_sample",
+    "duplicate_text_spans",
+    "exact_dedup_keep_first",
+    "funnel_view_click_purchase",
+    "gopher_quality_rules",
+    "line_dedup_docs",
+    "minhash_lsh_near_dup",
+    "neardup_incremental_batch",
+    "ngram_jaccard_near_dup",
+    "q10_returned_items",
+    "q11_important_suppliers",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_sole_blame_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "semantic_decontamination",
+    "simhash64_hamming_near_dup",
+    "unigram_subword_vocab",
+    # Priority 3 — one r11 slot: the CDC/SCD2 spine the r12 VERDICT named.
+    "scd2_customer_history",
 ]
+
 assert all(k in QUERIES for k in _WALK_FIRST), "walk-order typo"
 _order = _WALK_FIRST + [k for k in QUERIES if k not in _WALK_FIRST]
 _snapshot = dict(QUERIES)

@@ -627,3 +627,116 @@ def test_v1k_poisoned_dir_fails_readably_at_construction(spark, sf_dir, monkeypa
         monkeypatch.setattr(dp, "_BPE_V1K_FILE_SF", {})
         with _pytest.raises(RuntimeError, match="SPARK_GRAFT_BPE_V1K_DIR"):
             dp.q_bpe_token_counts_v1k(spark, sf_dir, _t)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 shape): bijection pins, no-word-ever-dropped,
+# ASCII parity with the char path, non-BMP/surrogate behavior.
+# ---------------------------------------------------------------------------
+
+
+def test_byte_bijection_is_the_gpt2_table():
+    from futures_eos_cdc_spark.operators.bpe import BYTE_CHARS, byte_encode_py
+
+    assert len(BYTE_CHARS) == 256 and len(set(BYTE_CHARS)) == 256
+    # printable latin-1 self-maps; the 68 others shift to 256+n in order
+    assert BYTE_CHARS[ord("!")] == "!" and BYTE_CHARS[0xFF] == "ÿ"
+    assert BYTE_CHARS[0x20] == "Ġ"  # the famous GPT-2 space stand-in
+    assert BYTE_CHARS[0x0A] == "Ċ" and BYTE_CHARS[0xAD] == chr(256 + 67)
+    assert max(ord(c) for c in BYTE_CHARS) == 256 + 67  # all BMP, surrogate-safe
+    # UTF-8 decomposition: 2-byte, 3-byte, 4-byte (astral) codepoints
+    assert byte_encode_py("é") == "Ã©"
+    assert len(byte_encode_py("日")) == 3
+    assert len(byte_encode_py("𝄞")) == 4
+
+
+def test_byte_encode_rejects_lone_surrogates():
+    import pytest as _pt
+
+    from futures_eos_cdc_spark.operators.bpe import byte_encode_py
+
+    # engine data (parquet/Arrow strings) is valid UTF-8 by construction;
+    # a driver-side lone surrogate must fail loudly, not diverge silently
+    with _pt.raises(UnicodeEncodeError):
+        byte_encode_py("\ud800")
+
+
+def test_byte_bpe_ascii_parity_with_char_path(spark):
+    """On printable-ASCII text the byte mapping is the identity, so the
+    byte-level trainer must learn the SAME merge table as the char-level
+    trainer and the counts queries must agree row-for-row."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        doc_bpe_token_counts_bytes,
+        train_bpe_bytes,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat " * (i % 3 + 1) + "catnap mats")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m_char = train_bpe(docs)
+    m_byte = train_bpe_bytes(docs)
+    assert m_char == m_byte and m_char  # identical learned table
+    a = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in doc_bpe_token_counts(docs, m_char).collect()
+    }
+    b = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in doc_bpe_token_counts_bytes(docs, m_byte).collect()
+    }
+    assert a == b
+
+
+def test_byte_bpe_never_drops_a_word(spark):
+    """The char path EXCLUDES marker-bearing words (they cannot round-trip
+    the separator encoding); the byte path must count every whitespace
+    token — markers, control bytes, CJK and astral plane included — and
+    emit a positive token count for each (no UNK, no fallout)."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        SEP,
+        EOW as _EOW,
+        doc_bpe_token_counts_bytes,
+        train_bpe_bytes,
+    )
+
+    rows = [
+        (1, f"ok {SEP}weird{_EOW} word"),
+        (2, "日本語 テスト 𝄞clef"),
+        (3, "\x02sentinel\x02 plain"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe_bytes(docs, min_pair_freq=1)
+    got = {r.doc_id: r for r in doc_bpe_token_counts_bytes(docs, merges).collect()}
+    want_words = {1: 3, 2: 3, 3: 2}
+    for d, n in want_words.items():
+        assert got[d].n_words == n, (d, got[d])
+        assert got[d].n_tokens >= n  # every word ≥1 token, none dropped
+    # char path drops the marker-bearing words from the same docs
+    char = {r.doc_id: r.n_words for r in doc_bpe_token_counts(docs, train_bpe(docs, min_pair_freq=1)).collect()}
+    assert char[1] == 2 and char[3] == 1
+
+
+def test_byte_kernel_matches_python_reference(spark):
+    """The Arrow kernel's per-word counts must equal the pure-Python
+    reference (byte map + pinned ranked apply) on a vocabulary spanning
+    1/2/3/4-byte codepoints and the empty word."""
+    from futures_eos_cdc_spark.operators.bpe import (
+        apply_bpe_ranked,
+        bpe_word_token_counts_bytes,
+        byte_encode_py,
+        train_bpe_py_fast,
+    )
+
+    words = ["hello", "héllo", "日本", "𝄞𝄞x", "", "a"]
+    merges = train_bpe_py_fast(
+        [(byte_encode_py(w), 2) for w in words], n_merges=20, min_pair_freq=1
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: r.n_tok
+        for r in bpe_word_token_counts_bytes(wdf, merges).collect()
+    }
+    for w in words:
+        assert got[w] == len(apply_bpe_ranked(byte_encode_py(w), merges)), w

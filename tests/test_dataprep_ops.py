@@ -1532,3 +1532,109 @@ def test_moore_lewis_separates_domains(spark):
     assert all(out[i] < 0 for i in range(10, 30)), "out-of-domain negative"
     assert out[99] > 0, "held-out target-style doc must still score positive"
     assert out[98] < 0
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou 2011) — semantics the SQL oracle can't state: recall
+# behavior of the ADC band, exact degradation, kernel/expression parity.
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture_model(spark, sf_dir):
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    e = _emb(spark, sf_dir)
+    cents = S.ivf_train(e, 16, seed=42)
+    cbs = S.pq_train(e, m=8, ksub=32, iters=2, seed=42)
+    codes = S.pq_encode(e, cbs).localCheckpoint()
+    return e, cents, cbs, codes
+
+
+def test_ivf_pq_band_is_a_recall_dial(spark, sf_dir):
+    """ADC scores rank PQ RECONSTRUCTIONS, so the exact-re-rank band is
+    the recall/bandwidth dial: on the fixture's near-random embeddings
+    (true top cosines ~0.3-0.48, tightly packed — the hardest regime for
+    8x32 quantization) a k-sized band loses most of the probe-limited
+    recall, while band=120 recovers the IVF probed-fraction ceiling
+    (~0.83 at nprobe=8/16; measured 0.82). On a real near-dup corpus the
+    distortion gap is far wider than the pack, so small bands suffice."""
+    from futures_eos_cdc_spark.operators.similarity import (
+        ann_topk_ivf_pq,
+        brute_force_topk,
+    )
+
+    e, cents, cbs, codes = _pq_fixture_model(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(e, q, k=3).collect()}
+
+    def recall(band):
+        approx = {
+            (r.q_id, r.c_id)
+            for r in ann_topk_ivf_pq(
+                e, q, k=3, nprobe=8, m=8, ksub=32, band=band,
+                centroids=cents, codebooks=cbs, codes=codes,
+            ).collect()
+        }
+        assert all(a != b for a, b in approx)
+        return len(exact & approx) / len(exact)
+
+    r10, r120 = recall(10), recall(120)
+    assert r120 >= 0.75, f"IVF-PQ recall too low at band=120: {r120:.2f}"
+    assert r120 >= r10, "widening the band must never lose recall"
+
+
+def test_ivf_pq_degrades_to_brute_force(spark, sf_dir):
+    """nprobe=n_cells + band >= corpus: every candidate survives the
+    coarse probe AND the ADC band, so the exact re-rank IS brute force —
+    the whole approximation must vanish bit-for-bit (same rounded scores,
+    same tie-broken ranks)."""
+    from futures_eos_cdc_spark.operators.similarity import (
+        ann_topk_ivf_pq,
+        brute_force_topk,
+    )
+
+    e, cents, cbs, codes = _pq_fixture_model(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    full = sorted(
+        tuple(r)
+        for r in ann_topk_ivf_pq(
+            e, q, k=3, nprobe=16, m=8, ksub=32, band=10**6,
+            centroids=cents, codebooks=cbs, codes=codes,
+        ).collect()
+    )
+    bf = sorted(tuple(r) for r in brute_force_topk(e, q, k=3).collect())
+    assert full == bf and full
+
+
+def test_pq_encode_kernel_matches_expression(spark, sf_dir):
+    """The fixture codebook (8x32x8 = 2048 terms) is past
+    _ASSIGN_EXPR_MAX_TERMS, so pq_encode routes through the Arrow kernel;
+    the codes must equal the literal-expression plan bit-for-bit (same
+    argmin, same tie-on-code) — the ann_topk_ivf parity discipline."""
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    e = _emb(spark, sf_dir).limit(120)
+    cbs = S.pq_train(_emb(spark, sf_dir), m=8, ksub=32, iters=1, seed=42)
+    kern = {r.vec_id: list(r.codes) for r in S.pq_encode(e, cbs).collect()}
+    expr = {
+        r.vec_id: list(r.codes)
+        for r in S.pq_encode(e, cbs, _force_expr=True).collect()
+    }
+    assert kern == expr and kern
+
+
+def test_pq_train_validates_inputs(spark, sf_dir):
+    import pytest as _pt
+
+    from futures_eos_cdc_spark.operators import similarity as S
+
+    e = _emb(spark, sf_dir)
+    with _pt.raises(ValueError, match="not divisible"):
+        S.pq_train(e, m=7, ksub=8)
+    with _pt.raises(ValueError, match="< ksub"):
+        S.pq_train(e.limit(3), m=8, ksub=32)
+    ragged = e.limit(8).withColumn(
+        "embedding", F.slice("embedding", 1, 10)
+    )
+    with _pt.raises(ValueError, match="dim=64"):
+        S.pq_train(ragged, m=8, ksub=4)

@@ -91,3 +91,57 @@ def test_empty_partition_never_connects():
     finally:
         del sys.modules["jaydebeapi"]
     assert log == []
+
+
+# ---------------------------------------------------------------------------
+# Frozen Postgres-dialect goldens (r12 VERDICT next #6): the DuckDB
+# executor (test_jdbc_duckdb_txn) proves the script RUNS, but DuckDB's ON
+# CONFLICT grammar overlaps Postgres without equalling it — so the exact
+# emitted SQL text is pinned here against the Postgres 9.5+ subset the
+# reference schema expects (configmap-init.yaml:49: UNIQUE client_order_id
+# / event_id). Any dialect drift now fails THIS test, not a prod deploy.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_ORDERS_SQL = (
+    "INSERT INTO app.orders (id, client_order_id, symbol, side,"
+    " qty, price, status) VALUES (?,?,?,?,?,?,?)"
+    " ON CONFLICT (client_order_id) DO NOTHING"
+)
+_GOLDEN_OUTBOX_SQL = (
+    "INSERT INTO app.outbox (event_id, aggregate_type,"
+    " aggregate_id, type, payload) VALUES (?,?,?,?,?)"
+    " ON CONFLICT (event_id) DO NOTHING"
+)
+
+
+def test_emitted_sql_matches_postgres_goldens_exactly():
+    log = []
+    _install_fake(log)
+    try:
+        partition_txn_writer("jdbc:x", {"driver": "d"})(iter(_rows()))
+    finally:
+        del sys.modules["jaydebeapi"]
+    assert log[0][1] == _GOLDEN_ORDERS_SQL
+    assert log[1][1] == _GOLDEN_OUTBOX_SQL
+
+
+def test_emitted_sql_stays_inside_the_postgres_subset():
+    """Structural pin: both statements must parse as
+    INSERT INTO <schema.table> (<cols>) VALUES (<?s>) ON CONFLICT
+    (<col>) DO NOTHING — and use NO engine-specific spellings that DuckDB
+    would happily execute but Postgres rejects (or vice versa)."""
+    import re
+
+    shape = re.compile(
+        r"^INSERT INTO [a-z_]+\.[a-z_]+ \((?: ?[a-z_]+,?)+\)"
+        r" VALUES \(\?(?:,\?)*\)"
+        r" ON CONFLICT \([a-z_]+\) DO NOTHING$"
+    )
+    for sql in (_GOLDEN_ORDERS_SQL, _GOLDEN_OUTBOX_SQL):
+        assert shape.match(sql), sql
+        # spellings that signal a NON-Postgres dialect leaked in
+        for bad in ('"', "`", "[", "INSERT OR IGNORE", "ON DUPLICATE KEY",
+                    "INSERT IGNORE", "RETURNING", "%s"):
+            assert bad not in sql, (bad, sql)
+        # the conflict target must be one of the schema's UNIQUE keys
+        assert re.search(r"ON CONFLICT \((client_order_id|event_id)\)", sql)

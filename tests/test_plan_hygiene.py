@@ -550,3 +550,30 @@ def test_moore_lewis_models_broadcast_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # count tables broadcast
+
+
+def test_ann_ivf_pq_plan_shape(spark, sf_dir):
+    """IVF-PQ's scan side must read CODES, not vectors: the probe, codes
+    and band joins all broadcast (queries/band are query-bounded), the
+    whole ADC expression stays JVM-side (the codebook is ONE parsed
+    literal), and nothing plans a cartesian — full vectors re-enter only
+    through the id-keyed band join."""
+    plan = _plan(spark, sf_dir, "ann_cosine_ivf_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # probe + codes + band
+
+
+def test_bpe_bytes_python_touches_only_distinct_words(spark, sf_dir):
+    """Byte-level BPE's only Python is the vocabulary-shaped tokenizer:
+    exactly ONE MapInPandas (over DISTINCT words — the byte mapping runs
+    once per word, never per occurrence), its counts broadcast back onto
+    the corpus explode, no row-at-a-time eval, no cartesian."""
+    plan = _plan(spark, sf_dir, "bpe_token_counts_bytes")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # vocab join-back
