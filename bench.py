@@ -231,8 +231,11 @@ SF1_QUERIES = [
     "dedup_clusters",
     "simhash64_hamming_near_dup",
     "ann_cosine_lsh",
-    "ngram_jaccard_near_dup",
+    # ngram LAST: its sf1 oracle exceeds the 170 s interrupt (measured
+    # r13), and a doomed oracle mid-list starves the queries behind it
+    # of budget (r13 run 1 skipped quality_classifier for exactly this)
     "quality_classifier_scores",
+    "ngram_jaccard_near_dup",
 ]
 # Measured on this box (32 threads): Spark warm+timed ≈ 57 s for the
 # original nine; DuckDB 1+2.4+3.9+7.4+12.6+43+~75+79+129 ≈ 355 s

@@ -352,14 +352,19 @@ def _clean_words(text_col: Column) -> Column:
 
 
 def word_freq_table(
-    docs: DataFrame, text_col: str = "text", cap: int = BPE_VOCAB_CAP
+    docs: DataFrame, text_col: str = "text", cap: int = BPE_VOCAB_CAP,
+    clean: bool = True,
 ) -> DataFrame:
     """(word, freq): corpus word frequencies, capped to the ``cap`` most
     frequent (ties by word). ONE corpus-sized aggregation (map-side
     combined on word) + TakeOrderedAndProject — the bounded table training
-    runs on."""
+    runs on. ``clean=False`` keeps marker-bearing words (the byte-level
+    family, whose alphabet round-trips everything)."""
+    arr = _clean_words(F.col(text_col)) if clean else tokens_expr(
+        F.col(text_col)
+    )
     words = docs.filter(F.col(text_col).isNotNull()).select(
-        F.explode(_clean_words(F.col(text_col))).alias("word")
+        F.explode(arr).alias("word")
     )
     return (
         words.groupBy("word")
@@ -436,7 +441,7 @@ def bpe_token_count_expr(word: Column, merges) -> Column:
 
 def bpe_word_token_counts(
     words_df: DataFrame, merges, word_col: str = "word",
-    apply_shape: str = "auto",
+    apply_shape: str = "auto", pre=None,
 ) -> DataFrame:
     """(word, n_tok): exact BPE token counts for a table of DISTINCT
     words — the vocabulary-shaped half of the join-based apply
@@ -452,7 +457,13 @@ def bpe_word_token_counts(
     rank, fastest for small tables), ``'ranked'`` runs the pair-indexed
     apply (:func:`apply_bpe_ranked` — cost flat in table size, the
     production shape at 8-32 k ranks; r9 VERDICT next #1). ``'auto'``
-    switches on the measured crossover (:data:`BPE_APPLY_AUTO_THRESHOLD`)."""
+    switches on the measured crossover (:data:`BPE_APPLY_AUTO_THRESHOLD`).
+
+    ``pre``: optional word→str transform applied before the symbol
+    encoding, inside the batch body — the byte-level family passes the
+    bytes→unicode map here (code review r13: ONE tokenizer
+    implementation, the byte variant is a pre-map, not a copy). Must be
+    a self-contained closure (cloudpickle ships it by value)."""
     shape = _resolve_apply_shape(apply_shape, len(merges))
     sep, eow = SEP, EOW
 
@@ -467,6 +478,8 @@ def bpe_word_token_counts(
             import pandas as _pd
 
             def n_tok(w: str) -> int:
+                if pre is not None:
+                    w = pre(w)
                 s = "".join(sep + c + sep for c in w) + sep + eow + sep
                 for pat, repl in pats:
                     if pat in s:
@@ -488,10 +501,13 @@ def bpe_word_token_counts(
         def tok(batches):
             import pandas as _pd
 
+            def n_tok(w: str) -> int:
+                return len(apply_w(w if pre is None else pre(w)))
+
             for pdf in batches:
                 ws = pdf[word_col]
                 yield _pd.DataFrame(
-                    {word_col: ws, "n_tok": [len(apply_w(w)) for w in ws]}
+                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
                 )
 
     return words_df.select(word_col).mapInPandas(
@@ -557,6 +573,8 @@ def doc_bpe_token_counts_joined(
     keep_cols: tuple[str, ...] = (),
     broadcast_vocab: bool = True,
     apply_shape: str = "auto",
+    clean: bool = True,
+    pre=None,
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, fertility) — same output contract as
     :func:`doc_bpe_token_counts`, but apply runs over DISTINCT words and
@@ -573,20 +591,28 @@ def doc_bpe_token_counts_joined(
     while the tokenized vocabulary fits the broadcast budget (tens of
     MB covers millions of words: two small columns). At web-corpus
     vocabularies (1e8+ distinct words) set it False for a shuffle join
-    on ``word``; the doc-keyed aggregation behind it is unchanged."""
-    words_arr = _clean_words(F.col(text_col))
-    docs2 = (
-        docs.filter(F.col(text_col).isNotNull())
-        # same all-marker-words guard as doc_bpe_token_counts
-        .filter(F.size(words_arr) > 0)
+    on ``word``; the doc-keyed aggregation behind it is unchanged.
+
+    ``clean=False`` + ``pre`` are the byte-level hooks (code review
+    r13): keep every word and pre-map it inside the tokenizer kernel —
+    see :func:`doc_bpe_token_counts_bytes`."""
+    words_arr = (
+        _clean_words(F.col(text_col)) if clean else tokens_expr(F.col(text_col))
     )
+    docs2 = docs.filter(F.col(text_col).isNotNull())
+    if clean:
+        # same all-marker-words guard as doc_bpe_token_counts (tokens_expr
+        # never yields an empty array on non-null text, so the unclean
+        # path needs no guard)
+        docs2 = docs2.filter(F.size(words_arr) > 0)
     words = docs2.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.explode(words_arr).alias("word"),
     )
     wtok = bpe_word_token_counts(
-        words.select("word").distinct(), merges, apply_shape=apply_shape
+        words.select("word").distinct(), merges, apply_shape=apply_shape,
+        pre=pre,
     )
     if broadcast_vocab:
         wtok = F.broadcast(wtok)
@@ -708,6 +734,18 @@ def byte_encode_py(word: str) -> str:
     return "".join(BYTE_CHARS[b] for b in word.encode("utf-8"))
 
 
+def _byte_pre():
+    """The bytes→unicode pre-map as a SELF-CONTAINED closure (only the
+    BYTE_CHARS list rides the cells), shippable by value into the
+    tokenizer batch bodies — the single place the byte mapping runs."""
+    bc = BYTE_CHARS
+
+    def pre(w: str) -> str:
+        return "".join(bc[b] for b in w.encode("utf-8"))
+
+    return pre
+
+
 def word_freq_table_bytes(
     docs: DataFrame, text_col: str = "text", cap: int = BPE_VOCAB_CAP
 ) -> DataFrame:
@@ -717,15 +755,7 @@ def word_freq_table_bytes(
     Spark, Python and DuckDB); the byte mapping is applied AFTER the cap,
     driver-side, so which words survive the cap boundary is engine-
     independent (the mapped strings do NOT sort like their sources)."""
-    words = docs.filter(F.col(text_col).isNotNull()).select(
-        F.explode(tokens_expr(F.col(text_col))).alias("word")
-    )
-    return (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), "word")
-        .limit(cap)
-    )
+    return word_freq_table(docs, text_col, cap, clean=False)
 
 
 def train_bpe_bytes(
@@ -751,51 +781,12 @@ def bpe_word_token_counts_bytes(
     apply_shape: str = "auto",
 ) -> DataFrame:
     """(word, n_tok) for DISTINCT RAW words under a byte-level merge
-    table: the Arrow kernel byte-maps each word (Python encode + the
-    BYTE_CHARS lookup, riding the closure) and runs the same pinned
-    per-word applies as :func:`bpe_word_token_counts`. Joining back on
-    the RAW word keeps the corpus side byte-free — the mapping runs once
-    per distinct word, never per occurrence."""
-    shape = _resolve_apply_shape(apply_shape, len(merges))
-    sep, eow, bc = SEP, EOW, BYTE_CHARS
-
-    if shape == "str":
-        pats = _merge_pats(merges)
-
-        def tok(batches):
-            import pandas as _pd
-
-            def n_tok(w: str) -> int:
-                bw = "".join(bc[b] for b in w.encode("utf-8"))
-                s = "".join(sep + c + sep for c in bw) + sep + eow + sep
-                for pat, repl in pats:
-                    if pat in s:
-                        s = s.replace(pat, repl)
-                return s.count(sep) // 2
-
-            for pdf in batches:
-                ws = pdf[word_col]
-                yield _pd.DataFrame(
-                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
-                )
-
-    else:
-        apply_w = _make_ranked_word_apply(merges, eow)
-
-        def tok(batches):
-            import pandas as _pd
-
-            def n_tok(w: str) -> int:
-                return len(apply_w("".join(bc[b] for b in w.encode("utf-8"))))
-
-            for pdf in batches:
-                ws = pdf[word_col]
-                yield _pd.DataFrame(
-                    {word_col: ws, "n_tok": [n_tok(w) for w in ws]}
-                )
-
-    return words_df.select(word_col).mapInPandas(
-        tok, schema=f"{word_col} string, n_tok long"
+    table: :func:`bpe_word_token_counts` with the bytes→unicode pre-map
+    — the same pinned per-word applies run over the mapped string, and
+    joining back on the RAW word keeps the corpus side byte-free (the
+    mapping runs once per distinct word, never per occurrence)."""
+    return bpe_word_token_counts(
+        words_df, merges, word_col, apply_shape, pre=_byte_pre()
     )
 
 
@@ -808,29 +799,19 @@ def doc_bpe_token_counts_bytes(
     apply_shape: str = "auto",
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, fertility) under a BYTE-level merge
-    table — :func:`doc_bpe_token_counts_joined`'s contract with the
-    byte-level guarantees: no word filter anywhere (every word counts),
-    n_words is the full whitespace-token count. Same scale shape: one
-    word explode, the byte mapping + tokenizer over DISTINCT words only,
-    one broadcast join back, one doc-keyed aggregation."""
-    words_arr = tokens_expr(F.col(text_col))
-    words = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.explode(words_arr).alias("word")
-    )
-    wtok = bpe_word_token_counts_bytes(
-        words.select("word").distinct(), merges, apply_shape=apply_shape
-    )
-    if broadcast_vocab:
-        wtok = F.broadcast(wtok)
-    return (
-        words.join(wtok, "word")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-        .withColumn(
-            "fertility",
-            F.col("n_tokens").cast("double") / F.col("n_words"),
-        )
+    table — :func:`doc_bpe_token_counts_joined` with the byte-level
+    hooks (clean=False + the bytes→unicode pre-map): no word filter
+    anywhere (every word counts), n_words is the full whitespace-token
+    count, and the scale shape is inherited unchanged — one word
+    explode, the mapping + tokenizer over DISTINCT words only, one
+    broadcast join back, one doc-keyed aggregation."""
+    return doc_bpe_token_counts_joined(
+        docs,
+        merges,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_vocab=broadcast_vocab,
+        apply_shape=apply_shape,
+        clean=False,
+        pre=_byte_pre(),
     )

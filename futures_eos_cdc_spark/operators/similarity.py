@@ -874,6 +874,41 @@ def _make_probe_fn(C, nprobe: int, id_col: str, vec_col: str):
     return probe
 
 
+def _probe_frame(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    _force_expr: bool = False,
+) -> DataFrame:
+    """(q_id, q_vec, cell): each query exploded to its ``nprobe`` nearest
+    cells — THE single probe-side construction shared by ann_topk_ivf and
+    ann_topk_ivf_pq (code review r13: two verbatim copies of the routing
+    branch would let a future fix silently miss one). Routes through the
+    Arrow probe kernel past _ASSIGN_EXPR_MAX_TERMS on the actual centroid
+    width; bit-parity of the two paths is pytest-pinned via the callers."""
+    if (
+        len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS
+        and not _force_expr
+    ):
+        import numpy as np
+
+        C = np.asarray(centroids, dtype=np.float64)
+        id_type = dict(queries.dtypes)[id_col]
+        return queries.select(id_col, vec_col).mapInPandas(
+            _make_probe_fn(C, nprobe, id_col, vec_col),
+            f"q_id {id_type}, q_vec array<double>, cell int",
+        )
+    return queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
+        ).alias("cell"),
+    )
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -908,9 +943,6 @@ def ann_topk_ivf(
     # pre-trained centroids of a different dimension than the `dim`
     # parameter would compute the term budget from the wrong width)
     if len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS and not _force_expr:
-        import numpy as np
-
-        C = np.asarray(centroids, dtype=np.float64)
         # id-keyed re-join, NOT keep_vec pass-through: measured at the 100x
         # corpus the join (ids through the kernel, vectors staying in the
         # JVM's columnar scan) beats Arrow-round-tripping every vector
@@ -919,24 +951,13 @@ def ann_topk_ivf(
         c = embeddings.select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         ).join(assigned.select(F.col(id_col).alias("c_id"), "cell"), "c_id")
-        id_type = dict(queries.dtypes)[id_col]
-        q = queries.select(id_col, vec_col).mapInPandas(
-            _make_probe_fn(C, nprobe, id_col, vec_col),
-            f"q_id {id_type}, q_vec array<double>, cell int",
-        )
     else:
         c = embeddings.select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
             _cell_ranking_expr(vec_col, centroids).getItem(0).alias("cell"),
         )
-        q = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(
-                F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
-            ).alias("cell"),
-        )
+    q = _probe_frame(queries, centroids, nprobe, id_col, vec_col, _force_expr)
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
@@ -1589,25 +1610,7 @@ def ann_topk_ivf_pq(
     c = assigned.select(F.col(id_col).alias("c_id"), "cell").join(
         codes.select(F.col(id_col).alias("c_id"), "codes"), "c_id"
     )
-    if (
-        len(centroids) * len(centroids[0]) > _ASSIGN_EXPR_MAX_TERMS
-    ):
-        import numpy as np
-
-        C = np.asarray(centroids, dtype=np.float64)
-        id_type = dict(queries.dtypes)[id_col]
-        q = queries.select(id_col, vec_col).mapInPandas(
-            _make_probe_fn(C, nprobe, id_col, vec_col),
-            f"q_id {id_type}, q_vec array<double>, cell int",
-        )
-    else:
-        q = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(
-                F.slice(_cell_ranking_expr(vec_col, centroids), 1, nprobe)
-            ).alias("cell"),
-        )
+    q = _probe_frame(queries, centroids, nprobe, id_col, vec_col)
     adc = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("c_id"))

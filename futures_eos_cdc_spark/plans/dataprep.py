@@ -673,7 +673,13 @@ def _trained_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> list[l
     from ..operators.similarity import ivf_train
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    # content fingerprint in the key (code review r13, with _PQ_MODEL):
+    # a regenerated fixture dir retrains instead of serving stale cells
+    key = (
+        app_id,
+        sf_dir,
+        _dir_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+    )
     got = _IVF_CENTROIDS.get(key)
     if got is None:
         # purge stale-session entries (same rationale as sources/tables.py)
@@ -1798,7 +1804,9 @@ def _bm25_scores(
 _RETRIEVAL_CORE: dict = {}
 
 
-def _retrieval_core(spark: SparkSession, sf_dir: str, _t) -> dict:
+def _retrieval_core(
+    spark: SparkSession, sf_dir: str, _t, need: tuple = ("bm25",)
+) -> dict:
     """Build-once (per appId + corpus-content fingerprint) artifacts shared
     by q_bm25_topk, q_hybrid_rrf and q_hard_negatives:
 
@@ -1814,8 +1822,15 @@ def _retrieval_core(spark: SparkSession, sf_dir: str, _t) -> dict:
     - ``sem``: brute-force cosine top-HYBRID_DEPTH for the same query ids
       (q_id, c_id, cosine, rank) — the semantic side both queries share.
 
-    Eviction mirrors _BLOOM_PREPARED: any key change (new app, new dir,
-    regenerated fixture content) drops every stale entry before building.
+    Components build LAZILY (code review r13): ``need`` names what the
+    caller reads — "bm25" (the stats dict) or "cand" (the two candidate
+    lists, which themselves need bm25) — so a session running only
+    q_bm25_topk never pays the corpus-wide cosine scan or the mlt_lex
+    window pass. Eviction drops only OTHER apps' entries (the
+    _BPE_V1K_MERGES convention): a session alternating two fixture dirs
+    keeps both cores instead of thrashing full rebuilds; a regenerated
+    dir gets a fresh key via the content fingerprints and its stale
+    entry dies with the app at the latest.
     """
     key = (
         spark.sparkContext.applicationId,
@@ -1823,67 +1838,71 @@ def _retrieval_core(spark: SparkSession, sf_dir: str, _t) -> dict:
         _dir_fingerprint(os.path.join(sf_dir, "documents.parquet")),
         _dir_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
     )
-    core = _RETRIEVAL_CORE.get(key)
-    if core is not None:
-        return core
-    for stale in list(_RETRIEVAL_CORE):
+    for stale in [k for k in _RETRIEVAL_CORE if k[0] != key[0]]:
         del _RETRIEVAL_CORE[stale]
+    core = _RETRIEVAL_CORE.setdefault(key, {})
 
-    from ..operators.similarity import brute_force_topk
     from ..operators.text import tokens_expr
 
-    docs = spread(_t(spark, sf_dir, "documents"))
-    e = spread(_t(spark, sf_dir, "embeddings"))
-
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
-    lens = toks.select(
-        "doc_id", F.size("t").cast("long").alias("len_d")
-    ).localCheckpoint()
-    tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    # tf already collapses (doc, term): count of tf rows per term ==
-    # countDistinct(doc) over the exploded stream — the inline path's df,
-    # computed once for the WHOLE vocabulary (persisted, never broadcast;
-    # per-query df stays a query-bounded semi-join of this table).
-    df_all = (
-        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
-    )
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("len_d").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    ).localCheckpoint()
-    bm25 = {"tf": tf, "df_all": df_all, "lens": lens, "stats": stats}
-
-    # The two fixed-query candidate lists (HYBRID_* constants live below;
-    # module top-to-bottom execution has long finished by first call).
-    toks_q = (
-        docs.filter(F.col("doc_id") < 5)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    if "bm25" not in core:
+        docs = spread(_t(spark, sf_dir, "documents"))
+        toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+        lens = toks.select(
+            "doc_id", F.size("t").cast("long").alias("len_d")
+        ).localCheckpoint()
+        tf = (
+            toks.select("doc_id", F.explode("t").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint()
         )
-        .distinct()
-    )
-    lagg = _bm25_scores(docs, toks_q, model=bm25).filter(
-        F.col("doc_id") != F.col("query_id")
-    )
-    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    mlt_lex = (
-        lagg.withColumn("r", F.row_number().over(wl))
-        .filter(F.col("r") <= HYBRID_DEPTH)
-        .select("query_id", "doc_id", "r")
-        .localCheckpoint()
-    )
-    sem = brute_force_topk(
-        e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH
-    ).localCheckpoint()
+        # tf already collapses (doc, term): count of tf rows per term ==
+        # countDistinct(doc) over the exploded stream — the inline path's
+        # df, computed once for the WHOLE vocabulary (persisted, never
+        # broadcast; per-query df stays a query-bounded semi-join of it).
+        df_all = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint()
+        )
+        stats = lens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("len_d").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        ).localCheckpoint()
+        core["bm25"] = {"tf": tf, "df_all": df_all, "lens": lens, "stats": stats}
 
-    core = {"bm25": bm25, "mlt_lex": mlt_lex, "sem": sem}
-    _RETRIEVAL_CORE[key] = core
+    if "cand" in need and "mlt_lex" not in core:
+        from ..operators.similarity import brute_force_topk
+
+        docs = spread(_t(spark, sf_dir, "documents"))
+        e = spread(_t(spark, sf_dir, "embeddings"))
+        # The two fixed-query candidate lists (HYBRID_* constants live
+        # below; module top-to-bottom execution has finished by first call).
+        toks_q = (
+            docs.filter(F.col("doc_id") < 5)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(
+                    F.split(F.trim(F.lower("text")), r"\s+")
+                ).alias("term"),
+            )
+            .distinct()
+        )
+        lagg = _bm25_scores(docs, toks_q, model=core["bm25"]).filter(
+            F.col("doc_id") != F.col("query_id")
+        )
+        wl = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        core["mlt_lex"] = (
+            lagg.withColumn("r", F.row_number().over(wl))
+            .filter(F.col("r") <= HYBRID_DEPTH)
+            .select("query_id", "doc_id", "r")
+            .localCheckpoint()
+        )
+        core["sem"] = brute_force_topk(
+            e, e.filter(F.col("vec_id") < 5), k=HYBRID_DEPTH
+        ).localCheckpoint()
     return core
 
 
@@ -2693,7 +2712,16 @@ def _trained_pq(spark: SparkSession, sf_dir: str, e: DataFrame):
     from ..operators.similarity import pq_encode, pq_train
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    # content fingerprint in the key (code review r13): a fixture dir
+    # regenerated in-session must retrain, exactly like _RETRIEVAL_CORE
+    # and the fingerprinted _BLOOM_PREPARED — the oracle replays training
+    # on the NEW vectors every run, so a stale model would silently split
+    # the engines.
+    key = (
+        app_id,
+        sf_dir,
+        _dir_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+    )
     got = _PQ_MODEL.get(key)
     if got is None:
         for k in [k for k in _PQ_MODEL if k[0] != app_id]:
@@ -4962,7 +4990,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     session's train-once :func:`_retrieval_core` (r12 VERDICT next #1);
     the frames are the same by construction, so rows never change.
     """
-    core = _retrieval_core(spark, sf_dir, _t)
+    core = _retrieval_core(spark, sf_dir, _t, need=("bm25", "cand"))
     return hybrid_rrf_frame(
         None,
         None,
@@ -5236,7 +5264,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     Both candidate lists are the session-cached train-once frames from
     :func:`_retrieval_core` — byte-identical to the sub-frames this query
     used to rebuild inline (r12 VERDICT next #1)."""
-    core = _retrieval_core(spark, sf_dir, _t)
+    core = _retrieval_core(spark, sf_dir, _t, need=("bm25", "cand"))
     sem = core["sem"].select(
         F.col("q_id").alias("query_id"), F.col("c_id").alias("doc_id")
     )

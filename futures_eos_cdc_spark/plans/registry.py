@@ -1194,9 +1194,10 @@ _WALK_FIRST = [
     "hard_negative_mining",
     "duplicate_span_removal",
     "bloom_dedup_gate",
-    # Priority 2 — r12 VERDICT next #3's rotation: the 43 queries whose
-    # newest driver row is r10 (computed from the CORRECTNESS_r01-r12
-    # union). After this walk no query's newest row is older than r11.
+    # Priority 2 — r12 VERDICT next #3's rotation: 42 of the 43 queries
+    # whose newest driver row is r10 (computed from the CORRECTNESS_r01-r12
+    # union; the 43rd, hard_negative_mining, sits in priority 1 above).
+    # After this walk no query's newest row is older than r11.
     "above_brand_avg_parts",
     "ann_cosine_ivf",
     "ann_cosine_lsh",

@@ -1613,7 +1613,9 @@ def test_pq_encode_kernel_matches_expression(spark, sf_dir):
     argmin, same tie-on-code) — the ann_topk_ivf parity discipline."""
     from futures_eos_cdc_spark.operators import similarity as S
 
-    e = _emb(spark, sf_dir).limit(120)
+    # vec_id filter, not limit(): two independent collect() jobs over an
+    # unordered limit are not guaranteed the same 120 rows
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 120)
     cbs = S.pq_train(_emb(spark, sf_dir), m=8, ksub=32, iters=1, seed=42)
     kern = {r.vec_id: list(r.codes) for r in S.pq_encode(e, cbs).collect()}
     expr = {
