@@ -1461,14 +1461,24 @@ def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataF
     join to recover them afterwards."""
     keep = list(keep_cols)
     toks, bg = _bigrams_frame(docs, keep_cols)
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # ONE bigram-count pass feeds BOTH model tables (r13 opt, guide §2.4):
+    # the prefix count is derived as a window sum over the aggregate's own
+    # vocab-bounded output — c1(w1) = Σ_w2 c2(w1,w2), integer-identical to
+    # a direct corpus count — so uc's full corpus explode + exchange is
+    # gone (4 corpus scans → 3: scoring explode, count pass, vocab pass)
+    # and the corpus-sized scoring stream takes ONE broadcast model join
+    # instead of two. The window runs over bigram-TYPE rows (931 at
+    # sf0.1), not the corpus.
+    model = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    )
     vocab = toks.select(F.explode("t").alias("term")).agg(
         F.countDistinct("term").alias("v")
     )
     scored = (
-        bg.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
+        bg.join(F.broadcast(model), ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "lp",
@@ -1604,17 +1614,82 @@ def q_moore_lewis_selection(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
     explode — the tokenize/bigram stage is shared, each LM adds only its
     vocab-bounded count tables (broadcast) and one left-join scoring pass.
 
-    Plan at 100 TB: one corpus gram explode; 2x (bigram-count +
-    unigram-count + 1-row vocab) bounded model aggregates; scoring joins
-    are (w1, w2)-keyed against vocab-sized tables (AQE broadcasts them
-    when they fit); one doc-keyed aggregation per LM and a doc-keyed
-    join of two tiny (doc, h) tables. No all-pairs stage, no window."""
+    Plan at 100 TB (r13 opt, guide §2.4 — measured 8 corpus scans → 3):
+    ONE (w1, w2)-keyed bigram-count aggregate carries both LMs' bigram
+    counts (target as a conditional sum) and both prefix tables as window
+    sums over its own bigram-TYPE-sized output (c1(w1) = Σ_w2 c2(w1,w2) —
+    integer-identical to a direct count); ONE unigram pass yields both
+    vocabulary sizes; ONE scoring explode takes a single broadcast model
+    join and a single doc-keyed aggregate computes h_target AND h_general
+    together, so the former per-LM corpus explodes and the final
+    (doc, h)⋈(doc, h) join are gone. Model tables are vocab-bounded
+    (bigram-type rows — Heaps-law sublinear); the only corpus-sized
+    exchanges are the count pass and the final doc aggregate. No
+    all-pairs stage."""
     docs = spread(_t(spark, sf_dir, "documents"))
     toks, bg = _bigrams_frame(docs, keep_cols=("lang",))
-    tgt = _ml_lm_frame(bg, toks, F.col("lang") == _ML_TARGET_LANG, "h_target")
-    gen = _ml_lm_frame(bg, toks, F.lit(True), "h_general")
+    is_tgt = F.coalesce(F.col("lang") == _ML_TARGET_LANG, F.lit(False))
+    # ONE vocab-bounded bigram-count pass replaces the six per-LM corpus
+    # aggregations (r13 opt, guide §2.4): both LMs' bigram counts come out
+    # of one (w1, w2) aggregate (the target count as a conditional sum),
+    # and both prefix tables are window sums over that aggregate's own
+    # bigram-TYPE-sized output — c1(w1) = Σ_w2 c2(w1, w2), integer-
+    # identical to the per-LM corpus counts they replace. Everything is
+    # lazy and referenced once: no checkpoint barrier, and the corpus-
+    # sized scoring stream takes ONE broadcast model join instead of four.
+    w1win = Window.partitionBy("w1")
+    model = (
+        bg.groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("c2_g"),
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c2_t"),
+        )
+        .withColumn("c1_g", F.sum("c2_g").over(w1win))
+        .withColumn("c1_t", F.sum("c2_t").over(w1win))
+    )
+    # both vocabularies from ONE unigram pass: a term is in the target
+    # vocab iff any target-slice doc contains it (max(tgt) per term), so
+    # v_t == countDistinct(term) over the target slice and v_g over all
+    va = (
+        toks.select(is_tgt.alias("tgt"), F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.max("tgt").alias("any_tgt"))
+        .agg(
+            F.count(F.lit(1)).alias("v_g"),
+            F.count(F.when(F.col("any_tgt"), 1)).alias("v_t"),
+        )
+    )
+    # identical per-term expressions to _ml_lm_frame's lp (6dp round before
+    # the DECIMAL(38,10) sum), evaluated for BOTH LMs in one projection
+    # over ONE scoring explode; one doc-keyed aggregate yields both
+    # entropies, removing the former h_general ⋈ h_target join outright
+    lp_t = (
+        f"round(ln((coalesce(c2_t, 0) + {PPLX_K!r}d)"
+        f" / (coalesce(c1_t, 0) + {PPLX_K!r}d * v_t)), 6)"
+    )
+    lp_g = (
+        f"round(ln((coalesce(c2_g, 0) + {PPLX_K!r}d)"
+        f" / (coalesce(c1_g, 0) + {PPLX_K!r}d * v_g)), 6)"
+    )
+    scored = (
+        bg.join(F.broadcast(model), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(va))
+        .withColumn("lp_t", F.expr(lp_t))
+        .withColumn("lp_g", F.expr(lp_g))
+    )
+
+    def _h(col: str):
+        return F.round(
+            -F.sum(F.col(col).cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    agg = scored.groupBy("doc_id").agg(
+        _h("lp_t").alias("h_target"), _h("lp_g").alias("h_general")
+    )
     score = F.round(F.col("h_general") - F.col("h_target"), 6)
-    return gen.join(tgt, "doc_id").select(
+    return agg.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "h_target",
         "h_general",
