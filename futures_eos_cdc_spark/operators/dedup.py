@@ -434,14 +434,15 @@ def cut_duplicated_grams(
 
     Scale shape — every stage corpus-linear, NO pair join anywhere:
     one gram posexplode (16-byte binary unhex(md5) keys, ADVICE r12);
-    groupBy(gram) for
-    (first-occurrence, count) with map-side partial agg (a viral gram
-    collapses per input partition before the exchange); join back on
-    gram to flag non-first occurrences; then the classic sweep — each
-    cut occurrence becomes (+1 at s, -1 at s+k) delta events, one
-    (doc, p) aggregation, and a per-doc running sum marks covered
-    positions (group sizes bounded by the doc's own length, never corpus
-    scale). Reassembly is the same per-doc fold as the pairwise cut.
+    ONE gram-keyed exchange ranks each gram's occurrences by (doc, p)
+    (row_number — rn > 1 is exactly "not the corpus-wide first"; r13 opt,
+    replacing a groupBy(gram) + join-back that exploded the corpus twice
+    and joined against a gram-type-sized table); then the classic sweep —
+    each cut occurrence emits its (+1 at s, -1 at s+k) delta events in
+    one projection, one (doc, p) aggregation, and a per-doc running sum
+    marks covered positions (group sizes bounded by the doc's own length,
+    never corpus scale). Reassembly is the same per-doc fold as the
+    pairwise cut. 6 scans → 3 measured (plans/r13/exactsubstr_gram_cut_*).
     """
     toks = _doc_token_arrays(docs, id_col, text_col)
     pos = _doc_positions(toks)
@@ -464,28 +465,33 @@ def cut_duplicated_grams(
             ).alias("gram"),
         )
     )
-    firsts = grams.groupBy("gram").agg(
-        F.min(F.struct(F.col("doc").alias("d"), F.col("p").alias("i"))).alias(
-            "_first"
-        ),
-        F.count(F.lit(1)).alias("n_occ"),
-    )
+    # ONE pass over the gram stream (r13 opt, guide §2.4): ranking each
+    # gram's occurrences by (doc, p) makes "not the corpus-wide first"
+    # simply rn > 1 — one gram-keyed exchange replaces the former
+    # groupBy(gram) + join-back, which executed the gram explode TWICE
+    # and paid a gram-keyed join (gram-type-sized right side: broadcast
+    # at bench SF but a full shuffle join at scale). Gram groups are
+    # occurrence counts (overwhelmingly 1-2), so the window sort is flat.
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("gram").orderBy("doc", "p")
     starts = (
-        grams.join(firsts, "gram")
-        .filter(
-            (F.col("n_occ") > 1)
-            & ~(
-                (F.col("doc") == F.col("_first.d"))
-                & (F.col("p") == F.col("_first.i"))
-            )
-        )
+        grams.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") > 1)
         .select("doc", F.col("p").alias("s"))
     )
-    events = starts.select("doc", F.col("s").alias("p"), F.lit(1).alias("delta")).union(
-        starts.select("doc", (F.col("s") + k).alias("p"), F.lit(-1).alias("delta"))
-    )
+    # both delta events from each start row in ONE projection — the
+    # former self-union re-executed the whole starts subtree twice
+    events = starts.select(
+        "doc",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("p"), F.lit(1).alias("delta")),
+                F.struct((F.col("s") + k).alias("p"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("doc", F.col("e.p").alias("p"), F.col("e.delta").alias("delta"))
     net = events.groupBy("doc", "p").agg(F.sum("delta").alias("net"))
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy("p").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
