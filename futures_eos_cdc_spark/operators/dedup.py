@@ -249,17 +249,22 @@ def duplicate_spans(
 
     Scale: gram identity is a 16-byte binary md5 — unhex(md5(...)), not
     the 32-char hex string F.md5 returns, halving shuffle-key width
-    (ADVICE r12);
-    the self-join is the candidate explosion point, so grams occurring
-    more than ``max_gram_occ`` times corpus-wide are EXCLUDED first (a
-    boilerplate gram in 1e6 docs would emit 1e12 position pairs; the
-    suffix-array approach hits the same wall as one mega-run). The cap is
-    part of the operator's semantics — "spans all of whose grams occur
-    ≤ max_gram_occ times" — deterministic and oracle-replayable, not a
-    sampling shortcut; callers needing viral-gram spans raise it
-    explicitly. The islands window runs per (doc_a, doc_b, diagonal) —
-    group sizes are bounded by the shorter doc's length, never corpus
-    scale.
+    (ADVICE r12). Pair generation is ONE gram-keyed exchange (r13 opt):
+    each gram's occurrence list is gathered (collect_list, bounded by the
+    ``max_gram_occ`` cap below) and cross-doc position pairs are expanded
+    in-row with nested higher-order transforms — the corpus is exploded
+    once, where the former count-agg + semi-join + self-join shape
+    exploded it four times. Pair expansion is the candidate explosion
+    point, so grams occurring more than ``max_gram_occ`` times
+    corpus-wide are EXCLUDED first (a boilerplate gram in 1e6 docs would
+    emit 1e12 position pairs; the suffix-array approach hits the same
+    wall as one mega-run) — the cap now also bounds every collected list.
+    The cap is part of the operator's semantics — "spans all of whose
+    grams occur ≤ max_gram_occ times" — deterministic and
+    oracle-replayable, not a sampling shortcut; callers needing
+    viral-gram spans raise it explicitly. The islands window runs per
+    (doc_a, doc_b, diagonal) — group sizes are bounded by the shorter
+    doc's length, never corpus scale.
     """
     grams = (
         docs.select(F.col(id_col).alias("doc"), F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"))
@@ -277,19 +282,29 @@ def duplicate_spans(
             ).alias("gram"),
         )
     )
-    ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ")).filter(
-        F.col("n_occ") <= max_gram_occ
+    # ONE gram-keyed exchange replaces count-agg + semi-join + self-join
+    # (r13 opt, guide §2.4 — the former shape exploded the corpus FOUR
+    # times: each self-join side rebuilt grams and its own copy of the
+    # occurrence-count filter). Each gram's occurrences are gathered into
+    # one list — bounded by ``max_gram_occ``, the cap that already
+    # guarded the join fan-out — and the cross-doc position pairs are
+    # generated in-row by nested higher-order transforms, exactly the
+    # rows the a.gram = b.gram AND a.doc < b.doc join produced.
+    occ = (
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.struct("doc", "p")).alias("os"))
+        .filter((F.size("os") > 1) & (F.size("os") <= max_gram_occ))
     )
-    g = grams.join(ok.select("gram"), "gram")
-    a, b = g.alias("a"), g.alias("b")
-    m = a.join(
-        b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc"))
-    ).select(
-        F.col("a.doc").alias("doc_a"),
-        F.col("b.doc").alias("doc_b"),
-        F.col("a.p").alias("pa"),
-        F.col("b.p").alias("pb"),
-    )
+    m = occ.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(os, a ->"
+                " transform(filter(os, b -> a.doc < b.doc), b ->"
+                " struct(a.doc AS doc_a, b.doc AS doc_b,"
+                " a.p AS pa, b.p AS pb))))"
+            )
+        ).alias("pr")
+    ).select("pr.doc_a", "pr.doc_b", "pr.pa", "pr.pb")
     from pyspark.sql import Window
 
     diag = (F.col("pa") - F.col("pb")).alias("diag")
