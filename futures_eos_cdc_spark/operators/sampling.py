@@ -226,7 +226,10 @@ def token_budget_rates(
     deferred job). One aggregation over (group, tokens), n_groups rows
     out — broadcast back onto the corpus by :func:`token_budget_sample`.
     Every rate is one double multiply chain + division, bit-replayable
-    in SQL.
+    in SQL. (r13 opt note: a derive-total-from-avail rewrite — window or
+    checkpoint — was measured SLOWER at sf0.1 and the 10x corpus than
+    these two independent aggregations, which Spark schedules as
+    concurrent stages of one job; deliberately left as is.)
     """
     if (budget_tokens is None) == (budget_fraction is None):
         raise ValueError("pass exactly one of budget_tokens or budget_fraction")
@@ -317,7 +320,11 @@ def temperature_mixture_rates(
     # token_budget_sample drops their docs; the registered oracle
     # (TEMPERATURE_MIXTURE_ORACLE) states the same WHERE.
     valid = F.col("available_tokens").isNotNull() & (F.col("available_tokens") > 0)
-    weighted = avail.filter(valid).withColumn("weight", w)
+    # materialized at n_groups rows (r13 opt): the stats re-aggregation,
+    # the rate projection, and every caller-side reference (e.g. the
+    # share join in q_temperature_mixture) reuse ONE corpus scan instead
+    # of re-running the corpus aggregation per reference
+    weighted = avail.filter(valid).withColumn("weight", w).localCheckpoint()
     stats = weighted.agg(
         F.sum("weight").cast("long").alias("_z"),
         F.sum("available_tokens").cast("long").alias("_total"),
