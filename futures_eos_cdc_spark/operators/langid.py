@@ -217,18 +217,40 @@ def langid_score(
     length upstream if that matters. NULL text predicts NULL."""
     bcol = gram_buckets_expr(F.col(text_col), n, buckets, max_chars)
     docs = docs.withColumn("_lid_buckets", bcol)
+    # bind the argmax struct to ONE temp column (r13 opt): embedding the
+    # per-language fold tree in both output expressions doubled its
+    # analyzer and evaluation footprint; deriving pred/score from the
+    # bound column keeps one copy (CollapseProject leaves non-cheap
+    # expressions un-inlined)
     best = _best_from_buckets(F.col("_lid_buckets"), model)
     return (
-        docs.withColumn(
+        docs.withColumn("_lid_best", best)
+        .withColumn(
             pred_col,
-            F.when(F.col(text_col).isNotNull(), best["lang"]),
+            F.when(F.col(text_col).isNotNull(), F.col("_lid_best")["lang"]),
         )
         .withColumn(
             score_col,
-            F.when(F.col(text_col).isNotNull(), -best["neg"]).cast("long"),
+            F.when(
+                F.col(text_col).isNotNull(), -F.col("_lid_best")["neg"]
+            ).cast("long"),
         )
-        .drop("_lid_buckets")
+        .drop("_lid_buckets", "_lid_best")
     )
+
+
+# Constructed-expression memo (r13 opt): assembling the candidates array
+# costs ~0.95 s of pure DRIVER time per call at 16 langs x 1024 buckets
+# (~0.35 s parsing the weight-array literals, ~0.6 s building the fold
+# lambdas through py4j) and is a deterministic function of (input-column
+# expression, model object). The scorer queries rebuild the identical
+# expression every invocation over the SAME session-cached model dict —
+# memoize the finished Column. Column expression trees are immutable and
+# freely reusable across plans; keying on the model's object identity
+# ties cache life to the model cache (a retrained model is a new dict →
+# new key), and entries from other SparkContexts are purged so a session
+# restart cannot serve dead py4j references.
+_CANDIDATES_CACHE: dict = {}
 
 
 def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
@@ -236,7 +258,24 @@ def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
     bucket-array column — the one construction every scorer shares so
     the tie rule / cast discipline cannot fork (code-review r11):
     ordering the structs ranks by max score first, smallest language on
-    ties."""
+    ties. Memoized per (session, input expression, model identity) —
+    see _CANDIDATES_CACHE."""
+    import re
+
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app_id = sc.applicationId if sc is not None else None
+    # PySpark names higher-order-function lambda variables with a global
+    # counter (x_1, x_2, …), so the SAME logical expression prints
+    # differently on every construction — normalize them or the cache
+    # never hits for gram_buckets_expr inputs
+    key = (app_id, re.sub(r"\b([a-z]+)_\d+\b", r"\1", str(bcol)), id(model))
+    got = _CANDIDATES_CACHE.get(key)
+    if got is not None:
+        return got
+    for k in [k for k in _CANDIDATES_CACHE if k[0] != app_id]:
+        del _CANDIDATES_CACHE[k]
 
     def _fold(weights: Column) -> Column:
         # closure helper: PySpark derives higher-order-function arity from
@@ -262,7 +301,9 @@ def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
         candidates.append(
             F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
         )
-    return F.array(*candidates)
+    out = F.array(*candidates)
+    _CANDIDATES_CACHE[key] = out
+    return out
 
 
 def _best_from_buckets(bcol: Column, model: dict[str, list[int]]) -> Column:

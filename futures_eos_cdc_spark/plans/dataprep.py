@@ -6328,11 +6328,19 @@ def q_langid_confidence(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         .select("doc_id", "lang", "text")
     )
     model = _langid_model_cached(spark, sf_dir, docs)
-    ranked = langid_ranked_expr(F.col("text"), model)
-    best, second = ranked.getItem(0), ranked.getItem(1)
+    # bind the ranked array to ONE temp column instead of embedding the
+    # 16-language fold tree in every output expression (r13 opt: the
+    # former select carried six copies of the ~16k-node candidates tree
+    # through analysis — ~1 s of pure driver time per construction;
+    # CollapseProject keeps non-cheap expressions un-inlined, so the tree
+    # is analyzed and evaluated once)
+    ranked_docs = docs.withColumn(
+        "_ranked", langid_ranked_expr(F.col("text"), model)
+    )
+    best, second = F.col("_ranked").getItem(0), F.col("_ranked").getItem(1)
     pred_score = (-best["neg"]).cast("long")
     margin = (pred_score - F.coalesce(-second["neg"], F.lit(0))).cast("long")
-    return docs.select(
+    return ranked_docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         best["lang"].alias("pred_lang"),
         pred_score.alias("pred_score"),
