@@ -288,24 +288,43 @@ def duplicate_spans(
     # occurrence-count filter). Each gram's occurrences are gathered into
     # one list — bounded by ``max_gram_occ``, the cap that already
     # guarded the join fan-out — and the cross-doc position pairs are
-    # generated in-row by nested higher-order transforms, exactly the
-    # rows the a.gram = b.gram AND a.doc < b.doc join produced.
+    # generated in-row by higher-order transforms, exactly the rows the
+    # a.gram = b.gram AND a.doc < b.doc join produced.
+    #
+    # r14 scale guards (ADVICE/VERDICT r13, guide §5): (1) a VIRAL gram
+    # (boilerplate in 1e6+ docs) must never build its full occurrence
+    # list in one aggregation buffer row just to be discarded — rank the
+    # occurrences with a sort-based, spillable row_number over the SAME
+    # gram partitioning (the window's exchange is reused by the groupBy,
+    # still one shuffle) and keep only the first cap+1: a gram over the
+    # cap still shows size(os) = cap+1 > cap and is excluded with
+    # identical semantics, but no list ever exceeds cap+1 structs.
+    # (2) pair expansion explodes the OUTER occurrence first and runs
+    # only the inner filter/transform per row, so in-row materialization
+    # is bounded by cap structs, not cap^2/2.
+    from pyspark.sql import Window
+
+    occ_w = Window.partitionBy("gram").orderBy("doc", "p")
     occ = (
-        grams.groupBy("gram")
+        grams.withColumn("rn", F.row_number().over(occ_w))
+        .filter(F.col("rn") <= max_gram_occ + 1)
+        .groupBy("gram")
         .agg(F.collect_list(F.struct("doc", "p")).alias("os"))
         .filter((F.size("os") > 1) & (F.size("os") <= max_gram_occ))
     )
-    m = occ.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(os, a ->"
-                " transform(filter(os, b -> a.doc < b.doc), b ->"
-                " struct(a.doc AS doc_a, b.doc AS doc_b,"
-                " a.p AS pa, b.p AS pb))))"
-            )
-        ).alias("pr")
-    ).select("pr.doc_a", "pr.doc_b", "pr.pa", "pr.pb")
-    from pyspark.sql import Window
+    m = (
+        occ.select(F.explode("os").alias("a"), "os")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(filter(os, b -> a.doc < b.doc), b ->"
+                    " struct(a.doc AS doc_a, b.doc AS doc_b,"
+                    " a.p AS pa, b.p AS pb))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b", "pr.pa", "pr.pb")
+    )
 
     diag = (F.col("pa") - F.col("pb")).alias("diag")
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")

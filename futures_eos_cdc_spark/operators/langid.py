@@ -222,7 +222,12 @@ def langid_score(
     # analyzer and evaluation footprint; deriving pred/score from the
     # bound column keeps one copy (CollapseProject leaves non-cheap
     # expressions un-inlined)
-    best = _best_from_buckets(F.col("_lid_buckets"), model)
+    # cache key is fully structural: the candidates expression here is a
+    # pure function of the fixed temp-column name (the text_col-specific
+    # part lives in the _lid_buckets withColumn above, outside the memo)
+    best = _best_from_buckets(
+        F.col("_lid_buckets"), model, cache_key=("col", "_lid_buckets")
+    )
     return (
         docs.withColumn("_lid_best", best)
         .withColumn(
@@ -246,36 +251,46 @@ def langid_score(
 # expression, model object). The scorer queries rebuild the identical
 # expression every invocation over the SAME session-cached model dict —
 # memoize the finished Column. Column expression trees are immutable and
-# freely reusable across plans; keying on the model's object identity
-# ties cache life to the model cache (a retrained model is a new dict →
-# new key), and entries from other SparkContexts are purged so a session
-# restart cannot serve dead py4j references.
+# freely reusable across plans. r14 hardening (ADVICE r13): the key is
+# an explicit STRUCTURAL description supplied by the caller (how bcol
+# was built: input column repr, n, buckets, max_chars) — never a
+# normalized str(bcol), whose regex collapsed real column names like
+# text_1/text_2 into one key; and the cached value pins the model dict
+# (strong reference), so id(model) cannot be recycled by GC and serve a
+# stale weight table to a new model at the same address. Entries from
+# other SparkContexts are purged so a session restart cannot serve dead
+# py4j references.
 _CANDIDATES_CACHE: dict = {}
 
 
-def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
+def _candidates_array(
+    bcol: Column,
+    model: dict[str, list[int]],
+    *,
+    cache_key: tuple | None = None,
+) -> Column:
     """Array of struct(-score, lang) per language over the SAME
     bucket-array column — the one construction every scorer shares so
     the tie rule / cast discipline cannot fork (code-review r11):
     ordering the structs ranks by max score first, smallest language on
-    ties. Memoized per (session, input expression, model identity) —
-    see _CANDIDATES_CACHE."""
-    import re
-
+    ties. Memoized per (session, caller-declared structural key, model
+    identity) when ``cache_key`` is given — the caller asserts that the
+    key fully determines bcol's expression tree; passing None builds
+    fresh (no caching). See _CANDIDATES_CACHE."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     app_id = sc.applicationId if sc is not None else None
-    # PySpark names higher-order-function lambda variables with a global
-    # counter (x_1, x_2, …), so the SAME logical expression prints
-    # differently on every construction — normalize them or the cache
-    # never hits for gram_buckets_expr inputs
-    key = (app_id, re.sub(r"\b([a-z]+)_\d+\b", r"\1", str(bcol)), id(model))
-    got = _CANDIDATES_CACHE.get(key)
-    if got is not None:
-        return got
-    for k in [k for k in _CANDIDATES_CACHE if k[0] != app_id]:
-        del _CANDIDATES_CACHE[k]
+    key = None
+    if cache_key is not None:
+        key = (app_id, cache_key, id(model))
+        got = _CANDIDATES_CACHE.get(key)
+        # `is model` re-check is belt-and-braces: the strong ref in the
+        # value already prevents id reuse while the entry lives
+        if got is not None and got[1] is model:
+            return got[0]
+        for k in [k for k in _CANDIDATES_CACHE if k[0] != app_id]:
+            del _CANDIDATES_CACHE[k]
 
     def _fold(weights: Column) -> Column:
         # closure helper: PySpark derives higher-order-function arity from
@@ -302,13 +317,19 @@ def _candidates_array(bcol: Column, model: dict[str, list[int]]) -> Column:
             F.struct((-score).alias("neg"), F.lit(lang).alias("lang"))
         )
     out = F.array(*candidates)
-    _CANDIDATES_CACHE[key] = out
+    if key is not None:
+        _CANDIDATES_CACHE[key] = (out, model)
     return out
 
 
-def _best_from_buckets(bcol: Column, model: dict[str, list[int]]) -> Column:
+def _best_from_buckets(
+    bcol: Column,
+    model: dict[str, list[int]],
+    *,
+    cache_key: tuple | None = None,
+) -> Column:
     """The argmax struct — min of :func:`_candidates_array`."""
-    return F.array_min(_candidates_array(bcol, model))
+    return F.array_min(_candidates_array(bcol, model, cache_key=cache_key))
 
 
 def langid_ranked_expr(
@@ -325,7 +346,14 @@ def langid_ranked_expr(
     element 1 is the argmax, element 2 the runner-up (NULL past the
     language count — single-language models rank one entry)."""
     ranked = F.array_sort(
-        _candidates_array(gram_buckets_expr(text, n, buckets, max_chars), model)
+        _candidates_array(
+            gram_buckets_expr(text, n, buckets, max_chars),
+            model,
+            # str(text) is the raw Column repr (no normalization): a text
+            # expression whose repr varies per construction (lambda
+            # counters) just misses the cache, which is the safe direction
+            cache_key=("grams", str(text), n, buckets, max_chars),
+        )
     )
     return F.when(text.isNotNull(), ranked)
 
@@ -347,7 +375,9 @@ def langid_best_expr(
     codegen's subexpression elimination shares the per-gram hashing
     across the per-language folds."""
     best = _best_from_buckets(
-        gram_buckets_expr(text, n, buckets, max_chars), model
+        gram_buckets_expr(text, n, buckets, max_chars),
+        model,
+        cache_key=("grams", str(text), n, buckets, max_chars),
     )
     return F.when(text.isNotNull(), best)
 

@@ -323,8 +323,13 @@ def temperature_mixture_rates(
     # materialized at n_groups rows (r13 opt): the stats re-aggregation,
     # the rate projection, and every caller-side reference (e.g. the
     # share join in q_temperature_mixture) reuse ONE corpus scan instead
-    # of re-running the corpus aggregation per reference
-    weighted = avail.filter(valid).withColumn("weight", w).localCheckpoint()
+    # of re-running the corpus aggregation per reference. eager=False
+    # (ADVICE r13): materialization happens on the FIRST ACTION, not at
+    # plan construction — explain/plan-capture paths no longer launch a
+    # corpus aggregation job just to build the DataFrame
+    weighted = (
+        avail.filter(valid).withColumn("weight", w).localCheckpoint(eager=False)
+    )
     stats = weighted.agg(
         F.sum("weight").cast("long").alias("_z"),
         F.sum("available_tokens").cast("long").alias("_total"),

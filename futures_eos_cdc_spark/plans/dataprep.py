@@ -1384,6 +1384,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
 # ---------------------------------------------------------------------------
 PPLX_K = 0.5  # add-k smoothing
 
+
+def _lm_model_join_side(model: DataFrame) -> DataFrame:
+    """The bigram-TYPE model table as a join side. Bigram types grow
+    roughly like a Heaps law in the corpus (~O(n^0.7)): 931 rows at
+    sf0.1, but plausibly tens of GB at the 100 TB narrative, where a
+    forced broadcast hint would blow the 8 GB relation cap / driver
+    memory instead of degrading (ADVICE r13, guide §3.1 — broadcast only
+    what fits). The hint is therefore GATED: on by default for
+    local/bench scale (where it saves AQE's speculative corpus-side
+    shuffle write of the scoring stream), off via
+    SPARK_GRAFT_LM_BROADCAST=0 for production scale, where AQE picks the
+    strategy from measured stage sizes."""
+    if os.environ.get("SPARK_GRAFT_LM_BROADCAST", "1") != "0":
+        return F.broadcast(model)
+    return model
+
 PERPLEXITY_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
@@ -1478,7 +1494,7 @@ def _perplexity_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataF
         F.countDistinct("term").alias("v")
     )
     scored = (
-        bg.join(F.broadcast(model), ["w1", "w2"])
+        bg.join(_lm_model_join_side(model), ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "lp",
@@ -1672,7 +1688,7 @@ def q_moore_lewis_selection(spark: SparkSession, sf_dir: str, _t) -> DataFrame:
         f" / (coalesce(c1_g, 0) + {PPLX_K!r}d * v_g)), 6)"
     )
     scored = (
-        bg.join(F.broadcast(model), ["w1", "w2"], "left")
+        bg.join(_lm_model_join_side(model), ["w1", "w2"], "left")
         .crossJoin(F.broadcast(va))
         .withColumn("lp_t", F.expr(lp_t))
         .withColumn("lp_g", F.expr(lp_g))

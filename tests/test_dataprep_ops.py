@@ -666,6 +666,53 @@ def test_duplicate_spans_maximal_runs_and_caps(spark):
     assert duplicate_spans(docs, k=3, min_len=4, max_gram_occ=1).count() == 0
 
 
+def test_duplicate_spans_cap_boundary(spark):
+    """r14 rn-cap guard (VERDICT r13): the pre-collect row_number cap must
+    reproduce the exact count semantics at the boundary — a gram occurring
+    EXACTLY max_gram_occ times corpus-wide stays in, one more occurrence
+    anywhere drops it, and the retained gram's pair set is complete (every
+    cross-doc pair, not just the first few)."""
+    from futures_eos_cdc_spark.operators.dedup import duplicate_spans
+
+    # "p q r s t u" appears in docs 1..4 -> each of its 4 grams occurs
+    # exactly 4 times
+    base = spark.createDataFrame(
+        [
+            (1, "p q r s t u a a a"),
+            (2, "b b b p q r s t u"),
+            (3, "c c p q r s t u c"),
+            (4, "d p q r s t u d d"),
+        ],
+        "doc_id long, text string",
+    )
+    # cap = 4: every gram of the shared run is at the boundary -> ALL
+    # C(4,2)=6 doc pairs must report the full 6-token span
+    at_cap = {
+        (r.doc_a, r.doc_b): r.len_tokens
+        for r in duplicate_spans(base, k=3, min_len=4, max_gram_occ=4).collect()
+    }
+    assert at_cap == {
+        (a, b): 6 for a in (1, 2, 3, 4) for b in range(a + 1, 5)
+    }
+    # cap = 3: the same grams (occ 4) are one over -> nothing survives
+    assert duplicate_spans(base, k=3, min_len=4, max_gram_occ=3).count() == 0
+    # doc 5 repeats gram "p q r" once more (occ 5): excluded at cap 4,
+    # but the run's remaining grams (occ 4) still stitch the TAIL of the
+    # span between docs 1..4: q..u = 5 tokens
+    docs5 = base.union(
+        spark.createDataFrame(
+            [(5, "z z z z p q r z z")], "doc_id long, text string"
+        )
+    )
+    tail = {
+        (r.doc_a, r.doc_b): r.len_tokens
+        for r in duplicate_spans(docs5, k=3, min_len=4, max_gram_occ=4).collect()
+    }
+    assert tail == {
+        (a, b): 5 for a in (1, 2, 3, 4) for b in range(a + 1, 5)
+    }
+
+
 def test_bm25_ranking_invariants(spark, sf_dir):
     """BM25 retrieval: ranks are dense 1..k per query, scores descend with
     the doc_id tiebreak, and every scored doc actually contains at least

@@ -295,3 +295,60 @@ def test_langid_oracle_matches_spark_on_null_lang_corpus(spark):
     )
     drows = sorted([tuple(r) for r in con.execute(LANGID_ORACLE).fetchall()], key=repr)
     assert srows == drows
+
+
+def test_candidates_cache_distinguishes_input_columns(spark):
+    """ADVICE r13: the r13 memo key normalized `_\\d+` suffixes out of ALL
+    identifiers in str(bcol), so scoring `text_1` then `text_2` silently
+    reused the first column's expression. The r14 structural key must
+    keep them apart: per-column predictions must match a fresh
+    (uncached) scorer run on each column."""
+    from futures_eos_cdc_spark.operators.langid import (
+        _CANDIDATES_CACHE,
+        langid_best_expr,
+    )
+
+    docs = _corpus(spark)
+    model = langid_model(docs)
+    two = docs.select(
+        "doc_id",
+        F.col("text").alias("text_1"),
+        F.reverse(F.col("text")).alias("text_2"),
+    )
+    _CANDIDATES_CACHE.clear()
+    got = two.select(
+        "doc_id",
+        langid_best_expr(F.col("text_1"), model)["lang"].alias("p1"),
+        langid_best_expr(F.col("text_2"), model)["lang"].alias("p2"),
+    ).collect()
+    # both columns created distinct cache entries
+    assert len(_CANDIDATES_CACHE) == 2
+    _CANDIDATES_CACHE.clear()
+    fresh = two.select(
+        "doc_id",
+        langid_best_expr(F.col("text_1"), model)["lang"].alias("p1"),
+        langid_best_expr(F.col("text_2"), model)["lang"].alias("p2"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, fresh))
+
+
+def test_candidates_cache_pins_model_and_misses_on_new_model(spark):
+    """The cached value must hold a STRONG reference to the model dict
+    (id() recycling hazard) and a retrained model (new dict) must never
+    hit the old entry."""
+    from futures_eos_cdc_spark.operators.langid import (
+        _CANDIDATES_CACHE,
+        langid_best_expr,
+    )
+
+    docs = _corpus(spark)
+    model_a = langid_model(docs)
+    _CANDIDATES_CACHE.clear()
+    langid_best_expr(F.col("text"), model_a)
+    assert len(_CANDIDATES_CACHE) == 1
+    (col, pinned), = list(_CANDIDATES_CACHE.values())
+    assert pinned is model_a  # strong ref lives in the value
+    # a structurally identical but DIFFERENT model object must miss
+    model_b = {k: list(v) for k, v in model_a.items()}
+    langid_best_expr(F.col("text"), model_b)
+    assert len(_CANDIDATES_CACHE) == 2

@@ -538,18 +538,19 @@ def test_exactsubstr_gram_cut_has_no_pair_join(spark, sf_dir):
 
 
 def test_moore_lewis_models_broadcast_no_python(spark, sf_dir):
-    """Both LMs' count/vocab tables must reach the corpus-sized scoring
-    side as broadcasts (vocab-bounded at fixture scale), the whole plan
-    stays JVM-side, and no cartesian sneaks in via the two 1-row vocab
-    joins (they must be BroadcastNestedLoop-free: broadcast of a 1-row
-    frame plans as BroadcastNestedLoopJoin in Spark — accept that single
-    shape but nothing unbounded... assert no CartesianProduct and no
-    Python eval)."""
+    """Since the r13 collapse both LMs live in ONE (w1,w2)-keyed model
+    table with the target slice as a conditional sum, so the corpus-sized
+    scoring side sees exactly ONE broadcast model join.  The 1-row
+    vocab/entropy scalar frame still plans as a single
+    BroadcastNestedLoopJoin (broadcast of a 1-row frame always does in
+    Spark — bounded, accepted).  Whole plan stays JVM-side, nothing
+    cartesian or quadratic."""
     plan = _plan(spark, sf_dir, "moore_lewis_selection")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # count tables broadcast
+    assert plan.count("BroadcastHashJoin") == 1  # the single collapsed model join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar frame only
 
 
 def test_ann_ivf_pq_plan_shape(spark, sf_dir):

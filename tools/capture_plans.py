@@ -1,12 +1,13 @@
-"""Capture .explain("formatted") for registered queries into plans/r13/.
+"""Capture .explain("formatted") for registered queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each named query (all queries
-when none are named). The suffix is "before" for the round's baseline
-capture and "after" for each post-change capture — the judge checks plan
-claims in OPTIMIZATION_r13.md against these files.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (round defaults
+to r14) for each named query (all queries when none are named). The suffix
+is "before" for the round's baseline capture and "after" for each
+post-change capture — the judge checks plan claims in OPTIMIZATION_<round>.md
+against these files.
 
 Plans are captured lazily (no execution): this shows the AQE initial plan
 (isFinalPlan=false), which is where Exchange placement, join strategy,
@@ -26,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from futures_eos_cdc_spark.plans import QUERIES  # noqa: E402
 from futures_eos_cdc_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
+)
 
 
 def main() -> None:
