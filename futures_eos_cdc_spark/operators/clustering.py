@@ -158,10 +158,24 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()
 
+        def _ckpt_round(df: DataFrame) -> DataFrame:
+            # reliable checkpoints stay EAGER: a lazy df.checkpoint()
+            # re-computes the whole round to write the files after the
+            # first action (the classic persist-before-checkpoint trap)
+            return df.checkpoint()
+
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
+
+        def _ckpt_round(df: DataFrame) -> DataFrame:
+            # r14: LAZY local checkpoint — blocks persist during the first
+            # job that computes the round, which below is the signature
+            # aggregation. One job per round (materialize + sig together)
+            # instead of two; the driver-bound iteration cadence was the
+            # measured scaling ceiling (8-vs-32-core ratio 0.89).
+            return df.localCheckpoint(eager=False)
 
     edges = _ckpt(
         pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
@@ -172,11 +186,12 @@ def connected_components(
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
-        edges = _ckpt(_star_round(edges))
+        edges = _ckpt_round(_star_round(edges))
         # Cheap signature (rows + endpoint sum) as a FAST PRE-FILTER only:
         # distinct edge sets can collide on it, so equality is confirmed with
         # an exact exceptAll on the two checkpointed rounds (both deduped and
         # equal-count ⇒ symmetric-difference-empty ⇔ identical sets).
+        # This .first() is the job that materializes the lazy checkpoint.
         sig = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("u") + F.col("v")).alias("s"),
@@ -275,8 +290,18 @@ def pagerank(
     # re-execute the whole prefix (the quadratic re-execution trap of
     # broadcast-fed iteration), and AQE broadcast-joins it against the
     # edges. Same pattern as connected_components' per-round checkpoints.
-    und = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
-        edges.selectExpr(f"{dst} AS u", f"{src} AS v")
+    # r14: materialize the PAIR list before symmetrization — the union
+    # references the edges subplan twice, so without this the entire
+    # upstream pair pipeline (simhash/minhash candidate generation, the
+    # expensive part) executed twice inside the und2 job (measured at the
+    # 10x corpus: und2 materialization 8.3 s -> ~4.8 s). Guide §2.4:
+    # duplicated subtrees are hidden re-shuffles.
+    pair_tbl = _ckpt(
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b"),
+        reliable=True,  # corpus-sized: durable when a dir is given
+    )
+    und = pair_tbl.selectExpr("a AS u", "b AS v").unionAll(
+        pair_tbl.selectExpr("b AS u", "a AS v")
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     und2 = _ckpt(
@@ -289,7 +314,11 @@ def pagerank(
     # out-edge count there), so materializing them never re-executes the
     # upstream pair pipeline.
     deg_u = und2.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n1 = deg_u.agg(F.count(F.lit(1)).alias("nn"))
+    # r14: the 1-row node-count frame is referenced by EVERY round's
+    # crossJoin(broadcast(n1)) — un-materialized, each round's checkpoint
+    # job (and each broadcast build) re-ran the full und2 groupBy just to
+    # recount nodes. One tiny materialization ends that (guide §2.4).
+    n1 = _ckpt(deg_u.agg(F.count(F.lit(1)).alias("nn")), reliable=False)
     ranks = deg_u.crossJoin(F.broadcast(n1)).select(
         "u", "deg", (F.lit(1.0) / F.col("nn")).alias("pr")
     )
